@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Canonicalization: connected components over the entity sameAs-graph
+  * (entities sharing a dictionary alias), via iterative hash-to-min
+  * DataFrame self-joins with checkpointed frontiers (north_star:
+  * "canonicalization by connected-components, iterative DataFrame
+  * self-join, checkpointed frontiers").
+  *
+  * Each iteration: every vertex adopts the minimum label among itself and
+  * its neighbours; converges in O(diameter) rounds. `localCheckpoint`
+  * truncates lineage each round so plans stay O(1) instead of O(rounds);
+  * at cluster scale swap for reliable `checkpoint` on DFS.
+  */
+object Canonical {
+
+  /** Undirected edges (src, dst) from alias collisions: group the
+    * dictionary by alias and pair each group's min entity with the rest —
+    * O(group) edges per alias (star), not O(group²).
+    */
+  def aliasEdges(dict: DataFrame): DataFrame = {
+    val grouped = dict.groupBy(col("alias"))
+      .agg(min(col("entity_iri")).as("src"), collect_set(col("entity_iri")).as("members"))
+    grouped.select(col("src"), explode(col("members")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** Connected components. Input: edges(src, dst). Output: (id, component)
+    * with component = min vertex id in the component (only vertices that
+    * appear in an edge are returned).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // symmetrize once; cache — reused every iteration
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().cache()
+
+    var labels = sym.select($"src".as("id")).distinct()
+      .withColumn("component", $"id")
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbour-min: for every vertex, the min label among its neighbours
+      val neighbourMin = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy($"dst".as("id"))
+        .agg(min($"component").as("n_component"))
+
+      val updated = labels.join(neighbourMin, Seq("id"), "left")
+        .select($"id",
+          least($"component", coalesce($"n_component", $"component")).as("component"),
+          ($"n_component".isNotNull && $"n_component" < $"component").as("changed"))
+
+      val next = updated.select($"id", $"component").localCheckpoint()
+      val changed = updated.filter($"changed").limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** entity_iri → canonical_iri mapping (identity for singleton entities is
+    * implicit; join with a left outer + coalesce at the use site).
+    */
+  def canonicalMapping(dict: DataFrame): DataFrame =
+    connectedComponents(aliasEdges(dict))
+      .withColumnRenamed("id", "entity_iri")
+      .withColumnRenamed("component", "canonical_iri")
+}

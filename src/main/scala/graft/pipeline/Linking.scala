@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Candidate entity linking:
+  *   1. BLOCKING — MinHash-LSH over character 3-gram shingles of surface
+  *      forms vs dictionary aliases, expressed as a band-key equi-join
+  *      (dictionary side broadcast when small). Identical strings share all
+  *      bands, so exact matches have recall 1; near-duplicate surfaces
+  *      (case/spacing variants) collide in ≥1 band with high probability.
+  *   2. SCORING — TF-IDF cosine between the mention's paragraph tokens and
+  *      the entity profile (name + topic tokens), expressed entirely as
+  *      DataFrame joins/aggregations (Catalyst-optimizable, no UDF in the
+  *      shuffle path).
+  *   3. TOP-1 — ranking window per mention (score desc, entity asc
+  *      tie-break).
+  */
+object Linking {
+
+  val NumHashes = 16
+  val Bands = 4 // 4 bands × 4 rows
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Seeded 64-bit hash for minhashing (seed-mixed FNV). */
+  def seededHash(s: String, seed: Int): Long = {
+    var h = 0xcbf29ce484222325L ^ (seed.toLong * 0x9E3779B97F4A7C15L)
+    var k = 0
+    while (k < s.length) {
+      h ^= s.charAt(k).toLong
+      h *= 0x100000001b3L
+      k += 1
+    }
+    // final avalanche (splitmix64 tail)
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Character 3-gram shingles of the case/space-normalized string. */
+  def shingles(s: String): Seq[String] = {
+    val n = ("^^" + s.toLowerCase(java.util.Locale.ROOT).replace(" ", "") + "$$")
+    (0 to n.length - 3).map(i => n.substring(i, i + 3)).distinct
+  }
+
+  /** MinHash signature → per-band keys `(bandId, bandHash)`. */
+  def bandKeys(s: String): Seq[(Int, Long)] = {
+    val sh = shingles(s)
+    val sig = Array.tabulate(NumHashes) { i =>
+      var min = Long.MaxValue
+      sh.foreach { g => val h = seededHash(g, i); if (h < min) min = h }
+      min
+    }
+    (0 until Bands).map { b =>
+      var h = 0xcbf29ce484222325L
+      var r = 0
+      while (r < RowsPerBand) {
+        h ^= sig(b * RowsPerBand + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      (b, h)
+    }
+  }
+
+  def tokenize(s: String): Seq[String] =
+    s.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}&]+").toSeq.filter(_.nonEmpty)
+
+  /** Entity profile tokens: name words + planted topic tokens. */
+  def entityProfile(entityIri: String, name: String, topics: Seq[String]): Seq[String] =
+    (tokenize(name) ++ topics.map(_.toLowerCase(java.util.Locale.ROOT))).distinct
+
+  /** Stage 1: blocking. Output: (mention_id, entity_iri) candidate pairs. */
+  def block(mentions: Dataset[Mention], dict: Dataset[EntityAlias]): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+
+    // distinct surfaces only — the band fan-out runs once per unique string,
+    // not once per occurrence (mentions of hot entities are heavily skewed)
+    val surfaceBands = mentions.select($"surface").distinct()
+      .flatMap { r =>
+        val s = r.getString(0)
+        bandKeys(s).map { case (b, h) => (s, b, h) }
+      }.toDF("surface", "band_id", "band_hash")
+
+    val aliasBands = dict
+      .flatMap { ea => bandKeys(ea.alias).map { case (b, h) => (ea.alias, ea.entity_iri, b, h) } }
+      .toDF("alias", "entity_iri", "band_id", "band_hash")
+
+    // dictionary side is the small side → broadcast hash join, no shuffle
+    // of the (large) mention-surface table beyond its own distinct
+    val pairs = surfaceBands
+      .join(broadcast(aliasBands), Seq("band_id", "band_hash"))
+      .select($"surface", $"entity_iri").distinct()
+
+    mentions.select($"mention_id", $"surface")
+      .join(pairs, "surface")
+      .select($"mention_id", $"entity_iri")
+  }
+
+  /** Stage 2+3: TF-IDF cosine scoring + top-1 ranking window.
+    * `profiles`: (entity_iri, token) exploded entity profiles.
+    */
+  def scoreAndRank(
+      mentions: Dataset[Mention],
+      candidates: DataFrame,
+      profiles: DataFrame): Dataset[Candidate] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+
+    val mentionTokens = mentions
+      .select($"mention_id", explode(split(lower($"context"), "[^\\p{L}\\p{N}&]+")).as("token"))
+      .filter(length($"token") > 0)
+
+    val nMentions = mentions.select($"mention_id").distinct().count().toDouble
+
+    // document frequency over mention contexts → IDF
+    val idf = mentionTokens.distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(1.0) + lit(nMentions) / $"df"))
+
+    val mentionVec = mentionTokens
+      .groupBy($"mention_id", $"token").agg(count(lit(1)).as("tf"))
+      .join(idf, "token")
+      .select($"mention_id", $"token", ($"tf" * $"idf").as("w"))
+
+    val mentionNorm = mentionVec.groupBy($"mention_id")
+      .agg(sqrt(sum($"w" * $"w")).as("m_norm"))
+
+    val entityVec = profiles
+      .join(idf, "token") // tokens absent from the corpus can't contribute
+      .select($"entity_iri", $"token", $"idf".as("w"))
+
+    val entityNorm = entityVec.groupBy($"entity_iri")
+      .agg(sqrt(sum($"w" * $"w")).as("e_norm"))
+
+    val dots = candidates
+      .join(mentionVec, "mention_id")
+      .join(entityVec.withColumnRenamed("w", "ew"), Seq("entity_iri", "token"))
+      .groupBy($"mention_id", $"entity_iri")
+      .agg(sum($"w" * $"ew").as("dot"))
+
+    val scored = dots
+      .join(mentionNorm, "mention_id")
+      .join(entityNorm, "entity_iri")
+      .select($"mention_id", $"entity_iri",
+        ($"dot" / ($"m_norm" * $"e_norm")).as("score"))
+
+    val w = Window.partitionBy($"mention_id").orderBy($"score".desc, $"entity_iri".asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"mention_id", $"entity_iri", $"score")
+      .as[Candidate]
+  }
+
+  /** Full linking stage. */
+  def link(
+      mentions: Dataset[Mention],
+      dict: Dataset[EntityAlias],
+      profiles: DataFrame): Dataset[Candidate] =
+    scoreAndRank(mentions, block(mentions, dict), profiles)
+}

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stage-granular resumable snapshots.
+  *
+  * Emulates table-format snapshot semantics on plain Parquet (no Iceberg
+  * jars ship in /opt/spark/jars — SURVEY.md §7.0): a stage is COMMITTED iff
+  * its directory holds both the writer's `_SUCCESS` marker and our
+  * `_manifest.json` (written strictly after the data). A killed job
+  * restarts, finds the committed stages, and recomputes only the rest —
+  * final output byte-identical because every stage is a deterministic
+  * function of committed inputs.
+  *
+  * Isolated behind this one class so a real catalog/table-format backend
+  * can replace it without touching the stages.
+  */
+final class SnapshotStore(root: String, spark: SparkSession) {
+
+  private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dir(stage: String) = new Path(root, stage)
+  private def manifest(stage: String) = new Path(dir(stage), "_manifest.json")
+
+  def committed(stage: String): Boolean =
+    fs.exists(new Path(dir(stage), "_SUCCESS")) && fs.exists(manifest(stage))
+
+  def load(stage: String): DataFrame = spark.read.parquet(dir(stage).toString)
+
+  private def writeManifest(stage: String, rows: Long, wallMs: Long): Unit = {
+    val json =
+      s"""{"stage":"$stage","rows":$rows,"wall_ms":$wallMs,"committed_at_ms":${System.currentTimeMillis()}}"""
+    val out = fs.create(manifest(stage), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Run a stage through the snapshot gate: skip when committed, else
+    * compute → write → manifest → read back (downstream reads the
+    * committed bytes, never the in-flight plan).
+    */
+  def run(stage: String)(compute: => DataFrame): DataFrame = {
+    if (committed(stage)) load(stage)
+    else {
+      val t0 = System.currentTimeMillis()
+      compute.write.mode("overwrite").parquet(dir(stage).toString)
+      val back = load(stage)
+      writeManifest(stage, back.count(), System.currentTimeMillis() - t0)
+      back
+    }
+  }
+
+  /** Drop a stage's snapshot (test helper for kill/resume scenarios). */
+  def invalidate(stage: String): Unit = {
+    if (fs.exists(dir(stage))) { fs.delete(dir(stage), true); () }
+  }
+
+  def stages(): Seq[String] =
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root)).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+}

@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+/** End-to-end pipeline tests on a deterministic synthetic corpus:
+  * extraction byte-identity, mention P/R vs a single-threaded oracle run of
+  * the same functions, canonicalization ground truth, triple emission
+  * through the embedded Turtle round-trip, determinism, and kill/resume.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Pipeline.sparkSession("local[4]", 8, "graft-test")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val NPages = 200L
+  private val NEntities = 120
+
+  test("extraction reproduces the oracle text byte-identically for every url") {
+    import spark.implicits._
+    val pages = PageGen.pages(spark, NPages, NEntities)
+    val violations = Extract.verifyAgainstOracle(
+      pages.map(p => p.copy(text = "IGNORED")).map(p => p.copy(text = Extract.extractText(p.html)))
+        .map(identity))
+    assert(violations == 0)
+    // direct check too: extract(html) == oracle text column
+    val bad = pages.filter(p => Extract.extractText(p.html) != p.text).count()
+    assert(bad == 0)
+  }
+
+  test("mention detection matches the single-threaded oracle exactly (P/R = 1.0)") {
+    import spark.implicits._
+    val pages = PageGen.pages(spark, NPages, NEntities)
+    val aliasSurfaces = PageGen.entityDictionary(NEntities).map(_.alias)
+    val got = Mentions.detect(pages, aliasSurfaces).collect().toSet
+
+    // oracle: same pure functions, sequential on the driver
+    val ac = AhoCorasick.build(aliasSurfaces.distinct.sorted)
+    val expected = (0L until NPages).flatMap { n =>
+      Mentions.scanPage(ac, PageGen.pageUrl(n), PageGen.pageText(n, NEntities))
+    }.toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+    // every page plants ≥1 mention — recall sanity
+    assert(expected.map(_.url).size == NPages)
+  }
+
+  test("LSH blocking recalls every exact alias match") {
+    import spark.implicits._
+    val pages = PageGen.pages(spark, NPages, NEntities)
+    val dict = PageGen.dictionary(spark, NEntities)
+    val mentions = Mentions.detect(pages, PageGen.entityDictionary(NEntities).map(_.alias))
+    val cands = Linking.block(mentions, dict).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // expected: for each mention whose surface is exactly an alias of k,
+    // candidate (mention, entity k) must be present
+    val aliasToEntities = PageGen.entityDictionary(NEntities)
+      .groupBy(_.alias).view.mapValues(_.map(_.entity_iri).toSet).toMap
+    val ms = mentions.collect()
+    ms.foreach { m =>
+      aliasToEntities.get(m.surface).foreach { ents =>
+        ents.foreach(e => assert(cands.contains((m.mention_id, e)),
+          s"missing candidate ($m, $e)"))
+      }
+    }
+  }
+
+  test("linking resolves shared-alias mentions to the context-matching entity") {
+    import spark.implicits._
+    val pages = PageGen.pages(spark, NPages, NEntities)
+    val dict = PageGen.dictionary(spark, NEntities)
+    val mentions = Mentions.detect(pages, PageGen.entityDictionary(NEntities).map(_.alias))
+    val linked = Linking.link(mentions, dict, Pipeline.profiles(spark, NEntities)).collect()
+
+    // Every unambiguous full-name mention must link to its own entity.
+    val nameToEntity = (0 until NEntities).map(k => PageGen.entityName(k) -> PageGen.entityIri(k)).toMap
+    val byId = mentions.collect().map(m => m.mention_id -> m).toMap
+    var checked = 0
+    linked.foreach { c =>
+      val m = byId(c.mention_id)
+      nameToEntity.get(m.surface).foreach { expect =>
+        assert(c.entity_iri == expect, s"mention ${m.surface} linked to ${c.entity_iri}")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("canonicalization: shared-alias clusters collapse to the min entity IRI") {
+    val dict = PageGen.dictionary(spark, NEntities).toDF()
+    val mapping = Canonical.canonicalMapping(dict).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // ground truth: entities k%10==0 sharing "Shared Alias g" form clusters
+    val clusters = (0 until NEntities).filter(_ % 10 == 0)
+      .groupBy(k => PageGen.sharedAlias(k).get)
+    val multi = clusters.filter(_._2.size > 1)
+    assert(multi.nonEmpty, "generator produced no multi-member clusters — test vacuous")
+    multi.foreach { case (_, ks) =>
+      val iris = ks.map(PageGen.entityIri)
+      val expected = iris.min
+      iris.foreach { iri => assert(mapping(iri) == expected, s"$iri → ${mapping.get(iri)}") }
+    }
+  }
+
+  test("full pipeline: graph written, resumable, deterministic") {
+    val out1 = Files.createTempDirectory("graft-kg1").toString
+    val s1 = Pipeline.run(spark, NPages, NEntities, out1)
+    assert(s1.graphRows > 0)
+
+    // kill after 'links', then resume: identical final graph
+    val out2 = Files.createTempDirectory("graft-kg2").toString
+    try Pipeline.run(spark, NPages, NEntities, out2, stopAfter = Some("links"))
+    catch { case _: Pipeline.PipelineStopped => () }
+    val s2 = Pipeline.run(spark, NPages, NEntities, out2) // resume
+    assert(s2.graphRows == s1.graphRows)
+
+    val g1 = Materialize.read(spark, s"$out1/graph").select("subj", "pred", "obj")
+      .collect().map(_.toString).sorted
+    val g2 = Materialize.read(spark, s"$out2/graph").select("subj", "pred", "obj")
+      .collect().map(_.toString).sorted
+    assert(g1.sameElements(g2), "resumed run differs from uninterrupted run")
+
+    // triples round-tripped through the Turtle parser: spot-check shape
+    assert(g1.exists(_.contains("kg.example/ontology#mentions")))
+    assert(g1.exists(_.contains("22-rdf-syntax-ns#type")))
+
+    // lineage table exists with per-partition rows
+    val lineage = spark.read.parquet(s"$out1/lineage")
+    assert(lineage.count() > 0)
+    assert(lineage.columns.toSet ==
+      Set("stage", "partition_id", "rows_in", "rows_out", "wall_ms"))
+  }
+
+  test("triple P/R vs single-threaded oracle ≥ 0.95 (exactly 1.0 by construction)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-kg3").toString
+    Pipeline.run(spark, 100L, NEntities, out)
+    val got = Materialize.read(spark, s"$out/graph")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+    // oracle: sequential driver-side run of the same stage functions
+    val aliasSurfaces = PageGen.entityDictionary(NEntities).map(_.alias)
+    val ac = AhoCorasick.build(aliasSurfaces.distinct.sorted)
+    val dict = PageGen.entityDictionary(NEntities)
+    val aliasToEntities = dict.groupBy(_.alias).view.mapValues(_.map(_.entity_iri).sorted).toMap
+    // canonical mapping oracle (shared-alias clusters)
+    val canon: Map[String, String] = (0 until NEntities).filter(_ % 10 == 0)
+      .groupBy(k => PageGen.sharedAlias(k).get).values
+      .flatMap { ks => val iris = ks.map(PageGen.entityIri); iris.map(_ -> iris.min) }
+      .toMap
+    // NB the oracle replicates linking only for UNAMBIGUOUS surfaces; for
+    // shared aliases it accepts the canonical cluster representative, which
+    // is what the pipeline emits post-canonicalization either way.
+    val nameToEntity = (0 until NEntities).map(k => PageGen.entityName(k) -> PageGen.entityIri(k)).toMap
+    val nospaceToEntity = (0 until NEntities)
+      .map(k => PageGen.entityName(k).replace(" ", "") -> PageGen.entityIri(k)).toMap
+
+    val oracle = (0L until 100L).flatMap { n =>
+      val url = PageGen.pageUrl(n)
+      val text = PageGen.pageText(n, NEntities)
+      val ments = Mentions.scanPage(ac, url, text).toSeq
+      val ents = ments.flatMap { m =>
+        val e = nameToEntity.get(m.surface).orElse(nospaceToEntity.get(m.surface))
+          .orElse(aliasToEntities.get(m.surface).map(_.min)) // ambiguous → scored; cluster rep below
+        e.map(iri => canon.getOrElse(iri, iri))
+      }.distinct
+      val labelOf = (iri: String) => {
+        val k = iri.substring(iri.lastIndexOf('/') + 1).toInt
+        PageGen.entityName(k)
+      }
+      val ttl = TripleEmit.turtleForPage(url, PageGen.pageTs(n).getTime, PageGen.pageLang(n),
+        ents.map(e => (e, labelOf(e))))
+      graft.turtle.Turtle.parseToTriples(ttl).toOption.get
+        .map(t => (t.subj.render, t.pred, t.obj.render))
+    }.toSet
+
+    val tp = (got intersect oracle).size.toDouble
+    val precision = tp / got.size
+    val recall = tp / oracle.size
+    assert(precision >= 0.95, s"precision $precision")
+    assert(recall >= 0.95, s"recall $recall")
+  }
+}
