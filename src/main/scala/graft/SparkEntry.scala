@@ -1,13 +1,523 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{EmbeddingOps, GraphOps, MultimodalOps, TextOps}
+import graft.streaming.StreamingOps
+
+/** Driver contract: one entry per implemented operator, each paired (where
+  * ANSI-SQL-expressible) with a DuckDB oracle over the same parquet tables.
+  *
+  * Determinism conventions shared by every query/oracle pair:
+  *   - money/qty sums go through DECIMAL(18,2) (exact, associative) and are
+  *     cast to DOUBLE only at the end;
+  *   - float embeddings are snapped to an integer grid before arithmetic;
+  *   - cross-engine hashing uses md5-hex prefixes (`conv` / `::BIGINT`);
+  *   - every integer output is BIGINT on both sides;
+  *   - ratios are `round(x, 4)`, cosines `round(x, 6)`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** DECIMAL(18,2)-exact sum, surfaced as DOUBLE. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: Turtle parsing
+    * at scale through the embedded conformance-tested parser.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    GraphOps.parseTurtle(t(spark, "/root/testdata/sf0.001", "documents"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------- relational core
+    "q01_agg_lineitem" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q02_join_revenue" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val nation = t(s, d, "nation")
+      val region = t(s, d, "region")
+      orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    "q03_topk_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q04_first_order" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+          col("o_orderdate").as("first_orderdate"))
+    }),
+
+    "q05_filter_pushdown" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1994-04-01").cast("timestamp") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+    }),
+
+    "q06_semijoin" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    "q07_antijoin" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    "q08_distinct_parts" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+    }),
+
+    "q09_rollup" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
+    "q10_events_hourly" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    "q11_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          (col("prev").isNull ||
+            (unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev").cast("timestamp"))) > 1800000000L).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    "q12_stream_window" -> ((s, d) => StreamingOps.eventsWindowed(s, d)),
+
+    "q13_stream_sessionize" -> ((s, d) => StreamingOps.sessionize(s, d)),
+
+    // ------------------------------------------------- text-analysis ops
+    "td01_tokens" -> ((s, d) =>
+      TextOps.tokenCounts(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))),
+
+    "td02_quality" -> ((s, d) =>
+      TextOps.qualityScores(t(s, d, "documents"))
+        .select(col("doc_id"),
+          col("n_chars_actual").cast("long").as("n_chars_actual"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("avg_token_len"), col("stopword_ratio"),
+          col("n_punct").cast("long").as("n_punct"))),
+
+    "td03_langid" -> ((s, d) =>
+      TextOps.langId(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang_pred"), col("top_score").cast("long").as("top_score"))),
+
+    "td04_fingerprint" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
+
+    "td05_dedup_exact" -> ((s, d) => TextOps.exactDedup(t(s, d, "documents"))),
+
+    "td06_minhash" -> ((s, d) => TextOps.minHashes(t(s, d, "documents"))),
+
+    "td07_simhash" -> ((s, d) => TextOps.simHashes(t(s, d, "documents"))),
+
+    "td08_ngram_jaccard" -> ((s, d) =>
+      TextOps.ngramJaccardPairs(t(s, d, "documents"), prefixLen = 120, minJaccard = 0.10)),
+
+    // --------------------------------------------------- similarity search
+    "emb01_ann_topk" -> ((s, d) =>
+      EmbeddingOps.annBruteForce(t(s, d, "embeddings"), nQueries = 10, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))),
+
+    "emb02_neardup" -> ((s, d) =>
+      EmbeddingOps.nearDupPairs(t(s, d, "embeddings"), threshold = 0.30)),
+
+    "emb03_srp_buckets" -> ((s, d) =>
+      EmbeddingOps.srpBuckets(t(s, d, "embeddings"), nPlanes = 4)),
+
+    "emb04_ann_bucketed" -> ((s, d) =>
+      EmbeddingOps.annBucketed(t(s, d, "embeddings"), nPlanes = 4, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))),
+
+    // -------------------------------------------------- multimodal stubs
+    "mm01_image_meta" -> ((s, d) =>
+      MultimodalOps.imageMetadata(t(s, d, "documents"))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("payload_md5"))),
+
+    "mm02_audio_energy" -> ((s, d) => MultimodalOps.audioFeatures(t(s, d, "documents"))),
+
+    "mm03_frame_sample" -> ((s, d) =>
+      MultimodalOps.frameSample(t(s, d, "documents"))
+        .select(col("doc_id"), col("sample_no").cast("long").as("sample_no"),
+          col("frame_no").cast("long").as("frame_no"), col("frame_ts_ms"))),
+
+    // ------------------------------------------------------------ KG ops
+    "kg01_parse_turtle" -> ((s, d) => GraphOps.parseTurtle(t(s, d, "documents"))),
+
+    "kg02_extract" -> ((s, d) => GraphOps.extractFromHtml(t(s, d, "documents"))),
+
+    "kg03_mentions" -> ((s, d) => GraphOps.mentionCounts(t(s, d, "documents"))),
+
+    "kg04_cc" -> ((s, d) => GraphOps.docComponents(t(s, d, "documents"))),
+
+    // pure-SQL surface: Turtle text assembled by SQL concat, parsed by the
+    // native Catalyst Generator expression `parse_turtle` (graft.expr)
+    "kg05_parse_turtle_sql" -> ((s, d) => {
+      graft.expr.TurtleFunctions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_docs")
+      s.sql(
+        s"""SELECT doc_id, t.subj, t.pred, t.obj
+           |FROM (
+           |  SELECT doc_id, concat(
+           |    '@prefix d: <${GraphOps.DocPrefix}> .\n',
+           |    '@prefix p: <${GraphOps.PropPrefix}> .\n',
+           |    'd:', doc_id, ' p:lang "', lang, '" ;\n',
+           |    '  p:label "doc ', doc_id, '"@', lang, ' ;\n',
+           |    '  p:source "', source, '" ;\n',
+           |    '  p:nchars ', n_chars, ' .\n') AS ttl
+           |  FROM graft_docs) x
+           |LATERAL VIEW parse_turtle(ttl) t AS subj, pred, obj""".stripMargin)
+    })
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private val langidOracle: String = {
+    val unions = TextOps.LangProfiles.map { case (l, markers) =>
+      val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"SELECT doc_id, '$l' AS lang, len(list_filter(tk, x -> list_contains($list, x))) AS score FROM toks"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}]+') AS tk FROM documents
+       |), scores AS (
+       |$unions
+       |)
+       |SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS top_score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) rn
+       |      FROM scores)
+       |WHERE rn = 1""".stripMargin
+  }
+
+  private val stopwordList: String = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val mentionTermValues: String =
+    GraphOps.MentionDict.map(w => s"('$w')").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q03_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q04_first_order" ->
+      """SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate ASC, o_orderkey ASC) rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "q05_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1994-04-01'
+        |  AND l_discount > 0.05 AND l_quantity < 10""".stripMargin,
+
+    "q06_semijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q07_antijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q08_distinct_parts" ->
+      "SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1",
+
+    "q09_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q10_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q11_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "q12_stream_window" ->
+      """SELECT date_trunc('hour', ts) + to_minutes((minute(ts) // 5) * 5) AS w,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "td01_tokens" ->
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents",
+
+    "td02_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(text) AS BIGINT) AS n_chars_actual,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         |  round(CAST(len(text) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')), 4) AS avg_token_len,
+         |  round(CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+         |      x -> list_contains($stopwordList, x))) AS DOUBLE)
+         |    / len(regexp_extract_all(text, '\\S+')), 4) AS stopword_ratio,
+         |  CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+         |FROM documents""".stripMargin,
+
+    "td03_langid" -> langidOracle,
+
+    "td04_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents",
+
+    "td05_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "td06_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 4, 1)),
+        |    i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(MIN(('0x' || substr(md5('0:' || g), 1, 15))::BIGINT) AS BIGINT) AS mh0,
+        |    CAST(MIN(('0x' || substr(md5('1:' || g), 1, 15))::BIGINT) AS BIGINT) AS mh1,
+        |    CAST(MIN(('0x' || substr(md5('2:' || g), 1, 15))::BIGINT) AS BIGINT) AS mh2,
+        |    CAST(MIN(('0x' || substr(md5('3:' || g), 1, 15))::BIGINT) AS BIGINT) AS mh3
+        |  FROM sh GROUP BY 1)
+        |SELECT doc_id, mh0, mh1, mh2, mh3,
+        |  md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket
+        |FROM sig""".stripMargin,
+
+    "td07_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |    SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1""".stripMargin,
+
+    "td08_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(generate_series(1, greatest(len(substr(text, 1, 120)) - 4, 1)),
+        |      i -> substr(substr(text, 1, 120), CAST(i AS INTEGER), 5))) AS shingle
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        |), shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+        |  FROM sh x JOIN sh y ON x.source = y.source AND x.shingle = y.shingle
+        |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, shared,
+        |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.10""".stripMargin,
+
+    "emb01_ann_topk" ->
+      """WITH g AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, g, CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS nn FROM g
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(CAST(list_sum(list_transform(list_zip(q.g, c.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(q.nn * c.nn AS DOUBLE)) AS cos
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id ASC) rn FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+
+    "emb02_neardup" ->
+      """WITH g AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, g, CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS nn FROM g
+        |)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(CAST(CAST(list_sum(list_transform(list_zip(a.g, b.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+        |    / sqrt(CAST(a.nn * b.nn AS DOUBLE)), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE CAST(CAST(list_sum(list_transform(list_zip(a.g, b.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+        |    / sqrt(CAST(a.nn * b.nn AS DOUBLE)) >= 0.30""".stripMargin,
+
+    "emb03_srp_buckets" -> {
+      def planeSum(p: Int): String =
+        s"""list_sum(list_transform(generate_series(1, len(g)),
+           |  i -> CASE WHEN ('0x' || substr(md5('$p:' || (i - 1)), 1, 15))::BIGINT % 2 = 1
+           |       THEN g[CAST(i AS INTEGER)] ELSE -g[CAST(i AS INTEGER)] END))""".stripMargin
+      s"""WITH g AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+         |  FROM embeddings
+         |)
+         |SELECT vec_id,
+         |  (CASE WHEN ${planeSum(0)} > 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN ${planeSum(1)} > 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN ${planeSum(2)} > 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN ${planeSum(3)} > 0 THEN '1' ELSE '0' END) AS bucket
+         |FROM g""".stripMargin
+    },
+
+    "mm01_image_meta" ->
+      """SELECT doc_id,
+        |  CAST(64 + (doc_id % 512) AS BIGINT) AS width,
+        |  CAST(64 + ((doc_id * 7) % 512) AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  md5(CAST(doc_id AS VARCHAR)) AS payload_md5
+        |FROM documents""".stripMargin,
+
+    "mm02_audio_energy" ->
+      """SELECT doc_id,
+        |  (SELECT CAST(SUM(s * s) AS BIGINT) FROM (
+        |     SELECT ((doc_id * 31 + i.i * 17) % 65536) - 32768 AS s
+        |     FROM generate_series(0, 255) i(i)) q) AS energy_sq
+        |FROM documents""".stripMargin,
+
+    "mm03_frame_sample" ->
+      """SELECT doc_id, CAST(s.s AS BIGINT) AS sample_no,
+        |  CAST((s.s * (16 + doc_id % 16)) // 4 AS BIGINT) AS frame_no,
+        |  CAST(((s.s * (16 + doc_id % 16)) // 4) * 40 AS BIGINT) AS frame_ts_ms
+        |FROM documents, generate_series(0, 3) s(s)""".stripMargin,
+
+    "kg01_parse_turtle" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+         |  '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj FROM documents)
+         |SELECT doc_id, subj, '${GraphOps.PropPrefix}lang' AS pred,
+         |  '"' || lang || '"' AS obj FROM d
+         |UNION ALL
+         |SELECT doc_id, subj, '${GraphOps.PropPrefix}label' AS pred,
+         |  '"doc ' || doc_id || '"@' || lang AS obj FROM d
+         |UNION ALL
+         |SELECT doc_id, subj, '${GraphOps.PropPrefix}source' AS pred,
+         |  '"' || source || '"' AS obj FROM d
+         |UNION ALL
+         |SELECT doc_id, subj, '${GraphOps.PropPrefix}nchars' AS pred,
+         |  '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj FROM d""".stripMargin,
+
+    "kg02_extract" ->
+      "SELECT doc_id, md5(text) AS extracted_md5 FROM documents",
+
+    "kg03_mentions" ->
+      s"""SELECT doc_id, term,
+         |  CAST((len(text) - len(replace(text, term, ''))) // len(term) AS BIGINT) AS n
+         |FROM documents, (VALUES $mentionTermValues) terms(term)
+         |WHERE len(text) - len(replace(text, term, '')) > 0""".stripMargin,
+
+    "kg04_cc" ->
+      """WITH RECURSIVE walk(id, cur) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION ALL
+        |  SELECT id, cur // 2 FROM walk WHERE cur > 0 AND cur % 3 <> 0
+        |)
+        |SELECT id AS doc_id, CAST(MIN(cur) AS BIGINT) AS component FROM walk GROUP BY 1""".stripMargin,
+
+    "q13_stream_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "kg05_parse_turtle_sql" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+         |  '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj FROM documents)
+         |SELECT doc_id, subj, '${GraphOps.PropPrefix}lang' AS pred,
+         |  '"' || lang || '"' AS obj FROM d
+         |UNION ALL
+         |SELECT doc_id, subj, '${GraphOps.PropPrefix}label' AS pred,
+         |  '"doc ' || doc_id || '"@' || lang AS obj FROM d
+         |UNION ALL
+         |SELECT doc_id, subj, '${GraphOps.PropPrefix}source' AS pred,
+         |  '"' || source || '"' AS obj FROM d
+         |UNION ALL
+         |SELECT doc_id, subj, '${GraphOps.PropPrefix}nchars' AS pred,
+         |  '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj FROM d""".stripMargin
+  )
 }

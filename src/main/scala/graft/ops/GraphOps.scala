@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Canonical, Extract}
+import graft.turtle.Turtle
+
+/** KG operators exposed over the shared test tables: Turtle parsing at
+  * scale, boilerplate extraction, dictionary mentions, and distributed
+  * connected components — each with a computable oracle.
+  */
+object GraphOps {
+
+  val DocPrefix = "http://graft.example/doc/"
+  val PropPrefix = "http://graft.example/prop/"
+
+  /** Deterministic Turtle document for one `documents` row — exercises
+    * directives, `;`-groups, plain/lang-tagged/typed literals.
+    */
+  def turtleForDoc(docId: Long, lang: String, source: String, nChars: Long): String =
+    s"""@prefix d: <$DocPrefix> .
+       |@prefix p: <$PropPrefix> .
+       |d:$docId p:lang "$lang" ;
+       |  p:label "doc $docId"@$lang ;
+       |  p:source "$source" ;
+       |  p:nchars $nChars .
+       |""".stripMargin
+
+  /** Parse per-row Turtle into (doc_id, subj, pred, obj) triples with the
+    * embedded conformance-tested parser — the scaled-up version of the
+    * reference's `Document::parse_str` + `build_triples` lifecycle.
+    */
+  def parseTurtle(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, lang, source, nChars) =>
+          val ttl = turtleForDoc(id, lang, source, nChars)
+          Turtle.parseToTriples(ttl) match {
+            case Right(ts) => ts.iterator.map(t => (id, t.subj.render, t.pred, t.obj.render))
+            case Left(e)   => throw new IllegalStateException(s"doc $id: $e")
+          }
+        }
+      }.toDF("doc_id", "subj", "pred", "obj")
+  }
+
+  /** Wrap each document in the synthetic page HTML and re-extract —
+    * verifiable because extraction must be the identity on the original
+    * text (md5(extracted) == md5(text)).
+    */
+  def extractFromHtml(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val enc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+          val html =
+            s"""<html><head><title>doc $id</title><script>var x=1;</script></head><body>""" +
+              s"""<nav><a href="/">home</a></nav><article><p>$enc</p></article>""" +
+              s"""<footer>footer</footer></body></html>"""
+          (id, Extract.extractText(html))
+        }
+      }.toDF("doc_id", "extracted")
+      .select(col("doc_id"), md5(col("extracted")).as("extracted_md5"))
+  }
+
+  /** Fixed mention dictionary over the shared corpus vocabulary. */
+  val MentionDict: Seq[String] =
+    Seq("join", "hash", "window", "filter", "scan", "sort", "merge", "stream")
+
+  /** Word-bounded dictionary mention counts per (doc, term) via the
+    * broadcast Aho-Corasick automaton (n > 0 rows only).
+    */
+  def mentionCounts(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val acBc = spark.sparkContext.broadcast(
+      graft.pipeline.AhoCorasick.build(MentionDict.sorted))
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = acBc.value
+        it.flatMap { case (id, text) =>
+          val counts = new scala.collection.mutable.HashMap[String, Long]()
+          ac.findWordBounded(text).foreach { case (p, _, _) =>
+            val t = ac.patterns(p)
+            counts.update(t, counts.getOrElse(t, 0L) + 1L)
+          }
+          counts.iterator.map { case (t, n) => (id, t, n) }
+        }
+      }.toDF("doc_id", "term", "n")
+  }
+
+  /** Synthetic forest over doc ids: d (> 0, d % 3 ≠ 0) — edge to d / 2.
+    * Distributed CC (hash-to-min self-joins) labels every doc with the min
+    * id of its component; singletons keep their own id.
+    */
+  def docComponents(documents: DataFrame): DataFrame = {
+    val ids = documents.select(col("doc_id").as("id"))
+    val edges = ids.filter(col("id") > 0 && col("id") % 3 =!= 0)
+      .select(col("id").as("src"), (col("id") / 2).cast("long").as("dst"))
+    val cc = Canonical.connectedComponents(edges)
+    ids.join(cc, Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID, fingerprinting, SimHash,
+  * MinHash and n-gram Jaccard — all deterministic, all with exact DuckDB
+  * oracles (cross-engine-stable hashing via md5-hex prefixes; exact
+  * integer/decimal arithmetic in the aggregates).
+  *
+  * Hot paths stay in `org.apache.spark.sql.functions` (codegen'd) where the
+  * built-ins express the op; per-document single-pass Scala kernels
+  * (SimHash/MinHash) run inside `mapPartitions` only where a columnar
+  * formulation would blow up row counts (|doc| × 64 bit-positions).
+  */
+object TextOps {
+
+  /** First 15 hex chars of md5 → non-negative 60-bit Long.
+    * Cross-engine: DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    */
+  def md5Hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = first 7 bytes + high nibble of the 8th
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Column version, equal to [[md5Hash60]]: conv parses the hex prefix. */
+  def md5Hash60Col(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  val TokenPattern = "\\S+"
+
+  def tokensCol(text: Column): Column = regexp_extract_all(text, lit(TokenPattern), lit(0))
+
+  /** (doc_id, n_tokens) — whitespace token counting, pure built-ins. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), size(tokensCol(col("text"))).as("n_tokens"))
+
+  /** Per-document quality signals: length, tokens, mean token length,
+    * stopword ratio, punctuation count — ratios rounded to 4 decimals so
+    * double formatting is cross-engine-stable.
+    */
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      nTok.as("n_tokens"),
+      round((length(col("text")).cast("double") / nTok), 4).as("avg_token_len"),
+      round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).as("n_punct"))
+  }
+
+  /** Language-ID by stopword-profile hit counting (n-gram heuristic family).
+    * Profiles are the op's spec — the DuckDB oracle is GENERATED from the
+    * same map, so impl and oracle cannot drift.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "это", "как", "он"))
+
+  def langTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[\\p{L}]+"), lit(0))
+
+  /** (doc_id, lang_pred, top_score): argmax over profile hit counts,
+    * lexicographic tiebreak.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = langTokens(col("text"))
+    // argmax with lexicographic tiebreak: ascending sort on (-score, lang)
+    val scores = LangProfiles.map { case (l, markers) =>
+      val score = size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+      struct((score * -1).as("neg_score"), lit(l).as("lang"))
+    }
+    val best = sort_array(array(scores: _*), asc = true).getItem(0)
+    documents.select(
+      col("doc_id"),
+      best.getField("lang").as("lang_pred"),
+      (best.getField("neg_score") * -1).as("top_score"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the exact-dedup key robust to spacing/case drift.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+
+  /** Exact dedup groups: (text_hash, n_docs, min_doc_id). */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+
+  // ------------------------------------------------------------- SimHash
+
+  val SimHashBits = 60
+
+  /** 60-bit SimHash over whitespace tokens (tf-weighted): bit j of the
+    * fingerprint is set iff Σ_tokens (bit j of md5Hash60(token) ? +1 : -1)
+    * is > 0. Single pass per document; token hashes memoized per partition.
+    */
+  def simHash(text: String, memo: java.util.HashMap[String, java.lang.Long]): Long = {
+    val counts = new Array[Int](SimHashBits)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) {
+        val tok = text.substring(start, i)
+        val cached = memo.get(tok)
+        val h = if (cached == null) {
+          val v = md5Hash60(tok); memo.put(tok, v); v
+        } else cached.longValue()
+        var j = 0
+        while (j < SimHashBits) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < SimHashBits) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  /** (doc_id, simhash) for every document. */
+  def simHashes(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
+        it.map { case (id, text) => (id, simHash(text, memo)) }
+      }.toDF("doc_id", "simhash")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  val MinHashSeeds = 4
+  val ShingleLen = 5
+
+  /** Character shingles: substring(text, i, 5) for i in 1..max(len-4, 1)
+    * (1-indexed spec shared with the SQL oracle's generate_series).
+    */
+  def shingleAt(text: String, i1: Int): String =
+    text.substring(i1 - 1, math.min(i1 - 1 + ShingleLen, text.length))
+
+  def minHashSignature(text: String): Array[Long] = {
+    val sig = Array.fill(MinHashSeeds)(Long.MaxValue)
+    val n = math.max(text.length - (ShingleLen - 1), 1)
+    var i = 1
+    while (i <= n) {
+      val g = shingleAt(text, i)
+      var s = 0
+      while (s < MinHashSeeds) {
+        val h = md5Hash60(s.toString + ":" + g)
+        if (h < sig(s)) sig(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** (doc_id, mh0..mh3, bucket): LSH bucket = md5 of the joined signature —
+    * equal signatures ⇒ equal bucket; near-dup docs collide per band.
+    */
+  def minHashes(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val s = minHashSignature(text)
+        (id, s(0), s(1), s(2), s(3))
+      }).toDF("doc_id", "mh0", "mh1", "mh2", "mh3")
+      .withColumn("bucket", md5(concat_ws("_", col("mh0"), col("mh1"), col("mh2"), col("mh3"))))
+  }
+
+  /** Near-duplicate candidate pairs by n-gram Jaccard over the distinct
+    * 5-gram shingles of the first `prefixLen` chars, within the same
+    * `source` (blocking key bounds the self-join). Exact set arithmetic:
+    * |A∩B| via shingle join, |A|,|B| via per-doc counts.
+    */
+  def ngramJaccardPairs(documents: DataFrame, prefixLen: Int, minJaccard: Double): DataFrame = {
+    // substring with a non-literal position needs the SQL expression form
+    val sh = documents
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, greatest(length(substring(text, 1, $prefixLen)) - ${ShingleLen - 1}, 1)), " +
+            s"i -> substring(substring(text, 1, $prefixLen), i, $ShingleLen))"))).as("shingle"))
+
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+    val a = sh.withColumnRenamed("doc_id", "a")
+    val b = sh.withColumnRenamed("doc_id", "b")
+    val shared = a.join(b, Seq("source", "shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("shared"), col("jaccard"))
+  }
+}

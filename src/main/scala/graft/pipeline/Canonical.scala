@@ -58,7 +58,14 @@ object Canonical {
           least($"component", coalesce($"n_component", $"component")).as("component"),
           ($"n_component".isNotNull && $"n_component" < $"component").as("changed"))
 
-      val next = updated.select($"id", $"component").localCheckpoint()
+      // pointer jumping (shortcutting): adopt the label of your label —
+      // halves chain depth each round, O(log diameter) total rounds
+      val step = updated.select($"id", $"component")
+      val parents = step.select($"id".as("component"), $"component".as("jump"))
+      val jumped = step.join(parents, Seq("component"), "left")
+        .select($"id", least($"component", coalesce($"jump", $"component")).as("component"))
+
+      val next = jumped.localCheckpoint()
       val changed = updated.filter($"changed").limit(1).count()
       labels = next
       converged = changed == 0

@@ -19,8 +19,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Linking {
 
+  // 2 bands × 8 rows: P(candidate) = 1-(1-s^8)^2 — steep around s≈0.8.
+  // Identical strings still share every band (exact recall guaranteed);
+  // loose banding (4×4) floods the join with near-name collisions when the
+  // alias universe is self-similar, creating hot band-hash keys.
   val NumHashes = 16
-  val Bands = 4 // 4 bands × 4 rows
+  val Bands = 2
   val RowsPerBand: Int = NumHashes / Bands
 
   /** Seeded 64-bit hash for minhashing (seed-mixed FNV). */
@@ -71,8 +75,9 @@ object Linking {
   def entityProfile(entityIri: String, name: String, topics: Seq[String]): Seq[String] =
     (tokenize(name) ++ topics.map(_.toLowerCase(java.util.Locale.ROOT))).distinct
 
-  /** Stage 1: blocking. Output: (mention_id, entity_iri) candidate pairs. */
-  def block(mentions: Dataset[Mention], dict: Dataset[EntityAlias]): DataFrame = {
+  /** Stage 1: blocking. `mentions` needs (mention_id, surface) columns.
+    * Output: (mention_id, entity_iri) candidate pairs. */
+  def block(mentions: DataFrame, dict: Dataset[EntityAlias]): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
@@ -94,8 +99,10 @@ object Linking {
       .join(broadcast(aliasBands), Seq("band_id", "band_hash"))
       .select($"surface", $"entity_iri").distinct()
 
+    // pairs ≤ |surfaces| × few candidates — broadcast so the (big, skewed)
+    // mention table never shuffles on the hot surface strings
     mentions.select($"mention_id", $"surface")
-      .join(pairs, "surface")
+      .join(broadcast(pairs), "surface")
       .select($"mention_id", $"entity_iri")
   }
 
@@ -103,9 +110,10 @@ object Linking {
     * `profiles`: (entity_iri, token) exploded entity profiles.
     */
   def scoreAndRank(
-      mentions: Dataset[Mention],
+      mentions: DataFrame,
       candidates: DataFrame,
-      profiles: DataFrame): Dataset[Candidate] = {
+      profiles: DataFrame,
+      knownMentionCount: Option[Long] = None): Dataset[Candidate] = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
@@ -113,37 +121,50 @@ object Linking {
       .select($"mention_id", explode(split(lower($"context"), "[^\\p{L}\\p{N}&]+")).as("token"))
       .filter(length($"token") > 0)
 
-    val nMentions = mentions.select($"mention_id").distinct().count().toDouble
+    // the orchestrator already knows |mentions| from its stage manifest —
+    // don't pay another scan when provided
+    val nMentions = knownMentionCount
+      .getOrElse(mentions.select($"mention_id").distinct().count()).toDouble
 
-    // document frequency over mention contexts → IDF
+    // document frequency over mention contexts → IDF. Cached: it feeds two
+    // broadcasts (mention weights + entity weights) and is tiny, while its
+    // input subtree is a full token explode + distinct of the corpus.
+    // `tid` dictionary-encodes the token (vocabulary interning): the wide
+    // shuffles below carry an 8-byte key instead of the token string.
     val idf = mentionTokens.distinct()
       .groupBy($"token").agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(1.0) + lit(nMentions) / $"df"))
+      .withColumn("tid", xxhash64($"token"))
+      .cache()
 
+    // Cached: reused by both the norm aggregation and the dot-product join —
+    // without it the explode+groupBy subtree recomputes once per consumer
+    // (this dominated the links stage's CPU in profiling).
     val mentionVec = mentionTokens
       .groupBy($"mention_id", $"token").agg(count(lit(1)).as("tf"))
-      .join(idf, "token")
-      .select($"mention_id", $"token", ($"tf" * $"idf").as("w"))
+      .join(broadcast(idf), "token") // idf ≈ |vocabulary| rows — tiny
+      .select($"mention_id", $"tid", ($"tf" * $"idf").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val mentionNorm = mentionVec.groupBy($"mention_id")
       .agg(sqrt(sum($"w" * $"w")).as("m_norm"))
 
     val entityVec = profiles
-      .join(idf, "token") // tokens absent from the corpus can't contribute
-      .select($"entity_iri", $"token", $"idf".as("w"))
+      .join(broadcast(idf), "token") // tokens absent from the corpus can't contribute
+      .select($"entity_iri", $"tid", $"idf".as("w"))
 
     val entityNorm = entityVec.groupBy($"entity_iri")
       .agg(sqrt(sum($"w" * $"w")).as("e_norm"))
 
     val dots = candidates
       .join(mentionVec, "mention_id")
-      .join(entityVec.withColumnRenamed("w", "ew"), Seq("entity_iri", "token"))
+      .join(broadcast(entityVec.withColumnRenamed("w", "ew")), Seq("entity_iri", "tid"))
       .groupBy($"mention_id", $"entity_iri")
       .agg(sum($"w" * $"ew").as("dot"))
 
     val scored = dots
       .join(mentionNorm, "mention_id")
-      .join(entityNorm, "entity_iri")
+      .join(broadcast(entityNorm), "entity_iri")
       .select($"mention_id", $"entity_iri",
         ($"dot" / ($"m_norm" * $"e_norm")).as("score"))
 
@@ -156,8 +177,9 @@ object Linking {
 
   /** Full linking stage. */
   def link(
-      mentions: Dataset[Mention],
+      mentions: DataFrame,
       dict: Dataset[EntityAlias],
-      profiles: DataFrame): Dataset[Candidate] =
-    scoreAndRank(mentions, block(mentions, dict), profiles)
+      profiles: DataFrame,
+      knownMentionCount: Option[Long] = None): Dataset[Candidate] =
+    scoreAndRank(mentions, block(mentions, dict), profiles, knownMentionCount)
 }

@@ -11,17 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  final case class Summary(stageRows: Map[String, Long], graphRows: Long, rejects: Long)
+  final case class Summary(
+      stageRows: Map[String, Long],
+      graphRows: Long,
+      rejects: Long,
+      stageWallMs: Map[String, Long] = Map.empty)
 
-  def sparkSession(master: String, shufflePartitions: Int, app: String = "graft"): SparkSession =
-    SparkSession.builder()
+  def sparkSession(master: String, shufflePartitions: Int, app: String = "graft"): SparkSession = {
+    val b = SparkSession.builder()
       .master(master)
       .appName(app)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle/spill dir override (e.g. tmpfs when benchmarking — stands in
+    // for cluster-local NVMe; /tmp on this sandbox is a ~280MB/s virtual
+    // disk that serializes 32-way shuffle writes)
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d => b.config("spark.local.dir", d))
+    b.getOrCreate()
+  }
 
   /** Entity profile table (entity_iri, token) for the linker. */
   def profiles(spark: SparkSession, nEntities: Int): DataFrame = {
@@ -48,12 +57,15 @@ object Pipeline {
     val snaps = new SnapshotStore(s"$out/_stages", spark)
     val lineage = Lineage.collector(spark)
     var rows = Map.empty[String, Long]
+    var walls = Map.empty[String, Long]
 
     def stage(name: String)(compute: => DataFrame): DataFrame = {
+      val t0 = System.currentTimeMillis()
       val df = snaps.run(name)(compute)
       rows += name -> df.count()
+      walls += name -> (System.currentTimeMillis() - t0)
       if (stopAfter.contains(name))
-        throw new PipelineStopped(name, Summary(rows, -1, -1))
+        throw new PipelineStopped(name, Summary(rows, -1, -1, walls))
       df
     }
 
@@ -73,9 +85,15 @@ object Pipeline {
         Mentions.detect(extracted.as[WebPage], aliasSurfaces)).toDF()
     }
 
+    // the linker scans the mention table ~6 times (distinct surfaces, token
+    // explode, tf, norms, candidate join) — cache the slim columns once
+    // instead of re-reading the snapshot per scan
+    val mentionsSlim = mentions.select($"mention_id", $"surface", $"context").cache()
     val links = stage("links") {
-      Linking.link(mentions.as[Mention], dictDf.as[EntityAlias], profiles(spark, nEntities)).toDF()
+      Linking.link(mentionsSlim, dictDf.as[EntityAlias], profiles(spark, nEntities),
+        knownMentionCount = rows.get("mentions")).toDF()
     }
+    mentionsSlim.unpersist(blocking = false)
 
     val canonical = stage("canonical") {
       Canonical.canonicalMapping(dictDf)
@@ -90,14 +108,16 @@ object Pipeline {
         .select($"url", $"canonical_iri", $"label")
     }
 
+    val tEmit = System.currentTimeMillis()
     val triples = lineage.track("emit")(TripleEmit.emit(pages, linked))
     Materialize.write(triples, s"$out/graph")
     val graph = Materialize.read(spark, s"$out/graph")
     val graphRows = graph.count()
+    walls += "emit+materialize" -> (System.currentTimeMillis() - tEmit)
 
     lineage.write(spark, s"$out/lineage")
 
-    Summary(rows, graphRows, 0L)
+    Summary(rows, graphRows, 0L, walls)
   }
 
   final class PipelineStopped(val stage: String, val partial: Summary)

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface: the same events table consumed as a
+  * stream (file source) with tumbling-window aggregation into a memory
+  * sink. `processAllAvailable` drains the bounded input synchronously, so
+  * the result is a deterministic DataFrame a batch oracle can replicate
+  * (5-minute windows are epoch-aligned in both engines).
+  */
+object StreamingOps {
+
+  private val counter = new AtomicInteger(0)
+
+  /** Tumbling 5-minute window counts by event_type over a parquet STREAM. */
+  def eventsWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+
+    // the events table may be a single parquet FILE: stream the parent dir
+    // with a glob filter (the file source requires a directory basePath)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = stream
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    spark.table(name)
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+      // materialize: the memory sink table is dropped with the query
+      .localCheckpoint()
+  }
+
+  final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+
+  /** Custom stateful streaming: per-user sessionization via
+    * `flatMapGroupsWithState` (30-minute inactivity gap). The bounded input
+    * arrives as one batch, so the result equals the batch window query
+    * (q11's oracle) — the mechanism under test is the stateful operator.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = s"graft_sessions_${counter.incrementAndGet()}"
+
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"))
+      .as[Ev]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Int, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], _: GroupState[Int]) =>
+          val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var nSessions = 0L
+          var prev = Long.MinValue
+          sorted.foreach { e =>
+            if (prev == Long.MinValue || e.ts_us - prev > 1800000000L) nSessions += 1
+            prev = e.ts_us
+          }
+          Iterator.single((uid, nSessions, sorted.length.toLong))
+      }
+
+    val q = sessions.toDF("user_id", "n_sessions", "n_events")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(name).localCheckpoint()
+  }
+}

@@ -222,9 +222,12 @@ final class Lexer(input: String) {
     }
   }
 
-  /** `len` hex digits → codepoint — reference `src/lexing.rs:456-477`. */
+  /** `len` hex digits → codepoint — reference `src/lexing.rs:456-477`.
+    * Accumulated in a Long: 8 hex digits overflow Int and would wrap past
+    * the `> 0x10FFFF` guard (the reference uses u32).
+    */
   private def nextHexChar(spanStartAt: Span, len: Int): Int = {
-    var codepoint = 0
+    var codepoint = 0L
     var k = 0
     while (k < len) {
       val c = expectChar()
@@ -236,7 +239,7 @@ final class Lexer(input: String) {
     val sp = Span(spanStartAt.start, current.end)
     if (codepoint > 0x10FFFF || (codepoint >= 0xD800 && codepoint <= 0xDFFF))
       err(f"invalid character code point $codepoint%x", sp)
-    codepoint
+    codepoint.toInt
   }
 
   /** String literal after the opening quote; handles long `"""…"""` /

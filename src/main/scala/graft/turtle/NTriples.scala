@@ -93,7 +93,7 @@ object NTriples {
     }
 
     private def hexChar(len: Int): Int = {
-      var cp = 0
+      var cp = 0L // Long: 8 hex digits overflow Int past the range guard
       var k = 0
       while (k < len) {
         val c = nextCp()
@@ -103,7 +103,7 @@ object NTriples {
         k += 1
       }
       if (cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) err("invalid codepoint")
-      cp
+      cp.toInt
     }
 
     private def parseIriRef(): String = {

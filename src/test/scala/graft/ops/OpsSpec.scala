@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Unit tests for the training-data ops: kernel-level checks against
+  * hand-computed / independently-derived values, plus behaviours the
+  * sf-scale DuckDB oracles cannot see (real multilingual lang-id, planted
+  * near-duplicates, MinHash bucket collisions).
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def docs(rows: (Long, String, String, String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("md5Hash60 equals the md5-hex-prefix spec") {
+    // md5('abc') = 900150983cd24fb0... → first 15 hex chars as a long
+    assert(TextOps.md5Hash60("abc") == java.lang.Long.parseLong("900150983cd24fb", 16))
+    assert(TextOps.md5Hash60("") == java.lang.Long.parseLong("d41d8cd98f00b20", 16))
+  }
+
+  test("simHash: near-identical texts differ in few bits; disjoint texts in many") {
+    val memo = new java.util.HashMap[String, java.lang.Long]()
+    val a = TextOps.simHash("the quick brown fox jumps over the lazy dog", memo)
+    val b = TextOps.simHash("the quick brown fox jumps over the lazy cat", memo)
+    val c = TextOps.simHash("completely unrelated words about spark shuffles", memo)
+    def dist(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(dist(a, b) < dist(a, c), s"${dist(a, b)} vs ${dist(a, c)}")
+    assert(dist(a, a) == 0)
+  }
+
+  test("minHash: identical texts share the bucket, disjoint texts do not") {
+    val s1 = TextOps.minHashSignature("abcdefghijklmnop")
+    val s2 = TextOps.minHashSignature("abcdefghijklmnop")
+    val s3 = TextOps.minHashSignature("zyxwvutsrqponmlk")
+    assert(s1.sameElements(s2))
+    assert(!s1.sameElements(s3))
+  }
+
+  test("lang-id predicts correctly on real multilingual snippets") {
+    val d = docs(
+      (1L, "the cat sat on the mat and it is a good day to be in the sun", "x", "s", 0L),
+      (2L, "le chat est dans la maison et les enfants sont dans le jardin", "x", "s", 0L),
+      (3L, "der hund ist nicht in das haus und ich bin ein berliner", "x", "s", 0L),
+      (4L, "el perro es grande y la casa de los vecinos es una maravilla", "x", "s", 0L),
+      (5L, "и он сказал что это не на самом деле как в прошлый раз", "x", "s", 0L))
+    val got = TextOps.langId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "es", 5L -> "ru"))
+  }
+
+  test("ngram jaccard finds planted near-duplicates and skips unrelated docs") {
+    val base = "spark shuffles data between executors during wide transformations always"
+    val nearDup = base.replace("always", "often!")
+    val other = "completely different content with nothing shared at all here truly"
+    val d = docs(
+      (1L, base, "en", "s1", 0L), (2L, nearDup, "en", "s1", 0L), (3L, other, "en", "s1", 0L))
+    val pairs = TextOps.ngramJaccardPairs(d, prefixLen = 120, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = docs((1L, "same", "en", "s", 0L), (2L, "same", "en", "s", 0L), (3L, "diff", "en", "s", 0L))
+    val groups = TextOps.exactDedup(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((2L, 1L), (1L, 3L)))
+  }
+
+  test("ann brute force: nearest neighbour of a vector is its near-copy") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f, 0.0f), 0), // near-copy of 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val top = EmbeddingOps.annBruteForce(e, nQueries = 1, k = 1).collect()
+    assert(top.length == 1)
+    assert(top(0).getLong(2) == 1L) // neighbor_id
+    val pairs = EmbeddingOps.nearDupPairs(e, 0.99).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)))
+  }
+
+  test("srp bucketed ANN puts identical vectors in one bucket") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (2L, Array(-1.0f, -2.0f, -3.0f, -4.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val b = EmbeddingOps.srpBuckets(e, nPlanes = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // antipodal vector flips every plane sign
+    val nn = EmbeddingOps.annBucketed(e, nPlanes = 4, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nn(0L) == 1L && nn(1L) == 0L)
+  }
+
+  test("multimodal image round-trip: decode(encode(id)) recovers the header") {
+    val m = MultimodalOps.decodeFakeImage(123L, MultimodalOps.encodeFakeImage(123L))
+    assert(m.width == 64 + 123 % 512)
+    assert(m.height == 64 + (123 * 7) % 512)
+    assert(m.channels == 3)
+    assert(m.payload_md5.length == 32)
+    // corrupted magic is rejected (the failure contract a real codec needs)
+    val bad = MultimodalOps.encodeFakeImage(1L); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException] { MultimodalOps.decodeFakeImage(1L, bad) }
+  }
+
+  test("audio energy decodes from the binary, not from the id") {
+    val d = docs((7L, "x", "en", "s", 0L))
+    val got = MultimodalOps.audioFeatures(d).collect()(0).getLong(1)
+    assert(got == MultimodalOps.audioEnergy(7L))
+    assert(got > 0)
+  }
+
+  test("doc components: forest ground truth (root = min of component)") {
+    val d = docs((0L, "", "e", "s", 0L), (1L, "", "e", "s", 0L), (2L, "", "e", "s", 0L),
+      (3L, "", "e", "s", 0L), (4L, "", "e", "s", 0L), (5L, "", "e", "s", 0L),
+      (6L, "", "e", "s", 0L), (7L, "", "e", "s", 0L), (8L, "", "e", "s", 0L))
+    val got = GraphOps.docComponents(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // edges: d>0 && d%3!=0 → (d, d/2): 1→0,2→1,4→2,5→2,7→3,8→4; 3,6 no edge
+    // components: {0,1,2,4,5,7,8(→4)} rooted at 0 … wait 7→3 joins 3
+    def parent(x: Long): Option[Long] = if (x > 0 && x % 3 != 0) Some(x / 2) else None
+    def root(x: Long): Long = parent(x).map(root).getOrElse(x)
+    // undirected CC: min over component; build expected via union-find
+    val ids = (0L to 8L)
+    val comp = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (comp(x) == x) x else { val r = find(comp(x)); comp(x) = r; r }
+    ids.foreach(i => parent(i).foreach { p => comp(find(i)) = find(p) })
+    // normalize to min id per component
+    val groups = ids.groupBy(find).flatMap { case (_, g) => g.map(_ -> g.min) }
+    assert(got == groups)
+  }
+}

@@ -54,7 +54,7 @@ class PipelineSpec extends AnyFunSuite {
     val pages = PageGen.pages(spark, NPages, NEntities)
     val dict = PageGen.dictionary(spark, NEntities)
     val mentions = Mentions.detect(pages, PageGen.entityDictionary(NEntities).map(_.alias))
-    val cands = Linking.block(mentions, dict).collect()
+    val cands = Linking.block(mentions.toDF(), dict).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
     // expected: for each mention whose surface is exactly an alias of k,
@@ -75,7 +75,7 @@ class PipelineSpec extends AnyFunSuite {
     val pages = PageGen.pages(spark, NPages, NEntities)
     val dict = PageGen.dictionary(spark, NEntities)
     val mentions = Mentions.detect(pages, PageGen.entityDictionary(NEntities).map(_.alias))
-    val linked = Linking.link(mentions, dict, Pipeline.profiles(spark, NEntities)).collect()
+    val linked = Linking.link(mentions.toDF(), dict, Pipeline.profiles(spark, NEntities)).collect()
 
     // Every unambiguous full-name mention must link to its own entity.
     val nameToEntity = (0 until NEntities).map(k => PageGen.entityName(k) -> PageGen.entityIri(k)).toMap
