@@ -117,7 +117,14 @@ object Linking {
     val spark = mentions.sparkSession
     import spark.implicits._
 
-    val mentionTokens = mentions
+    // ONE shuffle by mention_id up front: HashPartitioning(mention_id)
+    // satisfies the clustering of every downstream keyed op — the tf
+    // groupBy (mention_id, token), the norm groupBy, the dot groupBy and
+    // the final argmax all reuse this exchange instead of re-shuffling the
+    // exploded token table (the widest data in the stage).
+    val mentionsPart = mentions.repartition($"mention_id")
+
+    val mentionTokens = mentionsPart
       .select($"mention_id", explode(split(lower($"context"), "[^\\p{L}\\p{N}&]+")).as("token"))
       .filter(length($"token") > 0)
 
@@ -168,10 +175,15 @@ object Linking {
       .select($"mention_id", $"entity_iri",
         ($"dot" / ($"m_norm" * $"e_norm")).as("score"))
 
-    val w = Window.partitionBy($"mention_id").orderBy($"score".desc, $"entity_iri".asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"mention_id", $"entity_iri", $"score")
+    // top-1 as a hash-aggregate argmax rather than a ranking window: same
+    // (score desc, entity asc) tie-break via min_by on (-score, entity),
+    // but no whole-partition sort — and the groupBy rides the mention_id
+    // partitioning established above. Deterministic: the ordering struct
+    // is unique per (mention, entity).
+    scored.groupBy($"mention_id")
+      .agg(min_by(struct($"entity_iri", $"score"),
+        struct(($"score" * -1).as("neg"), $"entity_iri")).as("best"))
+      .select($"mention_id", $"best.entity_iri".as("entity_iri"), $"best.score".as("score"))
       .as[Candidate]
   }
 
