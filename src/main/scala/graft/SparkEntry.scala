@@ -132,6 +132,52 @@ object SparkEntry {
 
     "q12_stream_window" -> ((s, d) => StreamingOps.eventsWindowed(s, d)),
 
+    "q14_setops" -> ((s, d) => {
+      val building = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val withOrders = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+      building.intersect(withOrders).withColumn("tag", lit("both"))
+        .unionAll(building.except(withOrders).withColumn("tag", lit("only_cust")))
+        .select(col("tag"), col("c_custkey"))
+    }),
+
+    "q15_corr_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT o_custkey, o_orderkey FROM graft_orders o
+          |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM graft_orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    "q16_conditional_pivot" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(!col("event_type").isin("click", "view", "purchase"), 1L)
+            .otherwise(0L)).as("n_other"))
+    }),
+
+    "q17_having" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .filter(col("n") >= 5)
+    }),
+
+    "q18_brand_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val part = t(s, d, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .filter(col("p_size") < 20)
+        .groupBy(col("p_brand"))
+        .agg(
+          dsum(col("l_extendedprice")).as("revenue"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
     "q13_stream_sessionize" -> ((s, d) => StreamingOps.sessionize(s, d)),
 
     // ------------------------------------------------- text-analysis ops
@@ -493,6 +539,38 @@ object SparkEntry {
         |  SELECT id, cur // 2 FROM walk WHERE cur > 0 AND cur % 3 <> 0
         |)
         |SELECT id AS doc_id, CAST(MIN(cur) AS BIGINT) AS component FROM walk GROUP BY 1""".stripMargin,
+
+    "q14_setops" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     w AS (SELECT o_custkey AS c_custkey FROM orders)
+        |SELECT 'both' AS tag, c_custkey FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM w)
+        |UNION ALL
+        |SELECT 'only_cust' AS tag, c_custkey FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM w)""".stripMargin,
+
+    "q15_corr_subquery" ->
+      """SELECT o_custkey, o_orderkey FROM orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q16_conditional_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q17_having" ->
+      """SELECT l_partkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin,
+
+    "q18_brand_revenue" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 20 GROUP BY 1""".stripMargin,
 
     "q13_stream_sessionize" ->
       """WITH x AS (
