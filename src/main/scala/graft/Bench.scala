@@ -43,6 +43,40 @@ object Bench {
   }
 }
 
+/** Single-thread Turtle parse+build throughput (the unit the reference
+  * library implements): parses the 29-fixture conformance corpus in a loop
+  * (JIT warmup then timed) and reports MB/s and docs/sec. No Spark — this
+  * is the per-core kernel that the distributed flatMap multiplies.
+  */
+object ParserBench {
+  def main(args: Array[String]): Unit = {
+    val dir = java.nio.file.Paths.get("src/test/resources/turtle/positive")
+    val docs = (1 to 29).map { n =>
+      new String(java.nio.file.Files.readAllBytes(dir.resolve(f"p$n%02d.ttl")),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val bytes = docs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum
+    def pass(): Long = {
+      var triples = 0L
+      docs.foreach { d =>
+        triples += graft.turtle.Turtle.parseToTriples(d).fold(e => throw e, _.length.toLong)
+      }
+      triples
+    }
+    val warmupUntil = System.nanoTime() + 3e9.toLong
+    while (System.nanoTime() < warmupUntil) pass()
+    val t0 = System.nanoTime()
+    var reps = 0L
+    var triples = 0L
+    while (System.nanoTime() - t0 < 5e9.toLong) { triples += pass(); reps += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val mbps = bytes * reps / 1048576.0 / sec
+    println(
+      f"""{"metric":"turtle_parse_build_single_thread","mb_per_sec":$mbps%.1f,""" +
+        f""""docs_per_sec":${29 * reps / sec}%.0f,"triples_per_sec":${triples / sec}%.0f}""")
+  }
+}
+
 /** Two-parallelism scaling benchmark (stand-in for N vs 4N executors —
   * no real cluster in this sandbox): runs the full KG pipeline on the SAME
   * deterministic input at local[8] and local[32], reports triples/sec at

@@ -110,16 +110,22 @@ object EmbeddingOps {
     * from the md5 grid. Vectors in the same bucket are candidate
     * neighbours; per-bucket brute force replaces the full cross join.
     */
-  def srpBuckets(embeddings: DataFrame, nPlanes: Int): DataFrame = {
-    // deterministic hyperplane component: h(p, i) ∈ {-1, +1}
+  /** Sign of hyperplane `p` at dimension `i`: parity of the md5-hex-prefix
+    * hash of "p:i" — the spec the DuckDB oracle reproduces per element.
+    */
+  def srpSign(p: Int, i: Int): Long =
+    if ((TextOps.md5Hash60(s"$p:$i") & 1L) == 1L) 1L else -1L
+
+  def srpBuckets(embeddings: DataFrame, nPlanes: Int, dims: Int = 64): DataFrame = {
+    // signs depend only on (plane, index) — precompute per-plane ±1 vectors
+    // on the driver and inline them as array literals, instead of hashing
+    // md5("p:i") once per ELEMENT PER ROW inside the plan
     val planeExprs = (0 until nPlanes).map { p =>
-      // sum_i g_i * sign(p, i): sign from md5Hash60 parity, computed in SQL
-      // via the same conv(md5) trick used everywhere
-      expr(
-        s"""aggregate(zip_with(g, sequence(0, size(g) - 1),
-           |  (x, i) -> CASE WHEN pmod(CAST(conv(substring(md5(concat('$p', ':', i)), 1, 15), 16, 10) AS BIGINT), 2) = 1
-           |            THEN x ELSE -x END),
-           |  0L, (acc, v) -> acc + v)""".stripMargin)
+      val signs = array((0 until dims).map(i => lit(srpSign(p, i))): _*)
+      // slice to the row's length: shorter vectors must not zip against null
+      aggregate(
+        zip_with(col("g"), slice(signs, lit(1), size(col("g"))), (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v)
     }
     val withBits = planeExprs.zipWithIndex.foldLeft(
       embeddings.select(col("vec_id"), gridCol.as("g"))) { case (df, (e, p)) =>

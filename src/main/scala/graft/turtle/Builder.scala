@@ -47,20 +47,36 @@ final class Builder(
     labelScope: String => String = identity) {
 
   private[this] var base: Option[String] = baseIri
+  private[this] var baseParsed: IriResolver.Components =
+    baseIri.map(IriResolver.parse).orNull
   private[this] val prefixes = mutable.HashMap.empty[String, String]
   private[this] val triples = mutable.ArrayBuffer.empty[Triple]
+  // hot-path memos: compact IRIs and relative refs repeat heavily within a
+  // document (every `foaf:name` line re-expands the same pair) — skip the
+  // re-validation/re-resolution on repeats. Keyed on the resolved prefix
+  // IRI (not the prefix name), so redefinition can't serve stale entries;
+  // the ref memo is cleared whenever @base changes.
+  private[this] val compactMemo = mutable.HashMap.empty[(String, String), String]
+  private[this] val refMemo = mutable.HashMap.empty[String, String]
+
+  private def setBase(b: String): Unit = {
+    base = Some(b)
+    baseParsed = IriResolver.parse(b)
+    refMemo.clear()
+  }
 
   /** Resolve an IRI reference against the current base —
     * reference `src/build.rs:111-132`. NB the asymmetry: with a base, even
     * absolute references go through full RFC resolution (dot-segment
     * removal); without one, absolute references are used verbatim.
     */
-  private def resolveIriRef(iriRef: String, span: Span): String = base match {
-    case Some(b) => IriResolver.resolve(iriRef, b)
-    case None =>
+  private def resolveIriRef(iriRef: String, span: Span): String =
+    if (base.isDefined) {
+      refMemo.getOrElseUpdate(iriRef, IriResolver.resolveAgainst(iriRef, baseParsed))
+    } else {
       if (IriResolver.isAbsolute(iriRef)) iriRef
       else throw TurtleError(s"cannot resolve relative IRI <$iriRef>: no base IRI", span)
-  }
+    }
 
   /** Expand `prefix:suffix` by string concatenation then re-validate —
     * reference `src/build.rs:134-166`.
@@ -68,13 +84,15 @@ final class Builder(
   private def resolveCompact(prefix: Located[String], suffix: Located[String], span: Span): String =
     prefixes.get(prefix.value) match {
       case Some(iri) =>
-        val expanded = iri + suffix.value
-        IriResolver.validateIri(expanded) match {
-          case None => expanded
-          case Some(_) =>
-            throw TurtleError(
-              s"invalid compact IRI suffix in `${prefix.value}:${suffix.value}`", span)
-        }
+        compactMemo.getOrElseUpdate((iri, suffix.value), {
+          val expanded = iri + suffix.value
+          IriResolver.validateIri(expanded) match {
+            case None => expanded
+            case Some(_) =>
+              throw TurtleError(
+                s"invalid compact IRI suffix in `${prefix.value}:${suffix.value}`", span)
+          }
+        })
       case None =>
         throw TurtleError(s"unknown IRI prefix `${prefix.value}`", prefix.span)
     }
@@ -171,9 +189,9 @@ final class Builder(
       case Located(Statement.Dir(d), dirSpan) =>
         d match {
           case Directive.Base(iri) =>
-            base = Some(resolveIriRef(iri.value, iri.span))
+            setBase(resolveIriRef(iri.value, iri.span))
           case Directive.SparqlBase(iri) =>
-            base = Some(resolveIriRef(iri.value, iri.span))
+            setBase(resolveIriRef(iri.value, iri.span))
           case Directive.Prefix(name, iri) =>
             prefixes(name.value) = resolveIriRef(iri.value, iri.span)
           case Directive.SparqlPrefix(name, iri) =>

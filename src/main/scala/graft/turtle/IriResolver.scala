@@ -213,9 +213,14 @@ object IriResolver {
     * absolute `base`. Matches `iref::IriRef::resolved`, including
     * dot-segment removal on already-absolute references.
     */
-  def resolve(ref: String, base: String): String = {
+  def resolve(ref: String, base: String): String =
+    resolveAgainst(ref, parse(base))
+
+  /** Resolution against a pre-parsed base (callers resolving many refs
+    * against one base — e.g. the triple builder — parse it once).
+    */
+  def resolveAgainst(ref: String, b: Components): String = {
     val r = parse(ref)
-    val b = parse(base)
     val t =
       if (r.scheme.isDefined)
         Components(r.scheme, r.authority, removeDotSegments(r.path), r.query, r.fragment)
