@@ -44,17 +44,18 @@ object Mentions {
       Mention(url, mentionId(url, b, e), ac.patterns(patIdx), b, e, paragraphOf(text, b))
     }
 
-  /** Spark stage. `aliasSurfaces` must be the DISTINCT alias strings (the
-    * automaton does detection only; entity candidates come from the linking
-    * join, so shared aliases stay one pattern).
+  /** Spark stage over any frame with (url, text) columns. `aliasSurfaces`
+    * must be the DISTINCT alias strings (the automaton does detection only;
+    * entity candidates come from the linking join, so shared aliases stay
+    * one pattern).
     */
-  def detect(pages: Dataset[WebPage], aliasSurfaces: Seq[String]): Dataset[Mention] = {
+  def detect(pages: org.apache.spark.sql.DataFrame, aliasSurfaces: Seq[String]): Dataset[Mention] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val acBc = spark.sparkContext.broadcast(AhoCorasick.build(aliasSurfaces.distinct.sorted))
-    pages.mapPartitions { it =>
+    pages.select($"url", $"text").as[(String, String)].mapPartitions { it =>
       val ac = acBc.value
-      it.flatMap(p => scanPage(ac, p.url, p.text))
+      it.flatMap { case (url, text) => scanPage(ac, url, text) }
     }
   }
 }

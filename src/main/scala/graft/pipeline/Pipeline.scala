@@ -25,6 +25,10 @@ object Pipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // task-side commit (v2): the v1 committer renames every output file
+      // serially on the driver at stage-commit time — a fixed cost per
+      // snapshot that dominates small stages and scales with file count
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     // shuffle/spill dir override (e.g. tmpfs when benchmarking — stands in
     // for cluster-local NVMe; /tmp on this sandbox is a ~280MB/s virtual
     // disk that serializes 32-way shuffle writes)
@@ -61,8 +65,8 @@ object Pipeline {
 
     def stage(name: String)(compute: => DataFrame): DataFrame = {
       val t0 = System.currentTimeMillis()
-      val df = snaps.run(name)(compute)
-      rows += name -> df.count()
+      val (df, n) = snaps.run(name)(compute)
+      rows += name -> n
       walls += name -> (System.currentTimeMillis() - t0)
       if (stopAfter.contains(name))
         throw new PipelineStopped(name, Summary(rows, -1, -1, walls))
@@ -76,13 +80,16 @@ object Pipeline {
     }
 
     val extracted = stage("extracted") {
+      // html is dead weight after extraction — the snapshot keeps only the
+      // columns downstream stages read (halves post-extract snapshot I/O)
       lineage.track("extracted")(Extract.run(pages.as[WebPage])).toDF()
+        .select($"url", $"warc_ts", $"text", $"lang")
     }
 
     val mentions = stage("mentions") {
       val aliasSurfaces = PageGen.entityDictionary(nEntities).map(_.alias)
       lineage.track("mentions")(
-        Mentions.detect(extracted.as[WebPage], aliasSurfaces)).toDF()
+        Mentions.detect(extracted.select($"url", $"text"), aliasSurfaces)).toDF()
     }
 
     // the linker scans the mention table ~6 times (distinct surfaces, token

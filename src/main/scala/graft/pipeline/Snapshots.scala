@@ -38,16 +38,21 @@ final class SnapshotStore(root: String, spark: SparkSession) {
 
   /** Run a stage through the snapshot gate: skip when committed, else
     * compute → write → manifest → read back (downstream reads the
-    * committed bytes, never the in-flight plan).
+    * committed bytes, never the in-flight plan). Returns the DataFrame and
+    * its row count (from the committed footers — callers must not pay a
+    * second count job).
     */
-  def run(stage: String)(compute: => DataFrame): DataFrame = {
-    if (committed(stage)) load(stage)
-    else {
+  def run(stage: String)(compute: => DataFrame): (DataFrame, Long) = {
+    if (committed(stage)) {
+      val df = load(stage)
+      (df, df.count())
+    } else {
       val t0 = System.currentTimeMillis()
       compute.write.mode("overwrite").parquet(dir(stage).toString)
       val back = load(stage)
-      writeManifest(stage, back.count(), System.currentTimeMillis() - t0)
-      back
+      val rows = back.count() // metadata-only parquet count
+      writeManifest(stage, rows, System.currentTimeMillis() - t0)
+      (back, rows)
     }
   }
 

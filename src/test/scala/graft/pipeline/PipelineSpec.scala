@@ -36,7 +36,7 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val pages = PageGen.pages(spark, NPages, NEntities)
     val aliasSurfaces = PageGen.entityDictionary(NEntities).map(_.alias)
-    val got = Mentions.detect(pages, aliasSurfaces).collect().toSet
+    val got = Mentions.detect(pages.toDF(), aliasSurfaces).collect().toSet
 
     // oracle: same pure functions, sequential on the driver
     val ac = AhoCorasick.build(aliasSurfaces.distinct.sorted)
@@ -53,7 +53,7 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val pages = PageGen.pages(spark, NPages, NEntities)
     val dict = PageGen.dictionary(spark, NEntities)
-    val mentions = Mentions.detect(pages, PageGen.entityDictionary(NEntities).map(_.alias))
+    val mentions = Mentions.detect(pages.toDF(), PageGen.entityDictionary(NEntities).map(_.alias))
     val cands = Linking.block(mentions.toDF(), dict).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
@@ -74,7 +74,7 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val pages = PageGen.pages(spark, NPages, NEntities)
     val dict = PageGen.dictionary(spark, NEntities)
-    val mentions = Mentions.detect(pages, PageGen.entityDictionary(NEntities).map(_.alias))
+    val mentions = Mentions.detect(pages.toDF(), PageGen.entityDictionary(NEntities).map(_.alias))
     val linked = Linking.link(mentions.toDF(), dict, Pipeline.profiles(spark, NEntities)).collect()
 
     // Every unambiguous full-name mention must link to its own entity.
