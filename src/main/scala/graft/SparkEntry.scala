@@ -180,6 +180,41 @@ object SparkEntry {
 
     "q13_stream_sessionize" -> ((s, d) => StreamingOps.sessionize(s, d)),
 
+    "q19_cube" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    "q20_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)"), 4).as("p25"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 4).as("p50"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)"), 4).as("p75"),
+          round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.95)"), 4).as("p95"))
+    }),
+
+    "q21_lateral_words" -> ((s, d) => {
+      val toks = TextOps.tokensCol(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(slice(toks, 1, 3)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("word"))
+    }),
+
+    "q22_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-3, Window.currentRow)
+      t(s, d, "events").select(
+        col("user_id"), col("event_id"),
+        round(sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double") /
+          count(lit(1)).over(w), 4).as("mavg"))
+    }),
+
     // ------------------------------------------------- text-analysis ops
     "td01_tokens" -> ((s, d) =>
       TextOps.tokenCounts(t(s, d, "documents"))
@@ -208,6 +243,8 @@ object SparkEntry {
     "td08_ngram_jaccard" -> ((s, d) =>
       TextOps.ngramJaccardPairs(t(s, d, "documents"), prefixLen = 120, minJaccard = 0.10)),
 
+    "td09_minhash_pairs" -> ((s, d) => TextOps.minHashBandPairs(t(s, d, "documents"))),
+
     // --------------------------------------------------- similarity search
     "emb01_ann_topk" -> ((s, d) =>
       EmbeddingOps.annBruteForce(t(s, d, "embeddings"), nQueries = 10, k = 5)
@@ -220,8 +257,10 @@ object SparkEntry {
     "emb03_srp_buckets" -> ((s, d) =>
       EmbeddingOps.srpBuckets(t(s, d, "embeddings"), nPlanes = 4)),
 
+    // 8 planes ⇒ 256 buckets: per-bucket candidate sets shrink ~N/256 —
+    // the scale path (vs emb01's O(N·Q) brute force)
     "emb04_ann_bucketed" -> ((s, d) =>
-      EmbeddingOps.annBucketed(t(s, d, "embeddings"), nPlanes = 4, k = 5)
+      EmbeddingOps.annBucketed(t(s, d, "embeddings"), nPlanes = 8, k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))),
 
@@ -265,6 +304,34 @@ object SparkEntry {
            |    '  p:nchars ', n_chars, ' .\n') AS ttl
            |  FROM graft_docs) x
            |LATERAL VIEW parse_turtle(ttl) t AS subj, pred, obj""".stripMargin)
+    }),
+
+    // rich-grammar Turtle distributed: @base-relative IRIs, \u escapes,
+    // collections (reverse bnode allocation), anonymous bnode property
+    // lists, integer/decimal lexical forms — the reference's hard
+    // conformance paths (p18/p23/p25) under Spark, not just in sbt
+    "kg06_parse_rich" -> ((s, d) => GraphOps.parseTurtleRich(t(s, d, "documents"))),
+
+    // lenient SQL surface: planted malformed docs (doc_id % 37 == 0) route
+    // to error rows via parse_turtle_safe; the job survives and every doc
+    // is accounted for
+    "kg07_parse_lenient" -> ((s, d) => {
+      graft.expr.TurtleFunctions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_docs")
+      s.sql(
+        s"""SELECT doc_id, count(t.subj) AS n_triples, count(t.err) = 0 AS ok
+           |FROM (
+           |  SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN '<doc> <p> "x" .'
+           |    ELSE concat(
+           |      '@prefix d: <${GraphOps.DocPrefix}> .\n',
+           |      '@prefix p: <${GraphOps.PropPrefix}> .\n',
+           |      'd:', doc_id, ' p:lang "', lang, '" ;\n',
+           |      '  p:label "doc ', doc_id, '"@', lang, ' ;\n',
+           |      '  p:source "', source, '" ;\n',
+           |      '  p:nchars ', n_chars, ' .\n') END AS ttl
+           |  FROM graft_docs) x
+           |LATERAL VIEW parse_turtle_safe(ttl) t AS subj, pred, obj, err
+           |GROUP BY doc_id""".stripMargin)
     })
   )
 
@@ -290,6 +357,77 @@ object SparkEntry {
 
   private val mentionTermValues: String =
     GraphOps.MentionDict.map(w => s"('$w')").mkString(", ")
+
+  /** DuckDB twin of [[GraphOps.parseTurtleRich]]: the 14 triples per doc as
+    * a UNION ALL, pinned against a scratch run of the conformance builder
+    * (collection bnodes allocated in REVERSE — last element `_:0` — then
+    * the anonymous property-list bnode `_:3`; lexical forms verbatim).
+    */
+  private val parseRichOracle: String = {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val P = GraphOps.PropPrefix
+    val rows = Seq(
+      ("s", s"'${P}title'", s"""'"tést ' || doc_id || '"'"""),
+      ("'_:0'", s"'${rdf}type'", s"'<${rdf}List>'"),
+      ("'_:0'", s"'${rdf}rest'", s"'<${rdf}nil>'"),
+      ("'_:0'", s"'${rdf}first'", s"""'"2.5"^^<${xsd}decimal>'"""),
+      ("'_:1'", s"'${rdf}type'", s"'<${rdf}List>'"),
+      ("'_:1'", s"'${rdf}rest'", "'_:0'"),
+      ("'_:1'", s"'${rdf}first'", s"""'"' || doc_id || '"^^<${xsd}integer>'"""),
+      ("'_:2'", s"'${rdf}type'", s"'<${rdf}List>'"),
+      ("'_:2'", s"'${rdf}rest'", "'_:1'"),
+      ("'_:2'", s"'${rdf}first'", """'"a"'"""),
+      ("s", s"'${P}tags'", "'_:2'"),
+      ("'_:3'", s"'${P}name'", s"""'"a' || doc_id || '"'"""),
+      ("'_:3'", s"'${P}age'", s"""'"' || (doc_id % 90) || '"^^<${xsd}integer>'"""),
+      ("s", s"'${P}author'", "'_:3'"))
+    val selects = rows.map { case (subj, pred, obj) =>
+      s"SELECT doc_id, $subj AS subj, $pred AS pred, $obj AS obj FROM d"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT doc_id,
+       |  '<${GraphOps.BaseIri}doc/' || doc_id || '>' AS s FROM documents)
+       |$selects""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextOps.minHashBandPairs]], generated from the same
+    * (BandedSeeds, Bands) constants so impl and oracle cannot drift.
+    */
+  private val minhashBandOracle: String = {
+    val mins = (0 until TextOps.BandedSeeds).map(s =>
+      s"CAST(MIN(('0x' || substr(md5('$s:' || g), 1, 15))::BIGINT) AS BIGINT) AS mh$s")
+      .mkString(",\n    ")
+    val bandSelects = (0 until TextOps.Bands).map(b =>
+      s"SELECT doc_id, md5('$b:' || mh${2 * b}::VARCHAR || '_' || mh${2 * b + 1}::VARCHAR) AS band FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 4, 1)),
+       |    i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+       |  FROM documents
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY 1
+       |), bands AS (
+       |$bandSelects
+       |)
+       |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
+       |FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** SRP bucket expression over a grid-vector column `g` — the DuckDB twin
+    * of [[EmbeddingOps.srpBuckets]] (plane sign = md5-parity of "p:i").
+    */
+  private def srpBucketSql(nPlanes: Int): String = {
+    def planeSum(p: Int): String =
+      s"""list_sum(list_transform(generate_series(1, len(g)),
+         |  i -> CASE WHEN ('0x' || substr(md5('$p:' || (i - 1)), 1, 15))::BIGINT % 2 = 1
+         |       THEN g[CAST(i AS INTEGER)] ELSE -g[CAST(i AS INTEGER)] END))""".stripMargin
+    (0 until nPlanes)
+      .map(p => s"CASE WHEN ${planeSum(p)} > 0 THEN '1' ELSE '0' END")
+      .mkString("(", " ||\n   ", ")")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_lineitem" ->
@@ -417,6 +555,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY 1""".stripMargin,
 
+    "td09_minhash_pairs" -> minhashBandOracle,
+
     "td08_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, source,
@@ -469,23 +609,35 @@ object SparkEntry {
         |WHERE CAST(CAST(list_sum(list_transform(list_zip(a.g, b.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
         |    / sqrt(CAST(a.nn * b.nn AS DOUBLE)) >= 0.30""".stripMargin,
 
-    "emb03_srp_buckets" -> {
-      def planeSum(p: Int): String =
-        s"""list_sum(list_transform(generate_series(1, len(g)),
-           |  i -> CASE WHEN ('0x' || substr(md5('$p:' || (i - 1)), 1, 15))::BIGINT % 2 = 1
-           |       THEN g[CAST(i AS INTEGER)] ELSE -g[CAST(i AS INTEGER)] END))""".stripMargin
+    "emb03_srp_buckets" ->
       s"""WITH g AS (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
          |  FROM embeddings
          |)
-         |SELECT vec_id,
-         |  (CASE WHEN ${planeSum(0)} > 0 THEN '1' ELSE '0' END ||
-         |   CASE WHEN ${planeSum(1)} > 0 THEN '1' ELSE '0' END ||
-         |   CASE WHEN ${planeSum(2)} > 0 THEN '1' ELSE '0' END ||
-         |   CASE WHEN ${planeSum(3)} > 0 THEN '1' ELSE '0' END) AS bucket
-         |FROM g""".stripMargin
-    },
+         |SELECT vec_id, ${srpBucketSql(4)} AS bucket
+         |FROM g""".stripMargin,
+
+    // brute-force SQL restricted to equal 8-plane SRP buckets — the exact
+    // specification annBucketed implements
+    "emb04_ann_bucketed" ->
+      s"""WITH g AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, g, CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS nn,
+         |    ${srpBucketSql(8)} AS bucket
+         |  FROM g
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(CAST(list_sum(list_transform(list_zip(q.g, c.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |      / sqrt(CAST(q.nn * c.nn AS DOUBLE)) AS cos
+         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id ASC) rn FROM scored)
+         |WHERE rn <= 5""".stripMargin,
 
     "mm01_image_meta" ->
       """SELECT doc_id,
@@ -525,6 +677,14 @@ object SparkEntry {
 
     "kg02_extract" ->
       "SELECT doc_id, md5(text) AS extracted_md5 FROM documents",
+
+    "kg06_parse_rich" -> parseRichOracle,
+
+    "kg07_parse_lenient" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE 4 END AS BIGINT) AS n_triples,
+        |  doc_id % 37 <> 0 AS ok
+        |FROM documents""".stripMargin,
 
     "kg03_mentions" ->
       s"""SELECT doc_id, term,
@@ -582,6 +742,32 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
         |FROM x GROUP BY 1""".stripMargin,
+
+    "q19_cube" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+
+    "q20_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS p25,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS p75,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 4) AS p95
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q21_lateral_words" ->
+      """SELECT doc_id, CAST(g.p AS BIGINT) AS pos, regexp_extract_all(text, '\S+')[CAST(g.p AS INTEGER)] AS word
+        |FROM documents, generate_series(1, 3) g(p)
+        |WHERE len(regexp_extract_all(text, '\S+')) >= g.p""".stripMargin,
+
+    "q22_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "kg05_parse_turtle_sql" ->
       s"""WITH d AS (SELECT doc_id, lang, source, n_chars,

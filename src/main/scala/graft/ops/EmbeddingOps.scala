@@ -56,11 +56,19 @@ object EmbeddingOps {
     dot.toDouble / math.sqrt((na * nb).toDouble)
   }
 
+  /** Hard ceiling on the broadcast query side of [[annBruteForce]]: beyond
+    * this the "queries are tiny" contract is void — use [[annBucketed]].
+    */
+  val MaxBroadcastQueries = 4096
+
   def annBruteForce(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    require(nQueries <= MaxBroadcastQueries,
+      s"annBruteForce broadcasts the query side; nQueries=$nQueries exceeds " +
+        s"$MaxBroadcastQueries — use annBucketed (LSH) for large query sets")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val g = gridded(embeddings).as[(Long, Array[Long], Long)]
-    // queries are the tiny side → broadcast them, stream the corpus
+    // queries are the tiny side (bounded above) → broadcast them, stream the corpus
     val queries = spark.sparkContext.broadcast(
       g.filter(_._1 < nQueries).collect().sortBy(_._1))
     val scored = g.mapPartitions { it =>
@@ -80,25 +88,62 @@ object EmbeddingOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
-  /** Near-duplicate pairs: all (a < b) with grid-cosine ≥ threshold. The
-    * O(N²) cross join is bounded by blocking on the sign-projection bucket
-    * when `buckets > 0` (near-identical vectors share the bucket w.h.p.).
+  /** Near-duplicate pairs: all (a < b) with grid-cosine ≥ threshold —
+    * EXACT all-pairs semantics (any exact near-dup is inherently O(N²)
+    * work; the approximate scale path is [[annBucketed]]/[[srpBuckets]]).
+    *
+    * Distributed block-pair ("triangle") self-join: vectors hash into B
+    * blocks by id; every unordered block pair (i ≤ j) becomes one group,
+    * each vector replicated to its B groups; each group compares its two
+    * block slices with the primitive-array kernel. Properties that hold at
+    * 100×: NO driver collect, per-task memory bounded by 2·N/B vectors
+    * (grow `blocks` with N), shuffle volume N·B rows, and B(B+1)/2
+    * independent tasks — work distributes evenly because block membership
+    * is hash-of-id, not data-dependent.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    require(blocks >= 1 && blocks <= 1024, s"blocks=$blocks out of range")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val g = gridded(embeddings).as[(Long, Array[Long], Long)]
-    // all-pairs is a broadcast-side self-join: the corpus grid (id, 64×i64)
-    // is the broadcast side; each task streams its slice against it. Like
-    // any broadcast join, the op's contract is that this side fits in
-    // executor memory — at larger N use [[annBucketed]] (LSH) instead.
-    val corpus = spark.sparkContext.broadcast(g.collect().sortBy(_._1))
-    g.mapPartitions { it =>
-      val all = corpus.value
-      it.flatMap { case (a, ga, na) =>
-        all.iterator.filter(_._1 > a).flatMap { case (b, gb, nb) =>
-          val cos = cosKernel(ga, na, gb, nb)
-          if (cos >= threshold) Iterator.single((a, b, cos)) else Iterator.empty
+    val b = blocks
+    val keyed = g.flatMap { case (id, vec, n) =>
+      val bi = java.lang.Math.floorMod(id, b.toLong).toInt
+      (0 until b).iterator.map { bj =>
+        val lo = math.min(bi, bj)
+        val hi = math.max(bi, bj)
+        (lo * b + hi, bi, id, vec, n)
+      }
+    }
+    keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val lo = key / b
+      val hi = key % b
+      val loSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+      val hiSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+      it.foreach { case (_, bi, id, vec, n) =>
+        if (bi == lo) loSide += ((id, vec, n)) else hiSide += ((id, vec, n))
+      }
+      if (lo == hi) {
+        // within-block: all index pairs i < j, ordered output by id
+        val arr = loSide.sortBy(_._1).toArray
+        arr.indices.iterator.flatMap { i =>
+          (i + 1 until arr.length).iterator.flatMap { j =>
+            val (a, ga, na) = arr(i)
+            val (c, gc, nc) = arr(j)
+            val cos = cosKernel(ga, na, gc, nc)
+            if (cos >= threshold) Iterator.single((a, c, cos)) else Iterator.empty
+          }
+        }
+      } else {
+        // cross-block: every lo-vector against every hi-vector; each
+        // unordered pair lives in exactly one (lo, hi) group
+        loSide.iterator.flatMap { case (x, gx, nx) =>
+          hiSide.iterator.flatMap { case (y, gy, ny) =>
+            val cos = cosKernel(gx, nx, gy, ny)
+            if (cos >= threshold)
+              Iterator.single((math.min(x, y), math.max(x, y), cos))
+            else Iterator.empty
+          }
         }
       }
     }.toDF("a", "b", "cos")

@@ -46,6 +46,57 @@ object GraphOps {
       }.toDF("doc_id", "subj", "pred", "obj")
   }
 
+  /** Lenient typed twin of [[parseTurtle]] over (doc_id, ttl) rows: a
+    * malformed document yields one `(doc_id, null, null, null, err)` row
+    * instead of an exception (reference diagnostic-sink semantics,
+    * `examples/simple.rs:27-37`) — the job survives bad input.
+    */
+  def parseTurtleLenient(ttlDocs: DataFrame): DataFrame = {
+    val spark = ttlDocs.sparkSession
+    import spark.implicits._
+    ttlDocs.select(col("doc_id"), col("ttl")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, ttl) =>
+        Turtle.parseToTriples(ttl) match {
+          case Right(ts) =>
+            ts.iterator.map(t => (id, t.subj.render, t.pred, t.obj.render, null: String))
+          case Left(e) =>
+            Iterator.single((id, null: String, null: String, null: String,
+              s"${e.message} at ${e.span}"))
+        }
+      }).toDF("doc_id", "subj", "pred", "obj", "err")
+  }
+
+  /** Rich-grammar Turtle document: `@base`-relative subject IRI, a
+    * `\\u`-escaped literal, an RDF collection (numeric integer + decimal
+    * lexical forms preserved verbatim), and an anonymous blank-node
+    * property list — the reference's hard conformance paths
+    * (`tests/positive/p18,p23,p25`) exercised per-row at scale. Blank-node
+    * numbering is observable: collections allocate in REVERSE (last
+    * element gets `_:0`), the anon bnode after the list gets `_:3`.
+    */
+  val BaseIri = "http://graft.example/base/"
+
+  def richTurtleForDoc(docId: Long): String =
+    s"""@base <$BaseIri> .
+       |@prefix p: <$PropPrefix> .
+       |<doc/$docId> p:title "t\\u00E9st $docId" ;
+       |  p:tags ( "a" $docId 2.5 ) ;
+       |  p:author [ p:name "a$docId" ; p:age ${docId % 90} ] .
+       |""".stripMargin
+
+  /** (doc_id, subj, pred, obj) from [[richTurtleForDoc]] per row. */
+  def parseTurtleRich(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Turtle.parseToTriples(richTurtleForDoc(id)) match {
+          case Right(ts) => ts.iterator.map(t => (id, t.subj.render, t.pred, t.obj.render))
+          case Left(e)   => throw new IllegalStateException(s"doc $id: $e")
+        }
+      }).toDF("doc_id", "subj", "pred", "obj")
+  }
+
   /** Wrap each document in the synthetic page HTML and re-extract —
     * verifiable because extraction must be the identity on the original
     * text (md5(extracted) == md5(text)).

@@ -160,14 +160,14 @@ object TextOps {
   def shingleAt(text: String, i1: Int): String =
     text.substring(i1 - 1, math.min(i1 - 1 + ShingleLen, text.length))
 
-  def minHashSignature(text: String): Array[Long] = {
-    val sig = Array.fill(MinHashSeeds)(Long.MaxValue)
+  def minHashSignature(text: String, nSeeds: Int = MinHashSeeds): Array[Long] = {
+    val sig = Array.fill(nSeeds)(Long.MaxValue)
     val n = math.max(text.length - (ShingleLen - 1), 1)
     var i = 1
     while (i <= n) {
       val g = shingleAt(text, i)
       var s = 0
-      while (s < MinHashSeeds) {
+      while (s < nSeeds) {
         val h = md5Hash60(s.toString + ":" + g)
         if (h < sig(s)) sig(s) = h
         s += 1
@@ -189,6 +189,51 @@ object TextOps {
         (id, s(0), s(1), s(2), s(3))
       }).toDF("doc_id", "mh0", "mh1", "mh2", "mh3")
       .withColumn("bucket", md5(concat_ws("_", col("mh0"), col("mh1"), col("mh2"), col("mh3"))))
+  }
+
+  // --------------------------------------------- banded MinHash candidates
+
+  val BandedSeeds = 8
+  val Bands = 4 // ⇒ r = 2 rows per band
+
+  /** Full md5 hex digest (lowercase) — matches DuckDB/Spark `md5()`. */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Candidate near-duplicate pairs via b×r banded MinHash-LSH — THE
+    * operator a 100 TB dedup pipeline runs (unlike the quadratic
+    * [[ngramJaccardPairs]], which exists as an exact oracle op): 8
+    * signature rows grouped into 4 bands of 2; docs agreeing on any full
+    * band become a candidate pair. Cost: one pass per doc for the
+    * signature, then an equi-JOIN on the band key (shuffle is O(docs ×
+    * bands) rows, never O(docs²)); collision prob per band ≈ J², so
+    * candidates concentrate on genuinely similar pairs.
+    *
+    * Output: (a, b, n_bands) with a < b — n_bands = how many of the 4
+    * bands agree (a cheap similarity proxy for downstream exact
+    * verification).
+    */
+  def minHashBandPairs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bandRows = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val sig = minHashSignature(text, BandedSeeds)
+        (0 until Bands).iterator.map { b =>
+          (id, md5Hex(s"$b:${sig(2 * b)}_${sig(2 * b + 1)}"))
+        }
+      }).toDF("doc_id", "band")
+    val a = bandRows.withColumnRenamed("doc_id", "a")
+    val b = bandRows.withColumnRenamed("doc_id", "b")
+    a.join(b, Seq("band"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_bands"))
   }
 
   /** Near-duplicate candidate pairs by n-gram Jaccard over the distinct

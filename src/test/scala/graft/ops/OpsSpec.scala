@@ -72,6 +72,38 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("banded minhash emits candidate pairs for near-dups, none for disjoint") {
+    val base = "spark shuffles data between executors during wide transformations always " * 3
+    val nearDup = base.replace("always", "mostly")
+    val other = "qqq www eee rrr ttt yyy uuu iii ooo ppp zzz xxx ccc vvv bbb nnn mmm " * 3
+    val d = docs((1L, base, "en", "s", 0L), (2L, nearDup, "en", "s", 0L), (3L, other, "en", "s", 0L))
+    val pairs = TextOps.minHashBandPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(pairs((1L, 2L)) >= 1L && pairs((1L, 2L)) <= TextOps.Bands.toLong)
+    // identical docs agree on every band
+    val ident = TextOps.minHashBandPairs(
+      docs((1L, base, "en", "s", 0L), (2L, base, "en", "s", 0L))).collect()
+    assert(ident.length == 1 && ident(0).getLong(2) == TextOps.Bands.toLong)
+  }
+
+  test("nearDupPairs block-pair join matches single-block all-pairs exactly") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random vectors: many moderate-cosine pairs
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => ((TextOps.md5Hash60(s"$i:$j") % 2000L) - 1000L) / 1000.0f))
+    }.toDF("vec_id", "embedding")
+    def run(blocks: Int) = EmbeddingOps.nearDupPairs(vecs, 0.10, blocks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = run(1) // single block = plain all-pairs
+    assert(exact.nonEmpty)
+    assert(run(4) == exact)
+    assert(run(16) == exact)
+    assert(run(64) == exact) // more blocks than rows
+  }
+
   test("exact dedup groups identical texts") {
     val d = docs((1L, "same", "en", "s", 0L), (2L, "same", "en", "s", 0L), (3L, "diff", "en", "s", 0L))
     val groups = TextOps.exactDedup(d).collect()
