@@ -59,16 +59,19 @@ object Canonical {
           ($"n_component".isNotNull && $"n_component" < $"component").as("changed"))
 
       // pointer jumping (shortcutting): adopt the label of your label —
-      // halves chain depth each round, O(log diameter) total rounds
-      val step = updated.select($"id", $"component")
-      val parents = step.select($"id".as("component"), $"component".as("jump"))
-      val jumped = step.join(parents, Seq("component"), "left")
-        .select($"id", least($"component", coalesce($"jump", $"component")).as("component"))
+      // halves chain depth each round, O(log diameter) total rounds.
+      // `changed` rides along INTO the checkpoint so convergence costs one
+      // cheap scan of checkpointed partitions, not a second join pass
+      // (round 1 paid two full jobs per iteration).
+      val parents = updated.select($"id".as("component"), $"component".as("jump"))
+      val jumped = updated.join(parents, Seq("component"), "left")
+        .select($"id", least($"component", coalesce($"jump", $"component")).as("component"),
+          $"changed")
 
       val next = jumped.localCheckpoint()
-      val changed = updated.filter($"changed").limit(1).count()
-      labels = next
-      converged = changed == 0
+      val changed = next.agg(coalesce(max($"changed"), lit(false))).head().getBoolean(0)
+      labels = next.drop("changed")
+      converged = !changed
       iter += 1
     }
     sym.unpersist()

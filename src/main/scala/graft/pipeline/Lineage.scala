@@ -22,7 +22,9 @@ object Lineage {
       val a = acc
       ds.mapPartitions { it =>
         val t0 = System.currentTimeMillis()
-        val pid = TaskContext.getPartitionId()
+        val ctx = TaskContext.get()
+        val pid = ctx.partitionId()
+        val attempt = ctx.attemptNumber()
         new Iterator[T] {
           private[this] var n = 0L
           private[this] var reported = false
@@ -30,7 +32,7 @@ object Lineage {
             val h = it.hasNext
             if (!h && !reported) {
               reported = true
-              a.add(LineageRow(stage, pid, n, n, System.currentTimeMillis() - t0))
+              a.add(LineageRow(stage, pid, attempt, n, n, System.currentTimeMillis() - t0))
             }
             h
           }
@@ -39,9 +41,16 @@ object Lineage {
       }
     }
 
+    /** Exactly-once view of the accumulated rows: task retries and
+      * speculative duplicates collapse to ONE row per (stage, partition) —
+      * the highest attempt (ties: identical duplicate, first wins).
+      */
     def rows: Seq[LineageRow] = {
       import scala.jdk.CollectionConverters._
       acc.value.asScala.toSeq
+        .groupBy(r => (r.stage, r.partition_id))
+        .valuesIterator.map(_.maxBy(_.attempt))
+        .toSeq.sortBy(r => (r.stage, r.partition_id))
     }
 
     def write(spark: SparkSession, out: String): Unit = {

@@ -21,17 +21,35 @@ object Materialize {
   def withPredHash(df: DataFrame, predBuckets: Int = DefaultPredBuckets): DataFrame =
     df.withColumn("pred_hash", pmod(xxhash64(col("pred")), lit(predBuckets)))
 
-  /** Dedup + partition + write. Returns the committed row count. */
+  /** Dedup + partition + write — ONE shuffle of the triple table (the
+    * largest table in the job; round 1 shuffled it twice: a
+    * dropDuplicates exchange on hash(s,p,o) followed by the salted
+    * repartition).
+    *
+    * How: the salted repartition on (pred_hash, subj_salt) runs FIRST;
+    * the dedup group keys (pred_hash, subj_salt, subj, pred, obj) are a
+    * SUPERSET of the partitioning expressions (pred_hash = f(pred),
+    * subj_salt = f(subj)), so `HashPartitioning(pred_hash, subj_salt)`
+    * already satisfies the aggregate's ClusteredDistribution and Catalyst
+    * plans the dedup with NO second exchange — the whole
+    * shuffle→aggregate→write pipeline is one exchange, and the write
+    * stays clustered by pred_hash (≤ predBuckets×salt output files, not
+    * tasks×predBuckets). Provenance per (s,p,o) is the MIN (src_url,
+    * warc_ts) pair — deterministic, unlike dropDuplicates-first.
+    */
   def write(
       triples: Dataset[TripleRow],
       out: String,
       predBuckets: Int = DefaultPredBuckets,
       salt: Int = DefaultSalt): Unit = {
     val df = withPredHash(triples.toDF(), predBuckets)
-      // one row per (s,p,o); keeps an arbitrary-but-deterministic-enough
-      // provenance pair — full provenance lives in the lineage table
-      .dropDuplicates("subj", "pred", "obj")
-    df.repartition(col("pred_hash"), pmod(xxhash64(col("subj")), lit(salt)))
+      .withColumn("subj_salt", pmod(xxhash64(col("subj")), lit(salt)))
+    df.repartition(col("pred_hash"), col("subj_salt"))
+      .groupBy(col("pred_hash"), col("subj_salt"), col("subj"), col("pred"), col("obj"))
+      .agg(min(struct(col("src_url"), col("warc_ts"))).as("prov"))
+      .select(col("subj"), col("pred"), col("obj"),
+        col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
+        col("pred_hash"))
       .write.mode("overwrite")
       .partitionBy("pred_hash")
       .parquet(out)

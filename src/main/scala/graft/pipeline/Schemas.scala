@@ -57,10 +57,16 @@ final case class Mention(
 /** Scored candidate link (mention → entity). */
 final case class Candidate(mention_id: Long, entity_iri: String, score: Double)
 
-/** Per-partition lineage/metrics row (north_rule: per-partition lineage). */
+/** Per-partition lineage/metrics row (north_rule: per-partition lineage).
+  * `attempt` records the task attempt that produced the row: accumulator
+  * updates inside transformations are NOT exactly-once under task retries /
+  * speculation, so readers must dedup per (stage, partition_id) keeping the
+  * highest attempt — [[Lineage.Collector.rows]] does exactly that.
+  */
 final case class LineageRow(
     stage: String,
     partition_id: Int,
+    attempt: Int,
     rows_in: Long,
     rows_out: Long,
     wall_ms: Long)

@@ -134,7 +134,51 @@ class PipelineSpec extends AnyFunSuite {
     val lineage = spark.read.parquet(s"$out1/lineage")
     assert(lineage.count() > 0)
     assert(lineage.columns.toSet ==
-      Set("stage", "partition_id", "rows_in", "rows_out", "wall_ms"))
+      Set("stage", "partition_id", "attempt", "rows_in", "rows_out", "wall_ms"))
+  }
+
+  test("lineage dedups retried/speculative task attempts to one row per partition") {
+    val c = Lineage.collector(spark)
+    // simulate a retried partition: attempt 0 ran (partially), attempt 1 reran
+    c.acc.add(LineageRow("stage_x", 3, 0, 10, 10, 5))
+    c.acc.add(LineageRow("stage_x", 3, 1, 10, 10, 7))
+    c.acc.add(LineageRow("stage_x", 4, 0, 2, 2, 1))
+    // speculative duplicate of the SAME attempt (identical row)
+    c.acc.add(LineageRow("stage_x", 4, 0, 2, 2, 1))
+    val rows = c.rows
+    assert(rows.size == 2)
+    assert(rows.find(_.partition_id == 3).get.attempt == 1)
+    assert(rows.find(_.partition_id == 4).get == LineageRow("stage_x", 4, 0, 2, 2, 1))
+  }
+
+  test("materialize plans exactly ONE exchange (dedup reuses the salted repartition)") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val triples = Seq(
+      TripleRow("<s1>", "<p1>", "\"o\"", "u1", ts),
+      TripleRow("<s1>", "<p1>", "\"o\"", "u2", ts), // dup (s,p,o), other prov
+      TripleRow("<s2>", "<p2>", "\"o2\"", "u1", ts)).toDS()
+    val df = Materialize.withPredHash(triples.toDF(), Materialize.DefaultPredBuckets)
+      .withColumn("subj_salt",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"subj"),
+          org.apache.spark.sql.functions.lit(Materialize.DefaultSalt)))
+      .repartition($"pred_hash", $"subj_salt")
+      .groupBy($"pred_hash", $"subj_salt", $"subj", $"pred", $"obj")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+
+    // and end-to-end: write dedups + keeps deterministic min provenance
+    val out = Files.createTempDirectory("graft-mat").toString
+    Materialize.write(triples, out)
+    val got = Materialize.read(spark, s"$out/")
+      .select("subj", "pred", "obj", "src_url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("<s1>", "<p1>", "\"o\"", "u1"), // min(src_url, warc_ts) wins
+      ("<s2>", "<p2>", "\"o2\"", "u1")))
   }
 
   test("triple P/R vs single-threaded oracle ≥ 0.95 (exactly 1.0 by construction)") {
