@@ -24,15 +24,50 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has either an oracle or is explicitly rows-only") {
-    // emb04 (bucketed ANN) is the deliberate rows-only entry: its oracle
-    // would be the brute-force SQL restricted to SRP buckets — exercised
-    // structurally by OpsSpec instead
-    val rowsOnly = Set("emb04_ann_bucketed")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("EVERY query has a DuckDB oracle (no rows-only entries left)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"oracles without query: $stale")
+  }
+
+  test("parse_turtle_safe: malformed docs yield error rows, job survives") {
+    graft.expr.TurtleFunctions.register(spark)
+    import spark.implicits._
+    Seq(
+      (1L, "@prefix p: <http://e/> . p:a p:b p:c ."),
+      (2L, "<http://a b> <http://p> <http://o> ."), // lex error: space in IRI
+      (3L, "<doc> <p> \"x\" .")                     // build error: no base IRI
+    ).toDF("doc_id", "ttl").createOrReplaceTempView("safe_docs")
+    val got = spark.sql(
+      """SELECT doc_id, t.subj, t.err FROM safe_docs
+        |LATERAL VIEW parse_turtle_safe(ttl) t AS subj, pred, obj, err""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(got.length == 3)
+    assert(got.count { case (_, s, e) => s.isDefined && e.isEmpty } == 1)
+    val errs = got.filter(_._3.isDefined)
+    assert(errs.map(_._1).toSet == Set(2L, 3L))
+    assert(errs.forall(_._2.isEmpty))
+  }
+
+  test("parseTurtleUdf (functions.udf surface) explodes to the same triples") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("@prefix p: <http://e/> . p:a p:b p:c , p:d .").toDF("ttl")
+    val got = df.select(explode(graft.expr.TurtleFunctions.parseTurtleUdf(col("ttl"))).as("t"))
+      .select("t._1", "t._2", "t._3").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("<http://e/a>", "http://e/b", "<http://e/c>"),
+      ("<http://e/a>", "http://e/b", "<http://e/d>")))
+  }
+
+  test("annBruteForce rejects unbounded query broadcasts") {
+    import spark.implicits._
+    val e = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.ops.EmbeddingOps.annBruteForce(e, nQueries = 1000000, k = 5)
+    }
   }
 
   test("q05 pushes its filters into the parquet scan and prunes columns") {

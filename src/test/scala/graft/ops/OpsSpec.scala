@@ -144,6 +144,25 @@ class OpsSpec extends AnyFunSuite {
     assert(nn(0L) == 1L && nn(1L) == 0L)
   }
 
+  test("IVF: identical vectors share a cell; near-copy is the top neighbour") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(1.01f, 2.0f, 3.0f, 4.0f)) // near-copy → same nearest centroid
+    ).toDF("vec_id", "embedding")
+    val cells = EmbeddingOps.ivfAssign(e, cells = 8, dims = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(0L) == cells(1L) && cells(0L) == cells(2L))
+    val nn = EmbeddingOps.annIvf(e, cells = 8, k = 1, dims = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nn(0L) == 1L) // exact copy beats near-copy
+    // centroids are deterministic
+    assert(EmbeddingOps.ivfCentroid(3, 8).sameElements(EmbeddingOps.ivfCentroid(3, 8)))
+    assert(EmbeddingOps.ivfCentroid(3, 8).forall(v => v >= -1000L && v <= 1000L))
+  }
+
   test("multimodal image round-trip: decode(encode(id)) recovers the header") {
     val m = MultimodalOps.decodeFakeImage(123L, MultimodalOps.encodeFakeImage(123L))
     assert(m.width == 64 + 123 % 512)
