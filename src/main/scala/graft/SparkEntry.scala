@@ -264,6 +264,13 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))),
 
+    // IVF scale path: 8 deterministic centroids → per-cell search (~N/8
+    // candidates/query), the coarse-quantizer sibling of emb04's LSH
+    "emb05_ann_ivf" -> ((s, d) =>
+      EmbeddingOps.annIvf(t(s, d, "embeddings"), cells = 8, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))),
+
     // -------------------------------------------------- multimodal stubs
     "mm01_image_meta" -> ((s, d) =>
       MultimodalOps.imageMetadata(t(s, d, "documents"))
@@ -414,6 +421,43 @@ object SparkEntry {
        |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
        |FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of [[EmbeddingOps.annIvf]]: centroid list literals are
+    * generated from the same [[EmbeddingOps.ivfCentroid]] spec; assignment
+    * and scoring are exact integer arithmetic on the grid.
+    */
+  private val ivfOracle: String = {
+    val cents = (0 until EmbeddingOps.IvfCells).map { k =>
+      val c = EmbeddingOps.ivfCentroid(k, 64)
+      val norm = c.map(x => x * x).sum
+      s"SELECT $k AS k, ${c.mkString("[", ", ", "]")} AS c, CAST($norm AS BIGINT) AS cnorm"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+       |  FROM embeddings
+       |), cent AS (
+       |$cents
+       |), assign AS (
+       |  SELECT vec_id, g, k,
+       |    cnorm - 2 * CAST(list_sum(list_transform(list_zip(g, c), p -> p[1] * p[2])) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cent
+       |), cell AS (
+       |  SELECT vec_id, g, k AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, k ASC) rn FROM assign)
+       |  WHERE rn = 1
+       |), n AS (
+       |  SELECT vec_id, g, cell, CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS nn FROM cell
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(CAST(list_sum(list_transform(list_zip(q.g, c.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(q.nn * c.nn AS DOUBLE)) AS cos
+       |  FROM n q JOIN n c ON c.cell = q.cell AND c.vec_id <> q.vec_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) rn FROM scored)
+       |WHERE rn <= 5""".stripMargin
   }
 
   /** SRP bucket expression over a grid-vector column `g` — the DuckDB twin
@@ -638,6 +682,8 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cos DESC, neighbor_id ASC) rn FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    "emb05_ann_ivf" -> ivfOracle,
 
     "mm01_image_meta" ->
       """SELECT doc_id,

@@ -181,13 +181,15 @@ object EmbeddingOps {
       .select(col("vec_id"), col("bucket"))
   }
 
-  /** Bucketed ANN: brute force within SRP buckets only. */
-  def annBucketed(embeddings: DataFrame, nPlanes: Int, k: Int): DataFrame = {
-    val buckets = srpBuckets(embeddings, nPlanes)
-    val g = gridded(embeddings).join(buckets, "vec_id")
-    val a = g.select(col("vec_id").as("query_id"), col("g").as("qg"), col("n").as("nq"), col("bucket"))
-    val b = g.select(col("vec_id").as("neighbor_id"), col("g").as("cg"), col("n").as("nn"), col("bucket"))
-    val scored = a.join(b, Seq("bucket"))
+  /** Cosine top-k restricted to equal values of `keyCol` — the shared
+    * engine of the two approximate scale paths ([[annBucketed]] LSH,
+    * [[annIvf]] IVF): an equi-join on the blocking key replaces the full
+    * cross join; AQE splits any skewed key at runtime.
+    */
+  private def annWithinKey(g: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val a = g.select(col("vec_id").as("query_id"), col("g").as("qg"), col("n").as("nq"), col(keyCol))
+    val b = g.select(col("vec_id").as("neighbor_id"), col("g").as("cg"), col("n").as("nn"), col(keyCol))
+    val scored = a.join(b, Seq(keyCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", idot(col("qg"), col("cg")))
       .withColumn("cos", col("dot").cast("double") / sqrt((col("nq") * col("nn")).cast("double")))
@@ -197,4 +199,49 @@ object EmbeddingOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Bucketed ANN: brute force within SRP buckets only. */
+  def annBucketed(embeddings: DataFrame, nPlanes: Int, k: Int): DataFrame =
+    annWithinKey(gridded(embeddings).join(srpBuckets(embeddings, nPlanes), "vec_id"),
+      "bucket", k)
+
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF-style ANN — the other classic scale path besides LSH: K
+    * deterministic centroids partition the corpus into cells (nearest
+    * centroid by exact integer distance); searches probe the query's own
+    * cell (nprobe = 1). Candidates shrink ~N/K per query.
+    */
+  val IvfCells = 8
+
+  /** Centroid k: deterministic md5-grid vector, components in [-1000, 1000]
+    * — the same spec the DuckDB oracle inlines as list literals.
+    */
+  def ivfCentroid(k: Int, dims: Int = 64): Array[Long] =
+    Array.tabulate(dims)(i => (TextOps.md5Hash60(s"c$k:$i") % 2001L) - 1000L)
+
+  /** (vec_id, cell): nearest centroid by squared euclidean distance on the
+    * grid — argmin_k (|c_k|² − 2·g·c_k), |g|² being constant per row; ties
+    * break to the lowest k (sort_array-of-structs argmin, all columnar,
+    * zero shuffle). Centroids sliced to the row's length so short vectors
+    * never zip against null.
+    */
+  def ivfAssign(embeddings: DataFrame, cells: Int = IvfCells, dims: Int = 64): DataFrame = {
+    val scored = (0 until cells).map { k =>
+      val c = ivfCentroid(k, dims)
+      val cSliced = slice(array(c.map(lit(_)): _*), lit(1), size(col("g")))
+      val dot = aggregate(zip_with(col("g"), cSliced, (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      val norm = aggregate(cSliced, lit(0L), (acc, v) => acc + v * v)
+      struct((norm - dot * 2).as("d"), lit(k).as("k"))
+    }
+    embeddings.select(col("vec_id"), gridCol.as("g"))
+      .withColumn("cell", sort_array(array(scored: _*), asc = true).getItem(0).getField("k"))
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** IVF ANN: brute force within the query's cell only. */
+  def annIvf(embeddings: DataFrame, cells: Int = IvfCells, k: Int, dims: Int = 64): DataFrame =
+    annWithinKey(gridded(embeddings).join(ivfAssign(embeddings, cells, dims), "vec_id"),
+      "cell", k)
 }
