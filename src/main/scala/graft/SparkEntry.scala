@@ -180,6 +180,8 @@ object SparkEntry {
 
     "q13_stream_sessionize" -> ((s, d) => StreamingOps.sessionize(s, d)),
 
+    "q23_stream_watermark" -> ((s, d) => StreamingOps.eventsWatermarked(s, d)),
+
     "q19_cube" -> ((s, d) => {
       val c = t(s, d, "customer")
       val n = t(s, d, "nation")
@@ -788,6 +790,11 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
         |FROM x GROUP BY 1""".stripMargin,
+
+    "q23_stream_watermark" ->
+      """SELECT date_trunc('hour', ts) + to_minutes((minute(ts) // 10) * 10) AS w,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q19_cube" ->
       """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,

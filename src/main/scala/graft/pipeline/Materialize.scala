@@ -57,4 +57,19 @@ object Materialize {
 
   def read(spark: org.apache.spark.sql.SparkSession, out: String): DataFrame =
     spark.read.parquet(out)
+
+  /** Single-predicate read that EXPLOITS the layout: the `pred_hash`
+    * equality folds to a constant and prunes the scan to 1/predBuckets of
+    * the partition directories (PartitionFilters in the plan), then the
+    * row-level `pred` filter pushes into parquet. This is the access path
+    * a downstream "all triples of predicate P" query takes at 100 TB.
+    */
+  def readPred(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      pred: String,
+      predBuckets: Int = DefaultPredBuckets): DataFrame =
+    read(spark, out)
+      .filter(col("pred_hash") === pmod(xxhash64(lit(pred)), lit(predBuckets)) &&
+        col("pred") === pred)
 }

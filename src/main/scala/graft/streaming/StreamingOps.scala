@@ -44,6 +44,41 @@ object StreamingOps {
       .localCheckpoint()
   }
 
+  /** Tumbling 10-minute windows WITH an event-time watermark (10 minutes):
+    * the watermark bounds streaming state — windows older than
+    * `max(event_time) − 10 min` are evicted instead of held forever, the
+    * property that keeps a perpetual 100 TB/day stream's state finite.
+    * UPDATE output mode so the bounded test input (one batch, no late
+    * data) yields exactly the batch answer for the oracle; in production
+    * append mode emits each window once when the watermark passes it.
+    */
+  def eventsWatermarked(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = s"graft_wm_${counter.incrementAndGet()}"
+
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = agg.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(name)
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+      .localCheckpoint()
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
   /** Custom stateful streaming: per-user sessionization via

@@ -181,6 +181,24 @@ class PipelineSpec extends AnyFunSuite {
       ("<s2>", "<p2>", "\"o2\"", "u1")))
   }
 
+  test("readPred prunes pred_hash partitions and pushes the pred filter") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val triples = Seq(
+      TripleRow("<s1>", "<http://kg.example/p1>", "\"a\"", "u", ts),
+      TripleRow("<s2>", "<http://kg.example/p2>", "\"b\"", "u", ts)).toDS()
+    val out = Files.createTempDirectory("graft-prune").toString
+    Materialize.write(triples, out)
+    val read = Materialize.readPred(spark, out, "<http://kg.example/p1>")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("pred_hash"),
+      plan.take(1200))
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(pred"),
+      plan.take(1200))
+    val rows = read.select("subj").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("<s1>"))
+  }
+
   test("triple P/R vs single-threaded oracle ≥ 0.95 (exactly 1.0 by construction)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-kg3").toString
