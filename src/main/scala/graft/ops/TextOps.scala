@@ -160,16 +160,39 @@ object TextOps {
   def shingleAt(text: String, i1: Int): String =
     text.substring(i1 - 1, math.min(i1 - 1 + ShingleLen, text.length))
 
-  def minHashSignature(text: String, nSeeds: Int = MinHashSeeds): Array[Long] = {
+  /** Per-shingle seed-hash vector, memoized per partition: corpus shingles
+    * repeat heavily across documents (shared vocabulary), so the md5 work —
+    * the dominant cost of minhashing — runs once per DISTINCT shingle per
+    * partition instead of once per occurrence. Bounded: the memo resets at
+    * 2^20 entries (~70 MB) to keep executor memory flat on adversarial
+    * corpora.
+    */
+  private def shingleHashes(
+      g: String, nSeeds: Int, memo: java.util.HashMap[String, Array[Long]]): Array[Long] = {
+    val cached = memo.get(g)
+    if (cached != null) cached
+    else {
+      if (memo.size >= (1 << 20)) memo.clear()
+      val a = new Array[Long](nSeeds)
+      var s = 0
+      while (s < nSeeds) { a(s) = md5Hash60(s.toString + ":" + g); s += 1 }
+      memo.put(g, a)
+      a
+    }
+  }
+
+  def minHashSignature(
+      text: String,
+      nSeeds: Int = MinHashSeeds,
+      memo: java.util.HashMap[String, Array[Long]] = new java.util.HashMap()): Array[Long] = {
     val sig = Array.fill(nSeeds)(Long.MaxValue)
     val n = math.max(text.length - (ShingleLen - 1), 1)
     var i = 1
     while (i <= n) {
-      val g = shingleAt(text, i)
+      val h = shingleHashes(shingleAt(text, i), nSeeds, memo)
       var s = 0
       while (s < nSeeds) {
-        val h = md5Hash60(s.toString + ":" + g)
-        if (h < sig(s)) sig(s) = h
+        if (h(s) < sig(s)) sig(s) = h(s)
         s += 1
       }
       i += 1
@@ -184,10 +207,13 @@ object TextOps {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val s = minHashSignature(text)
-        (id, s(0), s(1), s(2), s(3))
-      }).toDF("doc_id", "mh0", "mh1", "mh2", "mh3")
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[Long]](1 << 14)
+        it.map { case (id, text) =>
+          val s = minHashSignature(text, MinHashSeeds, memo)
+          (id, s(0), s(1), s(2), s(3))
+        }
+      }.toDF("doc_id", "mh0", "mh1", "mh2", "mh3")
       .withColumn("bucket", md5(concat_ws("_", col("mh0"), col("mh1"), col("mh2"), col("mh3"))))
   }
 
@@ -222,12 +248,15 @@ object TextOps {
     val spark = documents.sparkSession
     import spark.implicits._
     val bandRows = documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val sig = minHashSignature(text, BandedSeeds)
-        (0 until Bands).iterator.map { b =>
-          (id, md5Hex(s"$b:${sig(2 * b)}_${sig(2 * b + 1)}"))
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[Long]](1 << 14)
+        it.flatMap { case (id, text) =>
+          val sig = minHashSignature(text, BandedSeeds, memo)
+          (0 until Bands).iterator.map { b =>
+            (id, md5Hex(s"$b:${sig(2 * b)}_${sig(2 * b + 1)}"))
+          }
         }
-      }).toDF("doc_id", "band")
+      }.toDF("doc_id", "band")
     val a = bandRows.withColumnRenamed("doc_id", "a")
     val b = bandRows.withColumnRenamed("doc_id", "b")
     a.join(b, Seq("band"))
