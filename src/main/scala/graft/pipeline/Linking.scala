@@ -124,9 +124,16 @@ object Linking {
     // exploded token table (the widest data in the stage).
     val mentionsPart = mentions.repartition($"mention_id")
 
+    // `tid` dictionary-encodes the token AT THE EXPLODE (vocabulary
+    // interning, reference `src/build.rs:75-91`): every aggregation and
+    // join downstream — the widest data in the stage — carries an 8-byte
+    // key; token strings never enter a hash table. (xxhash64 collisions
+    // would merge two vocabulary terms; at 2^64 over a web vocabulary the
+    // expected collision count is ~0, and any collision is deterministic.)
     val mentionTokens = mentionsPart
       .select($"mention_id", explode(split(lower($"context"), "[^\\p{L}\\p{N}&]+")).as("token"))
       .filter(length($"token") > 0)
+      .select($"mention_id", xxhash64($"token").as("tid"))
 
     // the orchestrator already knows |mentions| from its stage manifest —
     // don't pay another scan when provided
@@ -136,20 +143,17 @@ object Linking {
     // document frequency over mention contexts → IDF. Cached: it feeds two
     // broadcasts (mention weights + entity weights) and is tiny, while its
     // input subtree is a full token explode + distinct of the corpus.
-    // `tid` dictionary-encodes the token (vocabulary interning): the wide
-    // shuffles below carry an 8-byte key instead of the token string.
     val idf = mentionTokens.distinct()
-      .groupBy($"token").agg(count(lit(1)).as("df"))
+      .groupBy($"tid").agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(1.0) + lit(nMentions) / $"df"))
-      .withColumn("tid", xxhash64($"token"))
       .cache()
 
     // Cached: reused by both the norm aggregation and the dot-product join —
     // without it the explode+groupBy subtree recomputes once per consumer
     // (this dominated the links stage's CPU in profiling).
     val mentionVec = mentionTokens
-      .groupBy($"mention_id", $"token").agg(count(lit(1)).as("tf"))
-      .join(broadcast(idf), "token") // idf ≈ |vocabulary| rows — tiny
+      .groupBy($"mention_id", $"tid").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), "tid") // idf ≈ |vocabulary| rows — tiny
       .select($"mention_id", $"tid", ($"tf" * $"idf").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -157,7 +161,8 @@ object Linking {
       .agg(sqrt(sum($"w" * $"w")).as("m_norm"))
 
     val entityVec = profiles
-      .join(broadcast(idf), "token") // tokens absent from the corpus can't contribute
+      .withColumn("tid", xxhash64($"token"))
+      .join(broadcast(idf), "tid") // tokens absent from the corpus can't contribute
       .select($"entity_iri", $"tid", $"idf".as("w"))
 
     val entityNorm = entityVec.groupBy($"entity_iri")
