@@ -247,6 +247,10 @@ object SparkEntry {
 
     "td09_minhash_pairs" -> ((s, d) => TextOps.minHashBandPairs(t(s, d, "documents"))),
 
+    "td10_tokens_bpe" -> ((s, d) => TextOps.bpeTokenCounts(t(s, d, "documents"))),
+
+    "td11_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(t(s, d, "documents"))),
+
     // --------------------------------------------------- similarity search
     "emb01_ann_topk" -> ((s, d) =>
       EmbeddingOps.annBruteForce(t(s, d, "embeddings"), nQueries = 10, k = 5)
@@ -366,6 +370,36 @@ object SparkEntry {
 
   private val mentionTermValues: String =
     GraphOps.MentionDict.map(w => s"('$w')").mkString(", ")
+
+  /** DuckDB twin of [[TextOps.rollingFingerprints]]: window hashes as
+    * Σ h·B^j over the same literal power table; HUGEINT sums mod P.
+    */
+  private val rollingOracle: String = {
+    val pows = TextOps.RollPows.mkString("[", ", ", "]")
+    val W = TextOps.RollWindow
+    val P = TextOps.RollMod
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(regexp_extract_all(text, '\\S+'),
+       |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $P) AS hs
+       |  FROM documents
+       |), wins AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(generate_series(1, $W),
+       |      j -> hs[CAST(i + j - 1 AS INTEGER)] * ($pows)[CAST(j AS INTEGER)]))
+       |      % $P AS BIGINT) AS h
+       |  FROM toks, unnest(generate_series(1, len(hs) - ${W - 1})) u(i)
+       |  WHERE len(hs) >= $W
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(w.min_whash, -1) AS BIGINT) AS min_whash,
+       |  CAST(coalesce(w.n_selected, 0) AS BIGINT) AS n_selected
+       |FROM documents d
+       |LEFT JOIN (
+       |  SELECT doc_id, COUNT(*) AS n_windows, MIN(h) AS min_whash,
+       |    SUM(CASE WHEN h % 64 = 0 THEN 1 ELSE 0 END) AS n_selected
+       |  FROM wins GROUP BY 1) w ON w.doc_id = d.doc_id""".stripMargin
+  }
 
   /** DuckDB twin of [[GraphOps.parseTurtleRich]]: the 14 triples per doc as
     * a UNION ALL, pinned against a scratch run of the conformance builder
@@ -602,6 +636,16 @@ object SparkEntry {
         |FROM bits GROUP BY 1""".stripMargin,
 
     "td09_minhash_pairs" -> minhashBandOracle,
+
+    "td10_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_pieces,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]+')) AS BIGINT) AS n_word_pieces,
+        |  CAST(len(regexp_extract_all(text, '[\p{N}]+')) AS BIGINT) AS n_num_pieces,
+        |  CAST(len(regexp_extract_all(text, '[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_sym_pieces
+        |FROM documents""".stripMargin,
+
+    "td11_rolling_fingerprint" -> rollingOracle,
 
     "td08_ngram_jaccard" ->
       """WITH sh AS (

@@ -46,6 +46,24 @@ object GraphOps {
       }.toDF("doc_id", "subj", "pred", "obj")
   }
 
+  /** Distributed Turtle FILE source — the reference's file-source entry
+    * point (`examples/simple.rs:15-37`) at cluster scale: every `*.ttl`
+    * under `dir` is one document (wholetext read, filename = provenance
+    * url); parse failures route to the rejects table instead of failing
+    * the job; blank-node labels are doc-scoped so documents merge into one
+    * global graph without label collisions.
+    */
+  def readTurtleDir(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.Dataset[graft.pipeline.TripleRow],
+         org.apache.spark.sql.Dataset[graft.pipeline.Reject]) = {
+    import spark.implicits._
+    val docs = spark.read.option("wholetext", "true").text(s"$dir/*.ttl")
+      .select(input_file_name().as("url"), col("value"))
+      .as[(String, String)]
+      .map { case (url, text) => (url, new java.sql.Timestamp(0L), text) }
+    graft.pipeline.TripleEmit.ingestTurtle(docs)
+  }
+
   /** Lenient typed twin of [[parseTurtle]] over (doc_id, ttl) rows: a
     * malformed document yields one `(doc_id, null, null, null, err)` row
     * instead of an exception (reference diagnostic-sink semantics,

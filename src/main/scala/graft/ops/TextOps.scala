@@ -40,6 +40,87 @@ object TextOps {
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), size(tokensCol(col("text"))).as("n_tokens"))
 
+  /** BPE-ish piece counting: the pre-tokenization regex families real BPE
+    * tokenizers apply before merges — letter runs, digit runs, and
+    * non-space symbol runs are separate pieces ("abc123!?" → 3 pieces,
+    * where whitespace counting sees 1). Pure codegen'd built-ins.
+    */
+  val BpePattern = "[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokenCounts(documents: DataFrame): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    documents.select(
+      col("doc_id"),
+      size(pieces).cast("long").as("n_pieces"),
+      size(regexp_extract_all(col("text"), lit("[\\p{L}]+"), lit(0))).cast("long").as("n_word_pieces"),
+      size(regexp_extract_all(col("text"), lit("[\\p{N}]+"), lit(0))).cast("long").as("n_num_pieces"),
+      size(regexp_extract_all(col("text"), lit("[^\\s\\p{L}\\p{N}]+"), lit(0))).cast("long").as("n_sym_pieces"))
+  }
+
+  // ------------------------------------------- rolling-hash fingerprinting
+
+  val RollWindow = 8
+  val RollBase = 131L
+  val RollMod = 1000000007L
+
+  /** B^(W-1-j) mod P for j = 0..W-1 — shared with the SQL oracle as a
+    * literal list.
+    */
+  val RollPows: Array[Long] = {
+    val a = new Array[Long](RollWindow)
+    a(RollWindow - 1) = 1L
+    var j = RollWindow - 2
+    while (j >= 0) { a(j) = (a(j + 1) * RollBase) % RollMod; j -= 1 }
+    a
+  }
+
+  /** Rabin-Karp rolling fingerprint over whitespace tokens: each length-8
+    * token window hashes to Σ h(tok_j)·B^(7-j) mod P; the document's
+    * fingerprint is the window-hash minimum plus the count of "selected"
+    * windows (h % 64 == 0 — winnowing-style deterministic sampling, the
+    * primitive behind content-defined chunking for container-level dedup).
+    * Documents shifted by whole tokens share all interior window hashes —
+    * unlike [[fingerprints]]' whole-document md5, which any edit breaks.
+    */
+  def rollingFingerprint(tokens: Array[String]): (Long, Long, Long) = {
+    val n = tokens.length
+    val nWin = math.max(n - RollWindow + 1, 0)
+    if (nWin == 0) return (0L, -1L, 0L)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = md5Hash60(tokens(i)) % RollMod; i += 1 }
+    var minH = Long.MaxValue
+    var selected = 0L
+    var w = 0
+    while (w < nWin) {
+      // direct Σ h·pow — 8 terms of ≤ ~1e18 each stay within Long
+      var h = 0L
+      var j = 0
+      while (j < RollWindow) { h += hs(w + j) * RollPows(j); j += 1 }
+      h %= RollMod
+      if (h < minH) minH = h
+      if (h % 64L == 0L) selected += 1L
+      w += 1
+    }
+    (nWin.toLong, minH, selected)
+  }
+
+  private val AsciiTokenPattern = java.util.regex.Pattern.compile("\\S+")
+
+  /** (doc_id, n_windows, min_whash, n_selected) per document. */
+  def rollingFingerprints(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val m = AsciiTokenPattern.matcher(text)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) buf += m.group()
+        val (nWin, minH, sel) = rollingFingerprint(buf.toArray)
+        (id, nWin, minH, sel)
+      }).toDF("doc_id", "n_windows", "min_whash", "n_selected")
+  }
+
   /** Per-document quality signals: length, tokens, mean token length,
     * stopword ratio, punctuation count — ratios rounded to 4 decimals so
     * double formatting is cross-engine-stable.

@@ -181,6 +181,25 @@ class PipelineSpec extends AnyFunSuite {
       ("<s2>", "<p2>", "\"o2\"", "u1")))
   }
 
+  test("readTurtleDir parses the 29-fixture corpus through Spark, zero rejects") {
+    val dir = "src/test/resources/turtle/positive"
+    val (triples, rejects) = graft.ops.GraphOps.readTurtleDir(spark, dir)
+    assert(rejects.count() == 0)
+    val got = triples.collect().groupBy(_.src_url)
+      .map { case (url, ts) => url -> ts.map(t => (t.subj, t.pred, t.obj)).toSet }
+    assert(got.size == 29)
+    // per-file equivalence with a driver-side scoped parse of the same bytes
+    got.foreach { case (url, spark_triples) =>
+      val path = java.nio.file.Paths.get(new java.net.URI(url))
+      val text = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val tag = java.lang.Long.toHexString(Mentions.hash64(url))
+      val expected = graft.turtle.Turtle.parseToTriplesScoped(text, tag)
+        .toOption.get.map(t => (t.subj.render, t.pred, t.obj.render)).toSet
+      assert(spark_triples == expected, s"mismatch for $url")
+    }
+  }
+
   test("readPred prunes pred_hash partitions and pushes the pred filter") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
