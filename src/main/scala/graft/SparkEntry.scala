@@ -182,6 +182,8 @@ object SparkEntry {
 
     "q23_stream_watermark" -> ((s, d) => StreamingOps.eventsWatermarked(s, d)),
 
+    "q24_stream_dedup" -> ((s, d) => StreamingOps.dedupedUserCounts(s, d)),
+
     "q19_cube" -> ((s, d) => {
       val c = t(s, d, "customer")
       val n = t(s, d, "nation")
@@ -241,6 +243,8 @@ object SparkEntry {
     "td06_minhash" -> ((s, d) => TextOps.minHashes(t(s, d, "documents"))),
 
     "td07_simhash" -> ((s, d) => TextOps.simHashes(t(s, d, "documents"))),
+
+    "td12_simhash_pairs" -> ((s, d) => TextOps.simHashPairs(t(s, d, "documents"))),
 
     "td08_ngram_jaccard" -> ((s, d) =>
       TextOps.ngramJaccardPairs(t(s, d, "documents"), prefixLen = 120, minJaccard = 0.10)),
@@ -370,6 +374,22 @@ object SparkEntry {
 
   private val mentionTermValues: String =
     GraphOps.MentionDict.map(w => s"('$w')").mkString(", ")
+
+  /** DuckDB twin of [[TextOps.simHashes]] — shared by the td07 oracle and
+    * td12's band-join oracle.
+    */
+  private val simhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+      |), h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+      |), bits AS (
+      |  SELECT doc_id, b.b AS b,
+      |    SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY 1""".stripMargin
 
   /** DuckDB twin of [[TextOps.rollingFingerprints]]: window hashes as
     * Σ h·B^j over the same literal power table; HUGEINT sums mod P.
@@ -622,18 +642,21 @@ object SparkEntry {
         |  md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket
         |FROM sig""".stripMargin,
 
-    "td07_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
-        |), h AS (
-        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
-        |), bits AS (
-        |  SELECT doc_id, b.b AS b,
-        |    SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY 1""".stripMargin,
+    "td07_simhash" -> simhashSql,
+
+    "td12_simhash_pairs" ->
+      s"""WITH sh AS (
+         |$simhashSql
+         |), bands AS (
+         |  SELECT doc_id, simhash, b.b AS band_id,
+         |    (simhash >> (15 * CAST(b.b AS INTEGER))) & 32767 AS band_val
+         |  FROM sh, generate_series(0, 3) b(b))
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM bands x
+         |JOIN bands y ON x.band_id = y.band_id AND x.band_val = y.band_val
+         |  AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6""".stripMargin,
 
     "td09_minhash_pairs" -> minhashBandOracle,
 
@@ -839,6 +862,9 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) + to_minutes((minute(ts) // 10) * 10) AS w,
         |  event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q24_stream_dedup" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
 
     "q19_cube" ->
       """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,

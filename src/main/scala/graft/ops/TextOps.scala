@@ -230,6 +230,34 @@ object TextOps {
       }.toDF("doc_id", "simhash")
   }
 
+  /** Near-duplicate candidate pairs from SimHash — Hamming-space LSH: the
+    * 60-bit fingerprint splits into 4 bands of 15 bits; by pigeonhole any
+    * pair within Hamming distance 3 shares ≥1 exact band (and pairs ≤ 6
+    * still collide with high probability). Candidates from the band
+    * equi-join verify exactly via `bit_count(xor)` — all codegen'd
+    * built-ins, shuffle O(docs × 4), never O(docs²).
+    */
+  def simHashPairs(documents: DataFrame, maxDist: Int = 6): DataFrame = {
+    val sh = simHashes(documents)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L)).as("band_val"))
+    }
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"), col("bv.band_id"), col("bv.band_val"))
+    val x = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("a"), col("simhash").as("sa"))
+    val y = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("b"), col("simhash").as("sb"))
+    x.join(y, Seq("band_id", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .distinct() // a pair colliding in several bands has one hamming value
+      .filter(col("hamming") <= maxDist)
+  }
+
   // ------------------------------------------------------------- MinHash
 
   val MinHashSeeds = 4

@@ -79,6 +79,39 @@ object StreamingOps {
       .localCheckpoint()
   }
 
+  /** Streaming DEDUP: `dropDuplicates` keyed on (user_id, event_type)
+    * ahead of the aggregation — distinct-users-per-type over a stream.
+    * State is bounded by the key space (users × types), the pattern a
+    * training-data ingest uses to idempotently absorb re-delivered
+    * records; pair the key with an event-time column +
+    * `dropDuplicatesWithinWatermark` when the key space itself is
+    * unbounded.
+    */
+  def dedupedUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = s"graft_dedup_${counter.incrementAndGet()}"
+
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = stream
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(name).localCheckpoint()
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
   /** Custom stateful streaming: per-user sessionization via
