@@ -290,6 +290,8 @@ object SparkEntry {
 
     "mm02_audio_energy" -> ((s, d) => MultimodalOps.audioFeatures(t(s, d, "documents"))),
 
+    "mm04_image_resize" -> ((s, d) => MultimodalOps.resizeHalf(t(s, d, "documents"))),
+
     "mm03_frame_sample" -> ((s, d) =>
       MultimodalOps.frameSample(t(s, d, "documents"))
         .select(col("doc_id"), col("sample_no").cast("long").as("sample_no"),
@@ -767,6 +769,15 @@ object SparkEntry {
         |  (SELECT CAST(SUM(s * s) AS BIGINT) FROM (
         |     SELECT ((doc_id * 31 + i.i * 17) % 65536) - 32768 AS s
         |     FROM generate_series(0, 255) i(i)) q) AS energy_sq
+        |FROM documents""".stripMargin,
+
+    "mm04_image_resize" ->
+      """SELECT doc_id,
+        |  CAST(greatest((64 + doc_id % 512) // 2, 1) AS BIGINT) AS width,
+        |  CAST(greatest((64 + (doc_id * 7) % 512) // 2, 1) AS BIGINT) AS height,
+        |  md5(md5(CAST(doc_id AS VARCHAR)) || 'x'
+        |    || CAST(greatest((64 + doc_id % 512) // 2, 1) AS VARCHAR) || 'x'
+        |    || CAST(greatest((64 + (doc_id * 7) % 512) // 2, 1) AS VARCHAR)) AS payload_md5
         |FROM documents""".stripMargin,
 
     "mm03_frame_sample" ->

@@ -59,6 +59,33 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Resize stub — the missing quarter of the multimodal quartet
+    * (decode / feature-extract / frame-sample / RESIZE): decode the
+    * container, halve the dimensions (min 1), produce a deterministic
+    * "resampled" payload (md5 of old-payload × new-dims — where a real
+    * implementation would run the interpolation kernel), re-encode the
+    * container, and decode the result — the full binary round-trip a real
+    * resize stage performs, with an exact SQL oracle.
+    */
+  def resizeHalf(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = decodeFakeImage(id, encodeFakeImage(id))
+        val w2 = math.max(img.width / 2, 1)
+        val h2 = math.max(img.height / 2, 1)
+        val payload = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${img.payload_md5}x${w2}x$h2"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val buf = java.nio.ByteBuffer.allocate(4 + 4 + 4 + 1 + 16)
+        buf.put("IMG1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        buf.putInt(w2).putInt(h2).put(img.channels.toByte).put(payload)
+        val out = decodeFakeImage(id, buf.array())
+        (id, out.width.toLong, out.height.toLong, out.payload_md5)
+      }).toDF("doc_id", "width", "height", "payload_md5")
+  }
+
   /** Fake audio: 256 deterministic s16 samples per doc; "feature extract"
     * computes the integer energy (Σ s²) — exact, oracle-expressible.
     */
