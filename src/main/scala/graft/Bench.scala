@@ -27,8 +27,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => Excluded.contains(name) }
+
+    // JIT/codegen warmup at the smallest SF (same protocol as ScalingBench/
+    // ParserBench): the first execution of each query family pays janino
+    // compilation of its generated code plus JVM JIT — fixed per-process
+    // cost, not a property of the measured plan (profiled: emb01 4.7 s cold
+    // vs 0.7 s warm on identical data)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    timed.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+    }
+
+    val results = timed
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); () }

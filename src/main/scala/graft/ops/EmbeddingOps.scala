@@ -62,9 +62,13 @@ object EmbeddingOps {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val g = gridded(embeddings).as[(Long, Array[Long], Long)]
-    // queries are the tiny side (bounded above) → broadcast them, stream the corpus
+    // queries are the tiny side (bounded above) → broadcast them, stream the
+    // corpus. Filter BEFORE the grid projection (Column filter, not a typed
+    // lambda) so the vec_id predicate pushes into the parquet scan and the
+    // query-collect job grids nQueries rows, not the whole corpus.
     val queries = spark.sparkContext.broadcast(
-      g.filter(_._1 < nQueries).collect().sortBy(_._1))
+      gridded(embeddings.filter(col("vec_id") < nQueries))
+        .as[(Long, Array[Long], Long)].collect().sortBy(_._1))
     val scored = g.mapPartitions { it =>
       val qs = queries.value
       it.flatMap { case (cid, cg, cn) =>

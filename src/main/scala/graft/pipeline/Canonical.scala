@@ -60,18 +60,26 @@ object Canonical {
 
       // pointer jumping (shortcutting): adopt the label of your label —
       // halves chain depth each round, O(log diameter) total rounds.
-      // `changed` rides along INTO the checkpoint so convergence costs one
-      // cheap scan of checkpointed partitions, not a second join pass
-      // (round 1 paid two full jobs per iteration).
+      // Convergence detection costs ZERO extra jobs: an accumulator counts
+      // changed rows DURING the checkpoint materialization itself (round 1
+      // paid a second full join pass; the first fix paid a scan job).
+      // At-least-once accumulator semantics are safe for a "> 0" test —
+      // retried tasks can only re-add rows that genuinely changed, never
+      // invent changes on a converged frame.
       val parents = updated.select($"id".as("component"), $"component".as("jump"))
       val jumped = updated.join(parents, Seq("component"), "left")
         .select($"id", least($"component", coalesce($"jump", $"component")).as("component"),
           $"changed")
 
-      val next = jumped.localCheckpoint()
-      val changed = next.agg(coalesce(max($"changed"), lit(false))).head().getBoolean(0)
-      labels = next.drop("changed")
-      converged = !changed
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc.changed.$iter")
+      // id-type-agnostic (ids are Longs in doc CC, String IRIs in entity
+      // canonicalization): an always-true filter UDF counts as it streams
+      val countChanged = udf { c: Boolean => if (c) changedAcc.add(1L); true }
+      val next = jumped.filter(countChanged($"changed"))
+        .drop("changed")
+        .localCheckpoint() // eager: populates the accumulator
+      labels = next
+      converged = changedAcc.value == 0L
       iter += 1
     }
     sym.unpersist()
