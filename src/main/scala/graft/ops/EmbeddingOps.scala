@@ -159,25 +159,28 @@ object EmbeddingOps {
   def srpSign(p: Int, i: Int): Long =
     if ((TextOps.md5Hash60(s"$p:$i") & 1L) == 1L) 1L else -1L
 
-  def srpBuckets(embeddings: DataFrame, nPlanes: Int, dims: Int = 64): DataFrame = {
+  /** SRP bucket as a single Column over a grid column `g` — composable
+    * into the same projection that computes the grid (no self-join).
+    */
+  private def srpBucketExpr(nPlanes: Int, dims: Int): org.apache.spark.sql.Column = {
     // signs depend only on (plane, index) — precompute per-plane ±1 vectors
     // on the driver and inline them as array literals, instead of hashing
     // md5("p:i") once per ELEMENT PER ROW inside the plan
-    val planeExprs = (0 until nPlanes).map { p =>
+    val bits = (0 until nPlanes).map { p =>
       val signs = array((0 until dims).map(i => lit(srpSign(p, i))): _*)
       // slice to the row's length: shorter vectors must not zip against null
-      aggregate(
-        zip_with(col("g"), slice(signs, lit(1), size(col("g"))), (x, s) => x * s),
+      val s = aggregate(
+        zip_with(col("g"), slice(signs, lit(1), size(col("g"))), (x, sg) => x * sg),
         lit(0L), (acc, v) => acc + v)
+      (s > 0).cast("int")
     }
-    val withBits = planeExprs.zipWithIndex.foldLeft(
-      embeddings.select(col("vec_id"), gridCol.as("g"))) { case (df, (e, p)) =>
-      df.withColumn(s"bit$p", (e > 0).cast("int"))
-    }
-    withBits.withColumn("bucket",
-      concat_ws("", (0 until nPlanes).map(p => col(s"bit$p")): _*))
-      .select(col("vec_id"), col("bucket"))
+    concat_ws("", bits: _*)
   }
+
+  def srpBuckets(embeddings: DataFrame, nPlanes: Int, dims: Int = 64): DataFrame =
+    embeddings.select(col("vec_id"), gridCol.as("g"))
+      .withColumn("bucket", srpBucketExpr(nPlanes, dims))
+      .select(col("vec_id"), col("bucket"))
 
   /** Cosine top-k restricted to equal values of `keyCol` — the shared
     * engine of the two approximate scale paths ([[annBucketed]] LSH,
@@ -235,9 +238,14 @@ object EmbeddingOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
-  /** Bucketed ANN: brute force within SRP buckets only. */
-  def annBucketed(embeddings: DataFrame, nPlanes: Int, k: Int): DataFrame =
-    annWithinKey(gridded(embeddings).join(srpBuckets(embeddings, nPlanes), "vec_id"),
+  /** Bucketed ANN: brute force within SRP buckets only. The bucket is
+    * computed in the SAME projection as the grid (no self-join back to the
+    * table): the whole op is scan → project → one groupByKey exchange —
+    * plan-guarded in OpsSpec.
+    */
+  def annBucketed(embeddings: DataFrame, nPlanes: Int, k: Int, dims: Int = 64): DataFrame =
+    annWithinKey(
+      gridded(embeddings).withColumn("bucket", srpBucketExpr(nPlanes, dims)),
       "bucket", k)
 
   // ------------------------------------------------------------------ IVF
@@ -261,7 +269,10 @@ object EmbeddingOps {
     * zero shuffle). Centroids sliced to the row's length so short vectors
     * never zip against null.
     */
-  def ivfAssign(embeddings: DataFrame, cells: Int = IvfCells, dims: Int = 64): DataFrame = {
+  /** Cell-assignment Column over a grid column `g` — composable into the
+    * same projection that computes the grid (no self-join).
+    */
+  private def ivfCellExpr(cells: Int, dims: Int): org.apache.spark.sql.Column = {
     val scored = (0 until cells).map { k =>
       val c = ivfCentroid(k, dims)
       val cSliced = slice(array(c.map(lit(_)): _*), lit(1), size(col("g")))
@@ -270,13 +281,20 @@ object EmbeddingOps {
       val norm = aggregate(cSliced, lit(0L), (acc, v) => acc + v * v)
       struct((norm - dot * 2).as("d"), lit(k).as("k"))
     }
-    embeddings.select(col("vec_id"), gridCol.as("g"))
-      .withColumn("cell", sort_array(array(scored: _*), asc = true).getItem(0).getField("k"))
-      .select(col("vec_id"), col("cell"))
+    sort_array(array(scored: _*), asc = true).getItem(0).getField("k")
   }
 
-  /** IVF ANN: brute force within the query's cell only. */
+  def ivfAssign(embeddings: DataFrame, cells: Int = IvfCells, dims: Int = 64): DataFrame =
+    embeddings.select(col("vec_id"), gridCol.as("g"))
+      .withColumn("cell", ivfCellExpr(cells, dims))
+      .select(col("vec_id"), col("cell"))
+
+  /** IVF ANN: brute force within the query's cell only. Like
+    * [[annBucketed]], the cell is computed inline — scan → project → one
+    * groupByKey exchange.
+    */
   def annIvf(embeddings: DataFrame, cells: Int = IvfCells, k: Int, dims: Int = 64): DataFrame =
-    annWithinKey(gridded(embeddings).join(ivfAssign(embeddings, cells, dims), "vec_id"),
+    annWithinKey(
+      gridded(embeddings).withColumn("cell", ivfCellExpr(cells, dims)),
       "cell", k)
 }

@@ -163,6 +163,20 @@ class OpsSpec extends AnyFunSuite {
     assert(EmbeddingOps.ivfCentroid(3, 8).forall(v => v >= -1000L && v <= 1000L))
   }
 
+  test("bucketed/IVF ANN plan exactly ONE exchange (key computed inline, no self-join)") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(2.0f, 1.0f))).toDF("vec_id", "embedding")
+    Seq(
+      EmbeddingOps.annBucketed(e, nPlanes = 4, k = 1, dims = 2),
+      EmbeddingOps.annIvf(e, cells = 4, k = 1, dims = 2)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(1500)}")
+    }
+  }
+
   test("multimodal image round-trip: decode(encode(id)) recovers the header") {
     val m = MultimodalOps.decodeFakeImage(123L, MultimodalOps.encodeFakeImage(123L))
     assert(m.width == 64 + 123 % 512)
