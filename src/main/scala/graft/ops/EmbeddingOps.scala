@@ -20,11 +20,6 @@ object EmbeddingOps {
   private def gridCol = transform(col("embedding"),
     x => round(x.cast("double") * 1000).cast("long"))
 
-  /** (vec_id, norm_sq): integer squared norms on the grid. */
-  def gridNorms(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-      aggregate(gridCol, lit(0L), (acc, v) => acc + v * v).as("norm_sq"))
-
   /** (vec_id, g, n): grid vector + squared norm, computed ONCE per vector —
     * never inside a pairwise join (norm recomputation per pair dominated
     * the first profile of these ops).
