@@ -306,6 +306,8 @@ object SparkEntry {
 
     "kg04_cc" -> ((s, d) => GraphOps.docComponents(t(s, d, "documents"))),
 
+    "kg09_emit_pipeline" -> ((s, d) => GraphOps.emitFromDocs(t(s, d, "documents"))),
+
     // pure-SQL surface: Turtle text assembled by SQL concat, parsed by the
     // native Catalyst Generator expression `parse_turtle` (graft.expr)
     "kg05_parse_turtle_sql" -> ((s, d) => {
@@ -805,6 +807,15 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS extracted_md5 FROM documents",
 
     "kg06_parse_rich" -> parseRichOracle,
+
+    "kg09_emit_pipeline" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, COUNT(*) AS e FROM (
+         |    SELECT doc_id, term FROM documents, (VALUES $mentionTermValues) terms(term)
+         |    WHERE len(text) - len(replace(text, term, '')) > 0)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, CAST(3 + 2 * coalesce(m.e, 0) AS BIGINT) AS n_triples
+         |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin,
 
     "kg07_parse_lenient" ->
       """SELECT doc_id,

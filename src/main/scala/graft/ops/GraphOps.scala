@@ -162,6 +162,31 @@ object GraphOps {
       }.toDF("doc_id", "term", "n")
   }
 
+  /** The PIPELINE's triple-emission path on the shared corpus: mention
+    * detection (broadcast Aho-Corasick) → per-doc entity set → the real
+    * emitter ([[graft.pipeline.TripleEmit.turtleForPage]]) writes each
+    * page's Turtle document → the embedded conformance parser re-parses it.
+    * Output (doc_id, n_triples) has a closed form the DuckDB oracle checks:
+    * 3 metadata triples + 2 per mentioned entity (kg:mentions + kg:label).
+    */
+  def emitFromDocs(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mentionsPerDoc = mentionCounts(documents)
+      .groupBy(col("doc_id")).agg(collect_set(col("term")).as("terms"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(mentionsPerDoc, Seq("doc_id"), "left")
+      .as[(Long, String, Option[Seq[String]])]
+      .mapPartitions(_.map { case (id, lang, terms) =>
+        val ents = terms.getOrElse(Seq.empty).sorted
+          .map(t => (s"http://graft.example/entity/$t", t))
+        val ttl = graft.pipeline.TripleEmit.turtleForPage(s"$DocPrefix$id", 0L, lang, ents)
+        val n = Turtle.parseToTriples(ttl)
+          .fold(e => throw new IllegalStateException(s"doc $id: $e"), _.length)
+        (id, n.toLong)
+      }).toDF("doc_id", "n_triples")
+  }
+
   /** Synthetic forest over doc ids: d (> 0, d % 3 ≠ 0) — edge to d / 2.
     * Distributed CC (hash-to-min self-joins) labels every doc with the min
     * id of its component; singletons keep their own id.
