@@ -62,6 +62,35 @@ class SparkEntrySpec extends AnyFunSuite {
       ("<http://e/a>", "http://e/b", "<http://e/d>")))
   }
 
+  test("GraftExtensions injects parse_turtle/parse_turtle_safe via spark.sql.extensions") {
+    val old = spark // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // programmatic twin of `--conf spark.sql.extensions=graft.expr.GraftExtensions`
+    // (the static conf only applies on a fresh SparkContext, which a shared
+    // test JVM cannot provide)
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.expr.GraftExtensions())
+      .getOrCreate()
+    try {
+      val n = s2.sql(
+        """SELECT count(*) AS n FROM (
+          |  SELECT t.* FROM (SELECT '@prefix p: <http://e/> . p:a p:b p:c .' AS ttl) x
+          |  LATERAL VIEW parse_turtle(ttl) t AS subj, pred, obj)""".stripMargin)
+        .head().getLong(0)
+      assert(n == 1)
+      val errs = s2.sql(
+        """SELECT count(t.err) AS n FROM (SELECT '<bad iri .' AS ttl) x
+          |LATERAL VIEW parse_turtle_safe(ttl) t AS subj, pred, obj, err""".stripMargin)
+        .head().getLong(0)
+      assert(errs == 1)
+    } finally {
+      SparkSession.setActiveSession(old)
+      SparkSession.setDefaultSession(old)
+    }
+  }
+
   test("annBruteForce rejects unbounded query broadcasts") {
     import spark.implicits._
     val e = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
