@@ -184,6 +184,26 @@ object SparkEntry {
 
     "q24_stream_dedup" -> ((s, d) => StreamingOps.dedupedUserCounts(s, d)),
 
+    // FULL OUTER: customers capped at key<100 vs per-customer order counts,
+    // so both left-only rows (customers without orders) and right-only rows
+    // (orders of customers ≥ 100) survive
+    "q25_full_outer" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"))
+    }),
+
+    "q26_string_funcs" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 12).as("head12"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"),
+        instr(col("text"), "the").cast("long").as("first_the"))),
+
     "q19_cube" -> ((s, d) => {
       val c = t(s, d, "customer")
       val n = t(s, d, "nation")
@@ -887,6 +907,18 @@ object SparkEntry {
 
     "q24_stream_dedup" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+
+    "q25_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_mktsegment, o.n_orders
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 100) c
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "q26_string_funcs" ->
+      """SELECT doc_id, substr(text, 1, 12) AS head12,
+        |  CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+        |  CAST(position('the' IN text) AS BIGINT) AS first_the
+        |FROM documents""".stripMargin,
 
     "q19_cube" ->
       """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
