@@ -184,6 +184,20 @@ object SparkEntry {
 
     "q24_stream_dedup" -> ((s, d) => StreamingOps.dedupedUserCounts(s, d)),
 
+    // AS-OF join (composed, single-shuffle): each click joined to the
+    // user's most recent prior-or-equal purchase; DuckDB's native ASOF
+    // JOIN is the oracle
+    "q27_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id")) // unique per (key, ts)
+      graft.ops.RelationalOps.asofJoin(clicks, purchases, "user_id", "ts")
+        .select(col("user_id"), col("click_id"), col("purchase_id").as("last_purchase_id"))
+    }),
+
     // FULL OUTER: customers capped at key<100 vs per-customer order counts,
     // so both left-only rows (customers without orders) and right-only rows
     // (orders of customers ≥ 100) survive
@@ -907,6 +921,17 @@ object SparkEntry {
 
     "q24_stream_dedup" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+
+    "q27_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, ts, MAX(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, c.click_id, p.purchase_id AS last_purchase_id
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "q25_full_outer" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_mktsegment, o.n_orders

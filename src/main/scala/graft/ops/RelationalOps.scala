@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as built-ins, composed from existing
+  * ops per the custom-operator preference order (SURVEY §7.3 / task brief:
+  * "compose existing ops if semantics allow" before custom plans).
+  */
+object RelationalOps {
+
+  /** AS-OF join: for every left row, the single most recent right row with
+    * `right.ts <= left.ts` on the same key (LEFT semantics — unmatched
+    * left rows keep null right columns).
+    *
+    * Composition instead of a range join: tag both sides, union, and take
+    * a running `last(payload, ignoreNulls)` over a (key)-partitioned
+    * window ordered by (ts, side) — right rows sort BEFORE left rows at
+    * equal ts, making the match inclusive. ONE shuffle on the key and a
+    * single sort; no time-bucketing fan-out and no O(|L|·|R|) range-join
+    * explosion, and AQE still splits skewed keys. At 100× scale this is
+    * the plan you want: both inputs exchange once, the window is a single
+    * pass.
+    *
+    * The right payload travels as ONE struct so the matched columns are
+    * atomic (never mixed across right rows). Contract: right rows are
+    * unique per (key, ts) — pre-aggregate otherwise (ties at equal ts
+    * would be order-dependent).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val rightPayloadCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
+    val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    require(leftCols.intersect(rightPayloadCols).isEmpty,
+      s"ambiguous columns: ${leftCols.intersect(rightPayloadCols).mkString(", ")}")
+
+    val payload = struct(rightPayloadCols.map(col): _*).as("_asof_payload")
+    val r = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("_side"), payload) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("_side"),
+        lit(null).cast(r.schema("_asof_payload").dataType).as("_asof_payload")) ++
+        leftCols.map(col): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = r.unionByName(l)
+      .withColumn("_asof", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    matched.select(
+      Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++
+        rightPayloadCols.map(c => col(s"_asof.$c").as(c)): _*)
+  }
+}

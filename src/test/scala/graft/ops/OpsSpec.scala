@@ -177,6 +177,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: inclusive most-recent match, null before first right row") {
+    val s = spark
+    import s.implicits._
+    val left = Seq( // (key, ts, click)
+      (1L, 10L, "c1"), (1L, 20L, "c2"), (1L, 25L, "c3"), (2L, 5L, "c4"))
+      .toDF("k", "ts", "click")
+    val right = Seq( // (key, ts, p)
+      (1L, 20L, "p20"), (1L, 15L, "p15"), (2L, 9L, "p9"))
+      .toDF("k", "ts", "p")
+    val got = RelationalOps.asofJoin(left, right, "k", "ts").collect()
+      .map(r => (r.getAs[String]("click"), Option(r.getAs[String]("p")))).toMap
+    assert(got == Map(
+      "c1" -> None,        // before any purchase of key 1
+      "c2" -> Some("p20"), // equal ts is inclusive
+      "c3" -> Some("p20"),
+      "c4" -> None))       // key 2's purchase is at ts 9 > 5
+  }
+
   test("multimodal image round-trip: decode(encode(id)) recovers the header") {
     val m = MultimodalOps.decodeFakeImage(123L, MultimodalOps.encodeFakeImage(123L))
     assert(m.width == 64 + 123 % 512)
