@@ -198,6 +198,24 @@ object SparkEntry {
         .select(col("user_id"), col("click_id"), col("purchase_id").as("last_purchase_id"))
     }),
 
+    // RANGE join (bucket replication, big×big-safe): purchases within the
+    // 30 minutes before each click, counted per click (zero-count clicks
+    // kept via left join back)
+    "q28_range_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("tsus", unix_micros(col("ts").cast("timestamp")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsus"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsus"), col("event_id").as("purchase_id"))
+      val pairs = graft.ops.RelationalOps
+        .rangeJoin(clicks, purchases, "user_id", "tsus", window = 1800000000L)
+        .groupBy(col("click_id")).agg(count(lit(1)).as("n_recent"))
+      clicks.join(pairs, Seq("click_id"), "left")
+        .select(col("user_id"), col("click_id"),
+          coalesce(col("n_recent"), lit(0L)).as("n_recent"))
+    }),
+
     // FULL OUTER: customers capped at key<100 vs per-customer order counts,
     // so both left-only rows (customers without orders) and right-only rows
     // (orders of customers ≥ 100) survive
@@ -932,6 +950,18 @@ object SparkEntry {
         |SELECT c.user_id, c.click_id, p.purchase_id AS last_purchase_id
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q28_range_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, c.click_id, CAST(COUNT(p.t) AS BIGINT) AS n_recent
+        |FROM clicks c LEFT JOIN purch p
+        |  ON p.user_id = c.user_id AND p.t BETWEEN c.t - 1800000000 AND c.t
+        |GROUP BY 1, 2""".stripMargin,
 
     "q25_full_outer" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_mktsegment, o.n_orders

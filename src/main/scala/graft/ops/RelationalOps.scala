@@ -55,4 +55,37 @@ object RelationalOps {
       Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++
         rightPayloadCols.map(c => col(s"_asof.$c").as(c)): _*)
   }
+
+  /** Bounded RANGE join: all pairs with `right.ts ∈ [left.ts − window,
+    * left.ts]` on the same key (ts is an integral column, e.g. micros).
+    *
+    * Big×big-safe composition — bucket replication: with bucket width =
+    * `window`, any matching right row lives in the left row's bucket or
+    * the one before, so the right side replicates ×2, the join is a plain
+    * equi-join on (key, bucket), and the exact BETWEEN filter finishes the
+    * predicate. Shuffle is O(|L| + 2·|R|) — never the O(|L|·|R|) fan-out
+    * of a theta join — and each qualifying pair is produced exactly once
+    * (the two replicas of a right row carry distinct buckets). Bucket ids
+    * use integral `DIV`, not double division (micros-scale timestamps
+    * would hit ulp errors at bucket boundaries).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      window: Long): DataFrame = {
+    require(window > 0, s"window=$window must be positive")
+    val rightPayloadCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
+    val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    require(leftCols.intersect(rightPayloadCols).isEmpty,
+      s"ambiguous columns: ${leftCols.intersect(rightPayloadCols).mkString(", ")}")
+    val rTs = s"${tsCol}_r"
+
+    val l = left.withColumn("_b", expr(s"`$tsCol` DIV $window"))
+    val rBase = right.withColumnRenamed(tsCol, rTs)
+    val rr = rBase.withColumn("_b", expr(s"`$rTs` DIV $window"))
+      .unionByName(rBase.withColumn("_b", expr(s"`$rTs` DIV $window") + 1))
+
+    l.join(rr, Seq(keyCol, "_b"))
+      .filter(col(rTs) >= col(tsCol) - window && col(rTs) <= col(tsCol))
+      .select(Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++
+        (Seq(col(rTs)) ++ rightPayloadCols.map(col)): _*)
+  }
 }

@@ -195,6 +195,23 @@ class OpsSpec extends AnyFunSuite {
       "c4" -> None))       // key 2's purchase is at ts 9 > 5
   }
 
+  test("rangeJoin: inclusive bounds, boundary buckets, no duplicate pairs") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, "l1"), (1L, 10L, "l2"), (2L, 100L, "l3"))
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 90L, "r90"),   // within [90, 100] of l1 (boundary: ts - window)
+      (1L, 100L, "r100"), // equal ts — inclusive
+      (1L, 89L, "r89"),   // just outside l1's window
+      (2L, 95L, "r95"))
+      .toDF("k", "ts", "rid")
+    val got = RelationalOps.rangeJoin(left, right, "k", "ts", window = 10L)
+      .collect().map(r => (r.getAs[String]("lid"), r.getAs[String]("rid")))
+    assert(got.toSet == Set(("l1", "r90"), ("l1", "r100"), ("l3", "r95")))
+    assert(got.length == 3, s"duplicate pairs: ${got.toSeq}")
+  }
+
   test("multimodal image round-trip: decode(encode(id)) recovers the header") {
     val m = MultimodalOps.decodeFakeImage(123L, MultimodalOps.encodeFakeImage(123L))
     assert(m.width == 64 + 123 % 512)
