@@ -36,8 +36,15 @@ object Bench {
     // cost, not a property of the measured plan (profiled: emb01 4.7 s cold
     // vs 0.7 s warm on identical data)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    timed.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
+      System.err.println(s"[bench] WARNING: warm dir $warmDir missing — " +
+        "measured numbers will include cold-start (JIT/codegen) cost")
+    timed.foreach { case (name, fn) =>
+      try { fn(spark, warmDir).count(); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] WARNING: warmup of $name failed: $e")
+      }
     }
 
     val results = timed

@@ -28,11 +28,17 @@ object RelationalOps {
     * unique per (key, ts) — pre-aggregate otherwise (ties at equal ts
     * would be order-dependent).
     */
+  /** Internal column names reserved by [[asofJoin]]. */
+  private val AsofReserved = Set("_side", "_asof_payload", "_asof")
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
     val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
     require(leftCols.intersect(rightPayloadCols).isEmpty,
       s"ambiguous columns: ${leftCols.intersect(rightPayloadCols).mkString(", ")}")
+    val clash = (left.columns ++ right.columns).filter(AsofReserved)
+    require(clash.isEmpty,
+      s"input columns collide with asofJoin internals: ${clash.mkString(", ")}")
 
     val payload = struct(rightPayloadCols.map(col): _*).as("_asof_payload")
     val r = right.select(
@@ -77,6 +83,9 @@ object RelationalOps {
     require(leftCols.intersect(rightPayloadCols).isEmpty,
       s"ambiguous columns: ${leftCols.intersect(rightPayloadCols).mkString(", ")}")
     val rTs = s"${tsCol}_r"
+    val clash = (left.columns ++ right.columns).filter(c => c == "_b" || c == rTs)
+    require(clash.isEmpty,
+      s"input columns collide with rangeJoin internals: ${clash.mkString(", ")}")
 
     val l = left.withColumn("_b", expr(s"`$tsCol` DIV $window"))
     val rBase = right.withColumnRenamed(tsCol, rTs)

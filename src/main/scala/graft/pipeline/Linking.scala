@@ -140,22 +140,29 @@ object Linking {
     val nMentions = knownMentionCount
       .getOrElse(mentions.select($"mention_id").distinct().count()).toDouble
 
+    // ONE pass over the exploded token table (the widest data in the
+    // stage): pre-aggregate (mention_id, tid) → tf, then derive BOTH the
+    // per-mention weights and the document frequencies from it. Before,
+    // idf ran its own `distinct()` over the full explode — a second wide
+    // aggregation of the same rows; tf's key set IS the distinct set, so
+    // df = count per tid over tf. Cached: tf feeds idf, the norm
+    // aggregation and the dot-product join.
+    val tf = mentionTokens
+      .groupBy($"mention_id", $"tid").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // document frequency over mention contexts → IDF. Cached: it feeds two
-    // broadcasts (mention weights + entity weights) and is tiny, while its
-    // input subtree is a full token explode + distinct of the corpus.
-    val idf = mentionTokens.distinct()
+    // broadcasts (mention weights + entity weights) and is tiny.
+    val idf = tf
       .groupBy($"tid").agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(1.0) + lit(nMentions) / $"df"))
       .cache()
 
-    // Cached: reused by both the norm aggregation and the dot-product join —
-    // without it the explode+groupBy subtree recomputes once per consumer
-    // (this dominated the links stage's CPU in profiling).
-    val mentionVec = mentionTokens
-      .groupBy($"mention_id", $"tid").agg(count(lit(1)).as("tf"))
+    // cheap projection over the cached tf (broadcast join) — recomputing it
+    // per consumer no longer re-runs the explode
+    val mentionVec = tf
       .join(broadcast(idf), "tid") // idf ≈ |vocabulary| rows — tiny
       .select($"mention_id", $"tid", ($"tf" * $"idf").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val mentionNorm = mentionVec.groupBy($"mention_id")
       .agg(sqrt(sum($"w" * $"w")).as("m_norm"))
@@ -185,11 +192,19 @@ object Linking {
     // but no whole-partition sort — and the groupBy rides the mention_id
     // partitioning established above. Deterministic: the ordering struct
     // is unique per (mention, entity).
-    scored.groupBy($"mention_id")
+    val top1 = scored.groupBy($"mention_id")
       .agg(min_by(struct($"entity_iri", $"score"),
         struct(($"score" * -1).as("neg"), $"entity_iri")).as("best"))
       .select($"mention_id", $"best.entity_iri".as("entity_iri"), $"best.score".as("score"))
       .as[Candidate]
+
+    // materialize the (small) per-mention result eagerly so the stage's
+    // working caches can be RELEASED before returning — a long-lived
+    // session running many link jobs must not accumulate storage blocks
+    val result = top1.localCheckpoint(eager = true)
+    idf.unpersist(blocking = false)
+    tf.unpersist(blocking = false)
+    result
   }
 
   /** Full linking stage. */

@@ -65,10 +65,12 @@ object Pipeline {
 
     def stage(name: String)(compute: => DataFrame): DataFrame = {
       val t0 = System.currentTimeMillis()
-      // attribute every Spark job of this stage for StageMetricsListener
+      // attribute every Spark job of this stage for StageMetricsListener;
+      // always reset (a throwing stage must not misattribute later jobs)
       spark.sparkContext.setLocalProperty("graft.stage", name)
-      val (df, n) = snaps.run(name)(compute)
-      spark.sparkContext.setLocalProperty("graft.stage", null)
+      val (df, n) =
+        try snaps.run(name)(compute)
+        finally spark.sparkContext.setLocalProperty("graft.stage", null)
       rows += name -> n
       walls += name -> (System.currentTimeMillis() - t0)
       if (stopAfter.contains(name))
@@ -120,11 +122,12 @@ object Pipeline {
 
     val tEmit = System.currentTimeMillis()
     spark.sparkContext.setLocalProperty("graft.stage", "emit+materialize")
-    val triples = lineage.track("emit")(TripleEmit.emit(pages, linked))
-    Materialize.write(triples, s"$out/graph")
-    val graph = Materialize.read(spark, s"$out/graph")
-    val graphRows = graph.count()
-    spark.sparkContext.setLocalProperty("graft.stage", null)
+    val graphRows =
+      try {
+        val triples = lineage.track("emit")(TripleEmit.emit(pages, linked))
+        Materialize.write(triples, s"$out/graph")
+        Materialize.read(spark, s"$out/graph").count()
+      } finally spark.sparkContext.setLocalProperty("graft.stage", null)
     walls += "emit+materialize" -> (System.currentTimeMillis() - tEmit)
 
     lineage.write(spark, s"$out/lineage")

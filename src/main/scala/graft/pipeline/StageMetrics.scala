@@ -31,15 +31,21 @@ final class StageMetricsListener extends SparkListener {
   override def onJobStart(js: SparkListenerJobStart): Unit = {
     val g = Option(js.properties).flatMap(p => Option(p.getProperty("graft.stage")))
       .getOrElse("other")
-    js.stageIds.foreach(id => stageToGroup.put(id, g))
+    // first-registering job wins: a stage REUSED by a later job (skipped
+    // stages share ids) keeps its original attribution instead of being
+    // rewritten to the latest job's group
+    js.stageIds.foreach(id => stageToGroup.putIfAbsent(id, g))
   }
 
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
     val info = sc.stageInfo
     val m = info.taskMetrics
+    // drop the mapping once consumed so the map stays bounded over the
+    // listener's lifetime
+    val group = stageToGroup.remove(info.stageId).getOrElse("other")
     buf.synchronized {
       buf += StageRow(
-        stageToGroup.getOrElse(info.stageId, "other"),
+        group,
         info.stageId,
         info.numTasks,
         m.executorRunTime,

@@ -74,8 +74,13 @@ object StreamingOps {
     try q.processAllAvailable()
     finally q.stop()
 
+    // the update-mode memory sink APPENDS each micro-batch's updated rows
+    // (no upsert): if the file source ever splits the input into several
+    // micro-batches, a re-updated window would appear twice. Counts only
+    // grow across updates, so keeping the max per key == keeping the latest.
     spark.table(name)
       .select(col("window.start").as("w"), col("event_type"), col("n"))
+      .groupBy(col("w"), col("event_type")).agg(max(col("n")).as("n"))
       .localCheckpoint()
   }
 

@@ -91,6 +91,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(checked > 0)
   }
 
+  test("link() releases its working caches — no storage accumulation across jobs") {
+    import spark.implicits._
+    val pages = PageGen.pages(spark, NPages, NEntities)
+    val dict = PageGen.dictionary(spark, NEntities)
+    val mentions = Mentions.detect(pages.toDF(), PageGen.entityDictionary(NEntities).map(_.alias))
+
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // two back-to-back link jobs: the tf/idf working caches must be gone
+    // after each returns; only the (small) localCheckpoint of each RESULT
+    // may remain until its Dataset is garbage-collected
+    Linking.link(mentions.toDF(), dict, Pipeline.profiles(spark, NEntities)).count()
+    Linking.link(mentions.toDF(), dict, Pipeline.profiles(spark, NEntities)).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"storage grew by ${after - before} blocks across 2 link jobs (caches leaked)")
+  }
+
   test("canonicalization: shared-alias clusters collapse to the min entity IRI") {
     val dict = PageGen.dictionary(spark, NEntities).toDF()
     val mapping = Canonical.canonicalMapping(dict).collect()
