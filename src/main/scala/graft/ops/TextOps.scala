@@ -230,32 +230,68 @@ object TextOps {
       }.toDF("doc_id", "simhash")
   }
 
+  /** Default per-band bucket cap for the LSH pair ops. Buckets above it
+    * switch from the full within-bucket clique (quadratic in bucket size)
+    * to a STAR on the bucket's min-id representative — a boilerplate-heavy
+    * corpus at 100 TB puts thousands of near-identical docs in one band,
+    * and O(|bucket|²) pairs in a single task is the first thing a
+    * production dedup hits. The star keeps every member connected to the
+    * representative, so the connected components a downstream dedup
+    * computes are UNCHANGED — nothing is silently dropped, the clique is
+    * re-expressed in O(|bucket|) edges. Audit the capped buckets with
+    * [[minHashHotBands]] / [[simHashHotBands]].
+    */
+  val DefaultMaxBucket = 1024
+
   /** Near-duplicate candidate pairs from SimHash — Hamming-space LSH: the
     * 60-bit fingerprint splits into 4 bands of 15 bits; by pigeonhole any
     * pair within Hamming distance 3 shares ≥1 exact band (and pairs ≤ 6
-    * still collide with high probability). Candidates from the band
-    * equi-join verify exactly via `bit_count(xor)` — all codegen'd
-    * built-ins, shuffle O(docs × 4), never O(docs²).
+    * still collide with high probability). ONE pass computes the
+    * fingerprints, ONE exchange groups each band bucket, and the exact
+    * `bitCount(xor)` verification runs inside the group — shuffle is
+    * O(docs × 4), never O(docs²). Buckets above `maxBucket` emit the
+    * min-id star instead of the clique (see [[DefaultMaxBucket]]); a star
+    * edge still verifies against `maxDist`, so an over-distance member of
+    * a hot bucket links via later exact verification of its own bands.
     */
-  def simHashPairs(documents: DataFrame, maxDist: Int = 6): DataFrame = {
-    val sh = simHashes(documents)
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band_id"),
-        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L)).as("band_val"))
-    }
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(array(bandStructs: _*)).as("bv"))
-      .select(col("doc_id"), col("simhash"), col("bv.band_id"), col("bv.band_val"))
-    val x = bands.select(col("band_id"), col("band_val"),
-      col("doc_id").as("a"), col("simhash").as("sa"))
-    val y = bands.select(col("band_id"), col("band_val"),
-      col("doc_id").as("b"), col("simhash").as("sb"))
-    x.join(y, Seq("band_id", "band_val"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+  def simHashPairs(
+      documents: DataFrame,
+      maxDist: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bands = simHashes(documents).as[(Long, Long)]
+      .flatMap { case (id, sh) =>
+        (0 until 4).iterator.map(b => (b, (sh >>> (15 * b)) & 32767L, id, sh))
+      }
+    bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val members = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+        def emit(x: (Long, Long), y: (Long, Long)) = {
+          val h = java.lang.Long.bitCount(x._2 ^ y._2).toLong
+          if (h <= maxDist) Iterator.single((x._1, y._1, h)) else Iterator.empty
+        }
+        if (members.length <= maxBucket)
+          members.indices.iterator.flatMap(i =>
+            (i + 1 until members.length).iterator.flatMap(j => emit(members(i), members(j))))
+        else members.iterator.drop(1).flatMap(m => emit(members(0), m))
+      }.toDF("a", "b", "hamming")
       .distinct() // a pair colliding in several bands has one hamming value
-      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Audit surface for [[simHashPairs]] capping: the band buckets larger
+    * than `maxBucket`, with sizes — query it to see what was star-reduced.
+    */
+  def simHashHotBands(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    simHashes(documents).as[(Long, Long)]
+      .flatMap { case (id, sh) =>
+        (0 until 4).iterator.map(b => (b, (sh >>> (15 * b)) & 32767L))
+      }.toDF("band_id", "band_val")
+      .groupBy(col("band_id"), col("band_val")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
   }
 
   // ------------------------------------------------------------- MinHash
@@ -345,18 +381,20 @@ object TextOps {
     * [[ngramJaccardPairs]], which exists as an exact oracle op): 8
     * signature rows grouped into 4 bands of 2; docs agreeing on any full
     * band become a candidate pair. Cost: one pass per doc for the
-    * signature, then an equi-JOIN on the band key (shuffle is O(docs ×
+    * signature, then one exchange on the band key (shuffle is O(docs ×
     * bands) rows, never O(docs²)); collision prob per band ≈ J², so
-    * candidates concentrate on genuinely similar pairs.
+    * candidates concentrate on genuinely similar pairs. Oversized buckets
+    * (> maxBucket) emit the min-id star instead of the clique.
     *
     * Output: (a, b, n_bands) with a < b — n_bands = how many of the 4
     * bands agree (a cheap similarity proxy for downstream exact
     * verification).
     */
-  def minHashBandPairs(documents: DataFrame): DataFrame = {
+  /** (doc_id, band-key) rows — the shared signature pass. */
+  private def minHashBandRows(documents: DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val bandRows = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val memo = new java.util.HashMap[String, Array[Long]](1 << 14)
         it.flatMap { case (id, text) =>
@@ -365,13 +403,41 @@ object TextOps {
             (id, md5Hex(s"$b:${sig(2 * b)}_${sig(2 * b + 1)}"))
           }
         }
-      }.toDF("doc_id", "band")
-    val a = bandRows.withColumnRenamed("doc_id", "a")
-    val b = bandRows.withColumnRenamed("doc_id", "b")
-    a.join(b, Seq("band"))
-      .filter(col("a") < col("b"))
+      }
+  }
+
+  def minHashBandPairs(
+      documents: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // ONE signature pass and ONE exchange (groupByKey on the band key);
+    // the within-bucket pair fan-out happens group-locally so the
+    // maxBucket cap can bound it (star on the min-id member — see
+    // [[DefaultMaxBucket]]: connectivity-preserving, O(|bucket|) edges)
+    minHashBandRows(documents)
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray.sorted
+        if (ids.length <= maxBucket)
+          ids.indices.iterator.flatMap(i =>
+            (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+        else ids.iterator.drop(1).map(m => (ids(0), m))
+      }.toDF("a", "b")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Audit surface for [[minHashBandPairs]] capping: band buckets larger
+    * than `maxBucket`, with sizes.
+    */
+  def minHashHotBands(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    minHashBandRows(documents).toDF("doc_id", "band")
+      .groupBy(col("band")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
   }
 
   /** Near-duplicate candidate pairs by n-gram Jaccard over the distinct

@@ -75,9 +75,21 @@ object Linking {
   def entityProfile(entityIri: String, name: String, topics: Seq[String]): Seq[String] =
     (tokenize(name) ++ topics.map(_.toLowerCase(java.util.Locale.ROOT))).distinct
 
+  /** Alias band-buckets above this size are quarantined from the band join
+    * (a self-similar alias universe floods a band; candidates from such a
+    * bucket fan out |surfaces∩bucket| × |aliases∩bucket| in one task). The
+    * exact-match union in [[block]] keeps recall 1.0 for identical strings
+    * regardless of quarantining, so only near-miss (fuzzy) recall inside
+    * the flooded bucket is traded — the bucket is, by construction, noise.
+    */
+  val MaxAliasBandBucket = 1024
+
   /** Stage 1: blocking. `mentions` needs (mention_id, surface) columns.
     * Output: (mention_id, entity_iri) candidate pairs. */
-  def block(mentions: DataFrame, dict: Dataset[EntityAlias]): DataFrame = {
+  def block(
+      mentions: DataFrame,
+      dict: Dataset[EntityAlias],
+      maxAliasBandBucket: Int = MaxAliasBandBucket): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
@@ -93,11 +105,25 @@ object Linking {
       .flatMap { ea => bandKeys(ea.alias).map { case (b, h) => (ea.alias, ea.entity_iri, b, h) } }
       .toDF("alias", "entity_iri", "band_id", "band_hash")
 
+    // hot-bucket cap on the alias side (see MaxAliasBandBucket)
+    val wBand = Window.partitionBy($"band_id", $"band_hash")
+    val aliasCapped = aliasBands
+      .withColumn("_bucket_n", count(lit(1)).over(wBand))
+      .filter($"_bucket_n" <= maxAliasBandBucket)
+      .drop("_bucket_n")
+
     // dictionary side is the small side → broadcast hash join, no shuffle
-    // of the (large) mention-surface table beyond its own distinct
+    // of the (large) mention-surface table beyond its own distinct.
+    // Exact surface==alias matches are unioned in directly: identical
+    // strings must be candidates even when their band bucket is capped.
+    val exactPairs = mentions.select($"surface").distinct()
+      .join(broadcast(dict.toDF().select($"alias".as("surface"), $"entity_iri")), "surface")
+      .select($"surface", $"entity_iri")
     val pairs = surfaceBands
-      .join(broadcast(aliasBands), Seq("band_id", "band_hash"))
-      .select($"surface", $"entity_iri").distinct()
+      .join(broadcast(aliasCapped), Seq("band_id", "band_hash"))
+      .select($"surface", $"entity_iri")
+      .unionByName(exactPairs)
+      .distinct()
 
     // pairs ≤ |surfaces| × few candidates — broadcast so the (big, skewed)
     // mention table never shuffles on the hot surface strings

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 
 /** Unit tests for the training-data ops: kernel-level checks against
   * hand-computed / independently-derived values, plus behaviours the
@@ -86,6 +87,43 @@ class OpsSpec extends AnyFunSuite {
     val ident = TextOps.minHashBandPairs(
       docs((1L, base, "en", "s", 0L), (2L, base, "en", "s", 0L))).collect()
     assert(ident.length == 1 && ident(0).getLong(2) == TextOps.Bands.toLong)
+  }
+
+  test("hot LSH bands are star-capped: boilerplate corpus completes with O(n) pairs") {
+    val s = spark
+    import s.implicits._
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod " * 5
+    val n = 3000L
+    // n identical boilerplate docs (ids 10..n+9) — every band bucket holds
+    // all of them — plus a disjoint unique pair that must keep clique
+    // semantics untouched
+    val uniqA = "qqq www eee rrr ttt yyy uuu iii ooo ppp zzz xxx ccc vvv " * 4
+    val uniqB = uniqA.replace("ppp", "hhh")
+    val d = spark.range(10, 10 + n).select($"id".as("doc_id"), lit(boiler).as("text"))
+      .unionByName(Seq((1L, uniqA), (2L, uniqB)).toDF("doc_id", "text"))
+
+    // audit surface sees the hot buckets
+    val hot = TextOps.minHashHotBands(d, maxBucket = 64).collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(1) == n))
+
+    val pairs = TextOps.minHashBandPairs(d, maxBucket = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // star on the min-id member: n-1 edges (not n(n-1)/2 ≈ 4.5M), all
+    // anchored at doc 10, agreeing on all 4 bands — connectivity preserved
+    val starPairs = pairs.filter { case ((a, _), _) => a >= 10L }
+    assert(starPairs.size == (n - 1).toInt, s"expected ${n - 1} star edges, got ${starPairs.size}")
+    assert(starPairs.keys.forall(_._1 == 10L))
+    assert(starPairs.values.forall(_ == TextOps.Bands.toLong))
+    // the small unique bucket still goes through the exact clique path
+    assert(pairs.contains((1L, 2L)))
+
+    // SimHash twin: identical fingerprints, star edges at hamming 0
+    val sp = TextOps.simHashPairs(d, maxDist = 6, maxBucket = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val simStars = sp.filter { case ((a, _), _) => a >= 10L }
+    assert(simStars.size == (n - 1).toInt)
+    assert(simStars.keys.forall(_._1 == 10L) && simStars.values.forall(_ == 0L))
+    assert(TextOps.simHashHotBands(d, maxBucket = 64).count() == 4L)
   }
 
   test("nearDupPairs block-pair join matches single-block all-pairs exactly") {
