@@ -333,6 +333,21 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))),
 
+    // multi-probe SRP ANN: each query also probes every Hamming-1 bucket
+    // (5 of 16 at 4 planes) — the recall control single-bucket emb04 lacks;
+    // oracle = brute force restricted to the probed bucket set
+    "emb06_ann_multiprobe" -> ((s, d) =>
+      EmbeddingOps.annMultiProbe(t(s, d, "embeddings"), nPlanes = 4, k = 5, maxHamming = 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))),
+
+    // IVF with nprobe=2: queries search their two nearest cells; oracle =
+    // brute force restricted to those cells (corpus stays in its own cell)
+    "emb07_ann_ivf_nprobe" -> ((s, d) =>
+      EmbeddingOps.annIvfMultiProbe(t(s, d, "embeddings"), cells = 8, k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))),
+
     // -------------------------------------------------- multimodal stubs
     "mm01_image_meta" -> ((s, d) =>
       MultimodalOps.imageMetadata(t(s, d, "documents"))
@@ -566,6 +581,72 @@ object SparkEntry {
        |    CAST(CAST(list_sum(list_transform(list_zip(q.g, c.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
        |      / sqrt(CAST(q.nn * c.nn AS DOUBLE)) AS cos
        |  FROM n q JOIN n c ON c.cell = q.cell AND c.vec_id <> q.vec_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) rn FROM scored)
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** DuckDB twin of [[EmbeddingOps.annMultiProbe]] (4 planes, Hamming ≤ 1):
+    * brute force restricted to candidate pairs whose SRP buckets differ in
+    * at most one bit.
+    */
+  private val multiProbeOracle: String = {
+    val nPlanes = 4
+    val hamming = (1 to nPlanes).map(i =>
+      s"CASE WHEN substr(q.bucket, $i, 1) <> substr(c.bucket, $i, 1) THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, g, CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS nn,
+       |    ${srpBucketSql(nPlanes)} AS bucket
+       |  FROM g
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(CAST(list_sum(list_transform(list_zip(q.g, c.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(q.nn * c.nn AS DOUBLE)) AS cos
+       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id AND $hamming <= 1)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) rn FROM scored)
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** DuckDB twin of [[EmbeddingOps.annIvfMultiProbe]] (nprobe = 2): query
+    * side takes its two nearest cells, corpus side its single nearest.
+    */
+  private val ivfNprobeOracle: String = {
+    val cents = (0 until EmbeddingOps.IvfCells).map { k =>
+      val c = EmbeddingOps.ivfCentroid(k, 64)
+      val norm = c.map(x => x * x).sum
+      s"SELECT $k AS k, ${c.mkString("[", ", ", "]")} AS c, CAST($norm AS BIGINT) AS cnorm"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+       |  FROM embeddings
+       |), cent AS (
+       |$cents
+       |), assign AS (
+       |  SELECT vec_id, g, k,
+       |    cnorm - 2 * CAST(list_sum(list_transform(list_zip(g, c), p -> p[1] * p[2])) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cent
+       |), ranked AS (
+       |  SELECT vec_id, g, k AS cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d ASC, k ASC) AS rn
+       |  FROM assign
+       |), n AS (
+       |  SELECT vec_id, g, cell, rn,
+       |    CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS nn
+       |  FROM ranked WHERE rn <= 2
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(CAST(list_sum(list_transform(list_zip(q.g, c.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(q.nn * c.nn AS DOUBLE)) AS cos
+       |  FROM n q JOIN n c ON c.cell = q.cell AND c.rn = 1 AND c.vec_id <> q.vec_id)
        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id ASC) rn FROM scored)
@@ -809,6 +890,10 @@ object SparkEntry {
          |WHERE rn <= 5""".stripMargin,
 
     "emb05_ann_ivf" -> ivfOracle,
+
+    "emb06_ann_multiprobe" -> multiProbeOracle,
+
+    "emb07_ann_ivf_nprobe" -> ivfNprobeOracle,
 
     "mm01_image_meta" ->
       """SELECT doc_id,

@@ -243,6 +243,122 @@ object EmbeddingOps {
       gridded(embeddings).withColumn("bucket", srpBucketExpr(nPlanes, dims)),
       "bucket", k)
 
+  // ------------------------------------------------------------ multi-probe
+
+  /** Shared multi-probe engine: `rows` = (probe key, vec_id, grid, norm,
+    * isQuery). Every vector appears ONCE as corpus (its own bucket/cell)
+    * and once as query per probed key, so each (query, corpus) pair within
+    * the probe set meets in exactly one group. Per group, each query scans
+    * the group's corpus slice with the primitive-array kernel and keeps a
+    * bounded top-k; the global re-rank merges the per-probe top-ks (the
+    * global top-k is contained in their union). Shuffle: O(vectors ×
+    * (1 + probes)) rows in, O(queries × probes × k) candidates out.
+    */
+  private def multiProbeSearch(
+      rows: org.apache.spark.sql.Dataset[(String, Long, Array[Long], Long, Boolean)],
+      k: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val candidates = rows.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val all = it.toArray
+      val corpus = all.filter(!_._5).sortBy(_._2)
+      val queries = all.filter(_._5)
+      val out = Vector.newBuilder[(Long, Long, Double)]
+      queries.foreach { case (_, qid, qg, qn, _) =>
+        val topCos = new Array[Double](k)
+        val topId = new Array[Long](k)
+        var filled = 0
+        var j = 0
+        while (j < corpus.length) {
+          val (_, cid, cg, cn, _) = corpus(j)
+          if (cid != qid) {
+            val cos = cosKernel(qg, qn, cg, cn)
+            var pos = filled
+            while (pos > 0 &&
+              (cos > topCos(pos - 1) || (cos == topCos(pos - 1) && cid < topId(pos - 1)))) pos -= 1
+            if (pos < k) {
+              var t = math.min(filled, k - 1)
+              while (t > pos) { topCos(t) = topCos(t - 1); topId(t) = topId(t - 1); t -= 1 }
+              topCos(pos) = cos
+              topId(pos) = cid
+              if (filled < k) filled += 1
+            }
+          }
+          j += 1
+        }
+        var r = 0
+        while (r < filled) { out += ((qid, topId(r), topCos(r))); r += 1 }
+      }
+      out.result().iterator
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** All bucket strings within Hamming distance ≤ maxHamming of `b`
+    * (including `b` itself) — the probe set of classic multi-probe LSH.
+    */
+  def hammingBall(b: String, maxHamming: Int): Seq[String] = {
+    def flip(s: String, i: Int): String =
+      s.substring(0, i) + (if (s.charAt(i) == '1') '0' else '1') + s.substring(i + 1)
+    val h1 = b.indices.map(flip(b, _))
+    maxHamming match {
+      case 0 => Seq(b)
+      case 1 => b +: h1
+      case 2 => (b +: h1) ++ (for {
+        i <- b.indices; j <- (i + 1) until b.length
+      } yield flip(flip(b, i), j))
+      case _ => throw new IllegalArgumentException(s"maxHamming=$maxHamming not in 0..2")
+    }
+  }
+
+  /** Multi-probe SRP ANN — the recall control [[annBucketed]] lacks: each
+    * query probes every bucket within Hamming distance `maxHamming` of its
+    * own (near-boundary neighbours land in adjacent buckets — exactly one
+    * flipped sign bit away). Probes scan (1 + nPlanes [+ C(nPlanes,2)]) of
+    * the 2^nPlanes buckets ≈ a tunable corpus fraction; recall@5 vs the
+    * exact [[annBruteForce]] oracle is measured in OpsSpec (clustered
+    * corpus) and BENCH/BASELINE.md (isotropic sf tables).
+    */
+  def annMultiProbe(
+      embeddings: DataFrame, nPlanes: Int, k: Int,
+      maxHamming: Int = 1, dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = gridded(embeddings).withColumn("bucket", srpBucketExpr(nPlanes, dims))
+      .select(col("vec_id"), col("g"), col("n"), col("bucket"))
+      .as[(Long, Array[Long], Long, String)]
+    val rows = base.flatMap { case (id, v, n, b) =>
+      (b, id, v, n, false) +: hammingBall(b, maxHamming).map(pb => (pb, id, v, n, true))
+    }
+    multiProbeSearch(rows, k)
+  }
+
+  /** IVF ANN with `nprobe` > 1: each query searches its `nprobe` nearest
+    * cells (corpus membership stays the single nearest cell). The cell
+    * ranking reuses the exact integer-distance argmin of [[ivfAssign]].
+    */
+  def annIvfMultiProbe(
+      embeddings: DataFrame, cells: Int = IvfCells, k: Int,
+      nprobe: Int = 2, dims: Int = 64): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe=$nprobe out of range 1..$cells")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ranked = ivfCellsRankedExpr(cells, dims)
+    val base = gridded(embeddings).withColumn("cells", ranked)
+      .select(col("vec_id"), col("g"), col("n"), col("cells"))
+      .as[(Long, Array[Long], Long, Seq[Int])]
+    val rows = base.flatMap { case (id, v, n, cs) =>
+      (cs.head.toString, id, v, n, false) +:
+        cs.take(nprobe).map(c => (c.toString, id, v, n, true))
+    }
+    multiProbeSearch(rows, k)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** IVF-style ANN — the other classic scale path besides LSH: K
@@ -267,7 +383,10 @@ object EmbeddingOps {
   /** Cell-assignment Column over a grid column `g` — composable into the
     * same projection that computes the grid (no self-join).
     */
-  private def ivfCellExpr(cells: Int, dims: Int): org.apache.spark.sql.Column = {
+  /** All cell ids ranked by exact integer distance (nearest first) — the
+    * probe order of [[annIvfMultiProbe]]; element 0 is the assignment.
+    */
+  private def ivfCellsRankedExpr(cells: Int, dims: Int): org.apache.spark.sql.Column = {
     val scored = (0 until cells).map { k =>
       val c = ivfCentroid(k, dims)
       val cSliced = slice(array(c.map(lit(_)): _*), lit(1), size(col("g")))
@@ -276,8 +395,11 @@ object EmbeddingOps {
       val norm = aggregate(cSliced, lit(0L), (acc, v) => acc + v * v)
       struct((norm - dot * 2).as("d"), lit(k).as("k"))
     }
-    sort_array(array(scored: _*), asc = true).getItem(0).getField("k")
+    transform(sort_array(array(scored: _*), asc = true), s => s.getField("k"))
   }
+
+  private def ivfCellExpr(cells: Int, dims: Int): org.apache.spark.sql.Column =
+    ivfCellsRankedExpr(cells, dims).getItem(0)
 
   def ivfAssign(embeddings: DataFrame, cells: Int = IvfCells, dims: Int = 64): DataFrame =
     embeddings.select(col("vec_id"), gridCol.as("g"))

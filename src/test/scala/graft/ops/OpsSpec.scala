@@ -165,6 +165,51 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((0L, 1L)))
   }
 
+  test("multi-probe ANN: recall@5 >= 0.9 on a clustered corpus, probing helps monotonically") {
+    val s = spark
+    import s.implicits._
+    // 30 planted clusters x 12 members, 16 dims: centroid from the md5
+    // grid, members = centroid + small deterministic noise — the geometry
+    // where ANN recall is meaningful (each vector's true top-5 are cluster
+    // siblings; the sf tables are near-isotropic, see BENCH/RECALL.md)
+    val nClusters = 30
+    val perCluster = 12
+    val dims = 16
+    val vecs = (0 until nClusters * perCluster).map { i =>
+      val k = i / perCluster
+      val v = Array.tabulate(dims) { j =>
+        val c = ((TextOps.md5Hash60(s"c$k:$j") % 2000L) - 1000L) / 1000.0f
+        val noise = ((TextOps.md5Hash60(s"n$i:$j") % 100L) - 50L) / 1000.0f
+        c + noise
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+
+    val n = nClusters * perCluster
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, e) =>
+        approx.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+      }.sum / exact.size
+
+    val exact = topSets(EmbeddingOps.annBruteForce(vecs, nQueries = n, k = 5))
+    val single = recallOf(topSets(
+      EmbeddingOps.annMultiProbe(vecs, nPlanes = 4, k = 5, maxHamming = 0, dims = dims)), exact)
+    val multi = recallOf(topSets(
+      EmbeddingOps.annMultiProbe(vecs, nPlanes = 4, k = 5, maxHamming = 1, dims = dims)), exact)
+    assert(multi >= single, s"multi-probe must not lose recall: $multi < $single")
+    assert(multi >= 0.9, s"multi-probe recall@5 = $multi < 0.9 (single-probe: $single)")
+
+    val ivf1 = recallOf(topSets(
+      EmbeddingOps.annIvfMultiProbe(vecs, cells = 8, k = 5, nprobe = 1, dims = dims)), exact)
+    val ivf2 = recallOf(topSets(
+      EmbeddingOps.annIvfMultiProbe(vecs, cells = 8, k = 5, nprobe = 2, dims = dims)), exact)
+    assert(ivf2 >= ivf1, s"nprobe=2 must not lose recall: $ivf2 < $ivf1")
+    assert(ivf2 >= 0.9, s"IVF nprobe=2 recall@5 = $ivf2 < 0.9 (nprobe=1: $ivf1)")
+  }
+
   test("srp bucketed ANN puts identical vectors in one bucket") {
     val s = spark
     import s.implicits._
