@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Graph-table materialization: dedup, predicate-hash partitioning, and
@@ -9,47 +9,131 @@ import org.apache.spark.sql.functions._
   * Layout per the north_star: Parquet partitioned by
   * `pred_hash = pmod(xxhash64(pred), P)`. Hot predicates (`rdf:type`
   * dominates every KG) would otherwise serialize through one task per
-  * partition directory — a SALT column `pmod(xxhash64(subj), S)` joins the
-  * repartition key so each hot predicate fans out across S tasks. AQE
-  * remains on as the backstop for residual skew.
+  * partition directory — a SALT column joins the repartition key so each
+  * hot predicate fans out across S tasks. S is DATA-DRIVEN per predicate
+  * (see [[saltPlan]]): a cheap `groupBy(pred).count` sketch (or
+  * caller-provided estimates) sizes each predicate's fan-out to
+  * `targetRowsPerSalt` rows per write task, floored so total write
+  * parallelism never collapses for small pred vocabularies, capped at
+  * [[MaxSalt]]. AQE remains on as the backstop for residual skew.
   */
 object Materialize {
 
   val DefaultPredBuckets = 64
   val DefaultSalt = 16
 
+  /** Rows one (pred, salt) write task should own — at ~70 B/triple in
+    * flight this is a few hundred MB per task, the classic healthy range.
+    */
+  val TargetRowsPerSalt = 2000000L
+
+  /** Per-predicate fan-out ceiling (a 10^11-row predicate still caps at
+    * 256 concurrent writers per pred_hash bucket; beyond that the
+    * bottleneck is the store, not the shuffle).
+    */
+  val MaxSalt = 256
+
   def withPredHash(df: DataFrame, predBuckets: Int = DefaultPredBuckets): DataFrame =
     df.withColumn("pred_hash", pmod(xxhash64(col("pred")), lit(predBuckets)))
 
-  /** Dedup + partition + write — ONE shuffle of the triple table (the
-    * largest table in the job; round 1 shuffled it twice: a
-    * dropDuplicates exchange on hash(s,p,o) followed by the salted
-    * repartition).
+  /** Cheap predicate-frequency sketch: a column-pruned, map-side-combined
+    * aggregate whose shuffle is |distinct preds| rows. Only the top
+    * `maxPreds` by count reach the driver — the long tail salts at the
+    * floor anyway, so the collect stays bounded on any input.
+    */
+  def sketchPredCounts(triples: DataFrame, maxPreds: Int = 4096): Map[String, Long] =
+    triples.groupBy(col("pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pred").asc).limit(maxPreds).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Per-predicate salt factors from (possibly estimated) counts: enough
+    * fan-out that no pred exceeds ~targetRowsPerSalt rows per task, at
+    * least `baseSalt` so write parallelism survives small vocabularies,
+    * at most [[MaxSalt]]. Estimates are fine — S only needs the order of
+    * magnitude.
+    */
+  def saltPlan(
+      predCounts: Map[String, Long],
+      targetRowsPerSalt: Long = TargetRowsPerSalt,
+      maxSalt: Int = MaxSalt,
+      baseSalt: Int = 1): Map[String, Int] =
+    predCounts.map { case (p, c) =>
+      val need = (c + targetRowsPerSalt - 1) / math.max(targetRowsPerSalt, 1L)
+      p -> math.min(maxSalt.toLong, math.max(baseSalt.toLong, need)).toInt
+    }
+
+  /** `subj_salt` column: pmod(xxhash64(subj), S_pred) with S looked up in
+    * the plan (predicates outside the plan use `defaultSalt`). Still a
+    * pure function of (subj, pred), so the dedup keys stay a superset of
+    * the partitioning keys — the one-exchange property below survives.
+    */
+  private def saltCol(plan: Map[String, Int], defaultSalt: Int): Column = {
+    val s =
+      if (plan.isEmpty) lit(defaultSalt.toLong)
+      else coalesce(element_at(typedLit(plan), col("pred")), lit(defaultSalt)).cast("long")
+    pmod(xxhash64(col("subj")), s)
+  }
+
+  /** Dedup + partition — ONE shuffle of the triple table (the largest
+    * table in the job; round 1 shuffled it twice: a dropDuplicates
+    * exchange on hash(s,p,o) followed by the salted repartition).
     *
     * How: the salted repartition on (pred_hash, subj_salt) runs FIRST;
     * the dedup group keys (pred_hash, subj_salt, subj, pred, obj) are a
     * SUPERSET of the partitioning expressions (pred_hash = f(pred),
-    * subj_salt = f(subj)), so `HashPartitioning(pred_hash, subj_salt)`
-    * already satisfies the aggregate's ClusteredDistribution and Catalyst
-    * plans the dedup with NO second exchange — the whole
+    * subj_salt = f(subj, pred)), so `HashPartitioning(pred_hash,
+    * subj_salt)` already satisfies the aggregate's ClusteredDistribution
+    * and Catalyst plans the dedup with NO second exchange — the whole
     * shuffle→aggregate→write pipeline is one exchange, and the write
-    * stays clustered by pred_hash (≤ predBuckets×salt output files, not
-    * tasks×predBuckets). Provenance per (s,p,o) is the MIN (src_url,
-    * warc_ts) pair — deterministic, unlike dropDuplicates-first.
+    * stays clustered by pred_hash. Provenance per (s,p,o) is the MIN
+    * (src_url, warc_ts) pair — deterministic, unlike dropDuplicates-first.
     */
-  def write(
-      triples: Dataset[TripleRow],
-      out: String,
-      predBuckets: Int = DefaultPredBuckets,
-      salt: Int = DefaultSalt): Unit = {
-    val df = withPredHash(triples.toDF(), predBuckets)
-      .withColumn("subj_salt", pmod(xxhash64(col("subj")), lit(salt)))
+  private[pipeline] def saltedDeduped(
+      triples: DataFrame,
+      predBuckets: Int,
+      plan: Map[String, Int],
+      defaultSalt: Int): DataFrame = {
+    val df = withPredHash(triples, predBuckets)
+      .withColumn("subj_salt", saltCol(plan, defaultSalt))
     df.repartition(col("pred_hash"), col("subj_salt"))
       .groupBy(col("pred_hash"), col("subj_salt"), col("subj"), col("pred"), col("obj"))
       .agg(min(struct(col("src_url"), col("warc_ts"))).as("prov"))
       .select(col("subj"), col("pred"), col("obj"),
         col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
         col("pred_hash"))
+  }
+
+  /** Fixed-salt write (every predicate fans out ×`salt`). */
+  def write(
+      triples: Dataset[TripleRow],
+      out: String,
+      predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt): Unit =
+    saltedDeduped(triples.toDF(), predBuckets, Map.empty, salt)
+      .write.mode("overwrite")
+      .partitionBy("pred_hash")
+      .parquet(out)
+
+  /** Data-driven write: salt factors picked per predicate from
+    * `predCounts` (caller estimates — e.g. from stage manifests — avoid a
+    * second pass over a lazily-derived input) or, when absent, from the
+    * [[sketchPredCounts]] sketch. The parallelism floor spreads the
+    * vocabulary across ~2× the session's shuffle partitions even when
+    * every count is small.
+    */
+  def writeAdaptive(
+      triples: Dataset[TripleRow],
+      out: String,
+      predBuckets: Int = DefaultPredBuckets,
+      predCounts: Option[Map[String, Long]] = None,
+      targetRowsPerSalt: Long = TargetRowsPerSalt,
+      maxSalt: Int = MaxSalt): Unit = {
+    val df = triples.toDF()
+    val counts = predCounts.getOrElse(sketchPredCounts(df))
+    val shuffleP = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val baseSalt = math.max(1, (2 * shuffleP + counts.size - 1) / math.max(counts.size, 1))
+    val plan = saltPlan(counts, targetRowsPerSalt, maxSalt, baseSalt)
+    saltedDeduped(df, predBuckets, plan, baseSalt)
       .write.mode("overwrite")
       .partitionBy("pred_hash")
       .parquet(out)

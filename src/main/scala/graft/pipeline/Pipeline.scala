@@ -125,7 +125,17 @@ object Pipeline {
     val graphRows =
       try {
         val triples = lineage.track("emit")(TripleEmit.emit(pages, linked))
-        Materialize.write(triples, s"$out/graph")
+        // predicate-count ESTIMATES from the stage manifests (exact orders
+        // of magnitude: 3 metadata triples per page, ≤1 mentions + ≤1 label
+        // triple per linked mention) — salting only needs the magnitude,
+        // and estimates avoid a second pass over the lazy emit subtree
+        val predEst = Map(
+          "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" -> rows("pages"),
+          s"${TripleEmit.Kg}lang" -> rows("pages"),
+          s"${TripleEmit.Kg}fetchedAt" -> rows("pages"),
+          s"${TripleEmit.Kg}mentions" -> rows("linked"),
+          s"${TripleEmit.Kg}label" -> rows("linked"))
+        Materialize.writeAdaptive(triples, s"$out/graph", predCounts = Some(predEst))
         Materialize.read(spark, s"$out/graph").count()
       } finally spark.sparkContext.setLocalProperty("graft.stage", null)
     walls += "emit+materialize" -> (System.currentTimeMillis() - tEmit)

@@ -175,14 +175,10 @@ class PipelineSpec extends AnyFunSuite {
       TripleRow("<s1>", "<p1>", "\"o\"", "u1", ts),
       TripleRow("<s1>", "<p1>", "\"o\"", "u2", ts), // dup (s,p,o), other prov
       TripleRow("<s2>", "<p2>", "\"o2\"", "u1", ts)).toDS()
-    val df = Materialize.withPredHash(triples.toDF(), Materialize.DefaultPredBuckets)
-      .withColumn("subj_salt",
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.xxhash64($"subj"),
-          org.apache.spark.sql.functions.lit(Materialize.DefaultSalt)))
-      .repartition($"pred_hash", $"subj_salt")
-      .groupBy($"pred_hash", $"subj_salt", $"subj", $"pred", $"obj")
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    // the adaptive per-pred salt (map lookup on pred) must keep the
+    // one-exchange property: subj_salt stays a function of the group keys
+    val df = Materialize.saltedDeduped(
+      triples.toDF(), Materialize.DefaultPredBuckets, Map("<p1>" -> 4), defaultSalt = 2)
     val plan = df.queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
@@ -196,6 +192,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(
       ("<s1>", "<p1>", "\"o\"", "u1"), // min(src_url, warc_ts) wins
       ("<s2>", "<p2>", "\"o2\"", "u1")))
+
+    // adaptive write (sketched counts) produces the identical graph
+    val out2 = Files.createTempDirectory("graft-mat-adaptive").toString
+    Materialize.writeAdaptive(triples, out2)
+    val got2 = Materialize.read(spark, s"$out2/")
+      .select("subj", "pred", "obj", "src_url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got2 == got)
+  }
+
+  test("adaptive salting spreads a 90%-rdf:type corpus: max/median task rows <= 4x") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val n = 10000L
+    // 90% of triples share one predicate (distinct subjects), 10% spread
+    // over 9 cold predicates — the classic KG skew shape
+    val triples = spark.range(n).map { i =>
+      if (i < n * 9 / 10) TripleRow(s"<s$i>", rdfType, "\"<c>\"", s"u$i", ts)
+      else TripleRow(s"<s$i>", s"<p${i % 9}>", "\"o\"", s"u$i", ts)
+    }
+
+    val counts = Materialize.sketchPredCounts(triples.toDF())
+    assert(counts(rdfType) == n * 9 / 10)
+    // target 500 rows/task → the hot predicate needs 18 salts; cold ones
+    // stay at the parallelism floor
+    val plan = Materialize.saltPlan(counts, targetRowsPerSalt = 500, maxSalt = 64, baseSalt = 2)
+    assert(plan(rdfType) >= 16, s"hot pred under-salted: $plan")
+    assert(plan.filterKeys(_ != rdfType).values.forall(_ == 2))
+
+    val perPartition = Materialize
+      .saltedDeduped(triples.toDF(), Materialize.DefaultPredBuckets, plan, defaultSalt = 2)
+      .rdd.mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0).sorted
+    val median = perPartition(perPartition.length / 2)
+    assert(perPartition.max <= 4 * median,
+      s"skewed write tasks: max=${perPartition.max} median=$median " +
+        s"(partitions: ${perPartition.mkString(",")})")
   }
 
   test("readTurtleDir parses the 29-fixture corpus through Spark, zero rejects") {
