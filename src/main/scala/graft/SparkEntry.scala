@@ -198,6 +198,21 @@ object SparkEntry {
         .select(col("user_id"), col("click_id"), col("purchase_id").as("last_purchase_id"))
     }),
 
+    // skew-safe AS-OF: same query as q27 through the (key, ts-bucket)
+    // composite window + carry path (1-hour buckets) — identical semantics,
+    // per-task rows bounded by bucket width instead of key frequency
+    "q30_asof_skew" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.ops.RelationalOps
+        .asofJoin(clicks, purchases, "user_id", "ts", tsBucket = Some(3600000000L))
+        .select(col("user_id"), col("click_id"), col("purchase_id").as("last_purchase_id"))
+    }),
+
     // RANGE join (bucket replication, big×big-safe): purchases within the
     // 30 minutes before each click, counted per click (zero-count clicks
     // kept via left join back)
@@ -1026,6 +1041,17 @@ object SparkEntry {
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
 
     "q27_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, ts, MAX(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, c.click_id, p.purchase_id AS last_purchase_id
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q30_asof_skew" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
         |), purch AS (

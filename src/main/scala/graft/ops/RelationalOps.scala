@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** Internal column names reserved by [[asofJoin]]. */
+  private val AsofReserved = Set("_side", "_asof_payload", "_asof", "_b", "_run", "_blast", "_carry")
+
+  /** Bucket id of `tsCol` at `width` (integral DIV; timestamps bucket on
+    * their micros so boundaries are exact).
+    */
+  private def bucketOf(df: DataFrame, tsCol: String, width: Long) =
+    if (df.schema(tsCol).dataType.typeName.startsWith("timestamp"))
+      expr(s"unix_micros(CAST(`$tsCol` AS TIMESTAMP)) DIV $width")
+    else expr(s"`$tsCol` DIV $width")
+
   /** AS-OF join: for every left row, the single most recent right row with
     * `right.ts <= left.ts` on the same key (LEFT semantics — unmatched
     * left rows keep null right columns).
@@ -19,19 +30,28 @@ object RelationalOps {
     * window ordered by (ts, side) — right rows sort BEFORE left rows at
     * equal ts, making the match inclusive. ONE shuffle on the key and a
     * single sort; no time-bucketing fan-out and no O(|L|·|R|) range-join
-    * explosion, and AQE still splits skewed keys. At 100× scale this is
-    * the plan you want: both inputs exchange once, the window is a single
-    * pass.
+    * explosion. At 100× scale this is the plan you want: both inputs
+    * exchange once, the window is a single pass.
+    *
+    * SKEW: `Window.partitionBy(key)` sorts each key in one task, so a hot
+    * key (one user = half the stream) serializes a stage — AQE cannot
+    * split window partitions. Pass `tsBucket = Some(width)` (in the ts
+    * column's units; micros for timestamps) to window on the composite
+    * (key, ts-bucket) instead: a per-(key, bucket) running last, plus a
+    * tiny per-key scan over BUCKET SUMMARIES that carries the latest
+    * right payload across bucket boundaries — identical results
+    * (OpsSpec-guarded equivalence), per-task rows bounded by the bucket
+    * width rather than the key's row count.
     *
     * The right payload travels as ONE struct so the matched columns are
     * atomic (never mixed across right rows). Contract: right rows are
     * unique per (key, ts) — pre-aggregate otherwise (ties at equal ts
     * would be order-dependent).
     */
-  /** Internal column names reserved by [[asofJoin]]. */
-  private val AsofReserved = Set("_side", "_asof_payload", "_asof")
-
-  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      tsBucket: Option[Long] = None): DataFrame = {
+    require(tsBucket.forall(_ > 0), s"tsBucket=$tsBucket must be positive")
     val rightPayloadCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
     val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol)
     require(leftCols.intersect(rightPayloadCols).isEmpty,
@@ -48,14 +68,44 @@ object RelationalOps {
       Seq(col(keyCol), col(tsCol), lit(1).as("_side"),
         lit(null).cast(r.schema("_asof_payload").dataType).as("_asof_payload")) ++
         leftCols.map(col): _*)
+    val u = r.unionByName(l)
 
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = tsBucket match {
+      case None =>
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("_asof", last(col("_asof_payload"), ignoreNulls = true).over(w))
+          .filter(col("_side") === 1)
 
-    val matched = r.unionByName(l)
-      .withColumn("_asof", last(col("_asof_payload"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      case Some(width) =>
+        val ub = u.withColumn("_b", bucketOf(u, tsCol, width))
+        // pass 1: running last WITHIN each (key, bucket) — the skewed key's
+        // rows split across its buckets instead of one task
+        val w1 = Window.partitionBy(col(keyCol), col("_b"))
+          .orderBy(col(tsCol).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withRun = ub
+          .withColumn("_run", last(col("_asof_payload"), ignoreNulls = true).over(w1))
+        // pass 2: per-(key, bucket) LATEST right payload (right ts unique
+        // per key — max(struct(ts, payload)) picks the last row's payload),
+        // then a per-key cumulative last over the bucket axis = the
+        // carry-in from all earlier buckets. One row per (key, bucket):
+        // the per-key window is #buckets long, never #rows long.
+        val rb = r.withColumn("_b", bucketOf(r, tsCol, width))
+          .groupBy(col(keyCol), col("_b"))
+          .agg(max(struct(col(tsCol), col("_asof_payload"))).as("_m"))
+          .select(col(keyCol), col("_b"), col("_m._asof_payload").as("_blast"))
+        val axis = ub.select(col(keyCol), col("_b")).distinct()
+        val wc = Window.partitionBy(col(keyCol)).orderBy(col("_b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carriers = axis.join(rb, Seq(keyCol, "_b"), "left")
+          .withColumn("_carry", last(col("_blast"), ignoreNulls = true).over(wc))
+          .select(col(keyCol), col("_b"), col("_carry"))
+        withRun.filter(col("_side") === 1)
+          .join(carriers, Seq(keyCol, "_b"))
+          .withColumn("_asof", coalesce(col("_run"), col("_carry")))
+    }
 
     matched.select(
       Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++

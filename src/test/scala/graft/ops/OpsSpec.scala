@@ -278,6 +278,51 @@ class OpsSpec extends AnyFunSuite {
       "c4" -> None))       // key 2's purchase is at ts 9 > 5
   }
 
+  test("asofJoin ts-bucketing: identical results on a hot-key corpus, bounded task groups") {
+    val s = spark
+    import s.implicits._
+    // user 0 owns 50% of both sides (the hot key a per-key window serializes)
+    def user(i: Int): Long = if (i % 2 == 0) 0L else (i % 7 + 1).toLong
+    val left = (0 until 4000).map { i =>
+      (user(i), ((i.toLong * 997) % 50000) + (i % 3), i.toLong)
+    }.toDF("user_id", "ts", "click_id")
+    // right ts unique per key by construction (globally unique)
+    val right = (0 until 1000).map { i =>
+      (user(i), i.toLong * 53, (i + 100000).toLong)
+    }.toDF("user_id", "ts", "purchase_id")
+    // boundary cases: right row exactly at a bucket start must be matched
+    // inclusively by a left row at the same ts, and missed by ts-1
+    val leftB = left.unionByName(Seq((9L, 5000L, 900001L), (9L, 4999L, 900002L)).toDF(
+      "user_id", "ts", "click_id"))
+    val rightB = right.unionByName(Seq((9L, 5000L, 900100L)).toDF(
+      "user_id", "ts", "purchase_id"))
+
+    def res(b: Option[Long]) =
+      RelationalOps.asofJoin(leftB, rightB, "user_id", "ts", tsBucket = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val plain = res(None)
+    val bucketed = res(Some(1000L))
+    assert(bucketed == plain, {
+      val d1 = (plain -- bucketed).take(5)
+      val d2 = (bucketed -- plain).take(5)
+      s"bucketed asof diverges: missing=$d1 extra=$d2"
+    })
+    assert(plain.contains((9L, 5000L, 900001L, 900100L))) // inclusive at boundary
+    assert(plain.contains((9L, 4999L, 900002L, -1L)))     // strictly-before miss
+
+    // skew evidence: the hot key's rows split across many (key, bucket)
+    // groups — max group is a fraction of the hot key's total
+    val hotTotal = leftB.filter($"user_id" === 0L).count() +
+      rightB.filter($"user_id" === 0L).count()
+    val maxGroup = leftB.select($"user_id", ($"ts" / 1000).cast("long").as("b"))
+      .unionByName(rightB.select($"user_id", ($"ts" / 1000).cast("long").as("b")))
+      .groupBy($"user_id", $"b").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0)
+    assert(maxGroup <= hotTotal / 10,
+      s"bucketing did not split the hot key: maxGroup=$maxGroup hotTotal=$hotTotal")
+  }
+
   test("rangeJoin: inclusive bounds, boundary buckets, no duplicate pairs") {
     val s = spark
     import s.implicits._
