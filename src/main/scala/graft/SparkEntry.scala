@@ -320,6 +320,10 @@ object SparkEntry {
 
     "td10_tokens_bpe" -> ((s, d) => TextOps.bpeTokenCounts(t(s, d, "documents"))),
 
+    // REAL BPE apply: the td10 pre-tokenizer followed by the deterministic
+    // merge table — token counts a trainer budgets with, not piece counts
+    "td13_bpe_merges" -> ((s, d) => TextOps.bpeMergeCounts(t(s, d, "documents"))),
+
     "td11_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(t(s, d, "documents"))),
 
     // --------------------------------------------------- similarity search
@@ -537,6 +541,33 @@ object SparkEntry {
     s"""WITH d AS (SELECT doc_id,
        |  '<${GraphOps.BaseIri}doc/' || doc_id || '>' AS s FROM documents)
        |$selects""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextOps.bpeMergeCounts]], GENERATED from the same
+    * merge table so impl and oracle cannot drift. Each merged symbol is
+    * one private-use placeholder char, so every symbol — original or
+    * merged — is exactly one char: a nested `replace` chain in rank order
+    * IS the BPE apply (the table is well-formed — see
+    * [[TextOps.BpeMerges]]), and `len()` counts tokens. The corpus is
+    * ASCII, so placeholders cannot collide with document text.
+    */
+  private val bpeOracle: String = {
+    val repr = scala.collection.mutable.Map.empty[String, String]
+    val chain = TextOps.BpeMerges.zipWithIndex.foldLeft("w") {
+      case (acc, ((l, r), i)) =>
+        val pair = repr.getOrElse(l, l) + repr.getOrElse(r, r)
+        val ph = (0xE000 + i).toChar.toString
+        repr(l + r) = ph
+        s"replace($acc, '$pair', '$ph')"
+    }
+    val pieces = """regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+')"""
+    s"""SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform($pieces, w -> len($chain))), 0) AS BIGINT)
+       |    AS n_bpe_tokens,
+       |  CAST(coalesce(list_sum(list_transform($pieces, w -> len(w))), 0)
+       |    - coalesce(list_sum(list_transform($pieces, w -> len($chain))), 0) AS BIGINT)
+       |    AS n_merges
+       |FROM documents""".stripMargin
   }
 
   /** DuckDB twin of [[TextOps.minHashBandPairs]], generated from the same
@@ -821,6 +852,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "td11_rolling_fingerprint" -> rollingOracle,
+
+    "td13_bpe_merges" -> bpeOracle,
 
     "td08_ngram_jaccard" ->
       """WITH sh AS (

@@ -57,6 +57,104 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("[^\\s\\p{L}\\p{N}]+"), lit(0))).cast("long").as("n_sym_pieces"))
   }
 
+  // ------------------------------------------------------- BPE merge apply
+
+  /** Deterministic BPE merge table, rank order (the artifact a trained
+    * tokenizer ships; this one is a fixed English-digram table so the op
+    * is reproducible without training). WELL-FORMED by construction: any
+    * rule whose side is a merged symbol ranks after the rule creating it,
+    * so no pair of rank ≤ r can reappear once rank r is processed — the
+    * textbook lowest-rank-first loop therefore equals applying the rules
+    * once each in ascending rank, which is what the generated DuckDB
+    * replace-chain oracle does.
+    */
+  val BpeMerges: Vector[(String, String)] = Vector(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "u", "s" -> "t", "e" -> "n",
+    "a" -> "t", "e" -> "s", "o" -> "r", "l" -> "e")
+
+  private val BpeRanks: Map[(String, String), Int] =
+    BpeMerges.zipWithIndex.toMap
+
+  /** Textbook BPE apply over one pre-tokenized piece: start from single
+    * code points, repeatedly merge ALL occurrences (left-to-right,
+    * non-overlapping) of the LOWEST-rank adjacent pair present, until no
+    * pair is mergeable. Returns the final symbol count — the token count
+    * a trainer budgets with.
+    */
+  def bpeSymbolCount(piece: String): Int = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](piece.length)
+    var ci = 0
+    while (ci < piece.length) {
+      val cp = piece.codePointAt(ci)
+      val n = Character.charCount(cp)
+      syms += piece.substring(ci, ci + n)
+      ci += n
+    }
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = BpeRanks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = BpeMerges(best)
+        val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            next += l + r
+            j += 2
+          } else {
+            next += syms(j)
+            j += 1
+          }
+        }
+        syms = next
+      }
+    }
+    syms.length
+  }
+
+  private val BpePiecePattern = java.util.regex.Pattern.compile(BpePattern)
+
+  /** (doc_id, n_bpe_tokens, n_merges): real BPE token counts — the
+    * pre-tokenizer regex of [[bpeTokenCounts]] followed by the
+    * [[BpeMerges]] merge loop per piece. Per-partition piece memo: corpus
+    * pieces repeat heavily (shared vocabulary), so the merge loop runs
+    * once per distinct piece per partition; bounded reset keeps executor
+    * memory flat on adversarial input.
+    */
+  def bpeMergeCounts(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Integer](1 << 14)
+        it.map { case (id, text) =>
+          val m = BpePiecePattern.matcher(text)
+          var tokens = 0L
+          var chars = 0L
+          while (m.find()) {
+            val piece = m.group()
+            var c = memo.get(piece)
+            if (c == null) {
+              if (memo.size >= (1 << 20)) memo.clear()
+              c = Integer.valueOf(bpeSymbolCount(piece))
+              memo.put(piece, c)
+            }
+            tokens += c.intValue()
+            chars += piece.codePointCount(0, piece.length)
+          }
+          (id, tokens, chars - tokens)
+        }
+      }.toDF("doc_id", "n_bpe_tokens", "n_merges")
+  }
+
   // ------------------------------------------- rolling-hash fingerprinting
 
   val RollWindow = 8

@@ -51,6 +51,31 @@ class OpsSpec extends AnyFunSuite {
     assert(!s1.sameElements(s3))
   }
 
+  test("BPE merge apply: hand-computed token counts, lowest-rank-first order") {
+    // "the": (t,h)->th then (th,e)->the — one token
+    assert(TextOps.bpeSymbolCount("the") == 1)
+    // "thin": th + in, no (th,in) rule — two tokens
+    assert(TextOps.bpeSymbolCount("thin") == 2)
+    // "standing": (i,n) fires before (a,n) and (s,t) (rank order), giving
+    // st + and + ing
+    assert(TextOps.bpeSymbolCount("standing") == 3)
+    // "erere": (e,r) merges all occurrences left-to-right -> er, er, e;
+    // the later (r,e) rule finds no bare r
+    assert(TextOps.bpeSymbolCount("erere") == 3)
+    // no applicable rules: one token per code point
+    assert(TextOps.bpeSymbolCount("xyz") == 3)
+    assert(TextOps.bpeSymbolCount("a") == 1)
+
+    assert(TextOps.bpeSymbolCount("cat") == 2)   // c + at
+    assert(TextOps.bpeSymbolCount("there") == 2) // the + re
+
+    val d = docs((1L, "the thin cat standing there", "en", "s", 0L))
+    val row = TextOps.bpeMergeCounts(d).collect()(0)
+    // the=1 thin=2 cat=2 standing=3 there=2 ; piece chars = 23
+    assert(row.getLong(1) == 10L, s"tokens=${row.getLong(1)}")
+    assert(row.getLong(2) == (23L - 10L), s"merges=${row.getLong(2)}")
+  }
+
   test("lang-id predicts correctly on real multilingual snippets") {
     val d = docs(
       (1L, "the cat sat on the mat and it is a good day to be in the sun", "x", "s", 0L),
