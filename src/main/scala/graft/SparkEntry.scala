@@ -184,6 +184,10 @@ object SparkEntry {
 
     "q24_stream_dedup" -> ((s, d) => StreamingOps.dedupedUserCounts(s, d)),
 
+    // event-time-bounded streaming dedup over an unbounded key space:
+    // planted re-deliveries absorbed by dropDuplicatesWithinWatermark
+    "q29_stream_dedup_watermark" -> ((s, d) => StreamingOps.dedupWithinWatermark(s, d)),
+
     // AS-OF join (composed, single-shuffle): each click joined to the
     // user's most recent prior-or-equal purchase; DuckDB's native ASOF
     // JOIN is the oracle
@@ -1072,6 +1076,10 @@ object SparkEntry {
 
     "q24_stream_dedup" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+
+    // re-deliveries removed ⇒ the deduped stream equals the original table
+    "q29_stream_dedup_watermark" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
 
     "q27_asof_join" ->
       """WITH clicks AS (

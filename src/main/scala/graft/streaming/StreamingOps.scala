@@ -88,9 +88,8 @@ object StreamingOps {
     * ahead of the aggregation — distinct-users-per-type over a stream.
     * State is bounded by the key space (users × types), the pattern a
     * training-data ingest uses to idempotently absorb re-delivered
-    * records; pair the key with an event-time column +
-    * `dropDuplicatesWithinWatermark` when the key space itself is
-    * unbounded.
+    * records; [[dedupWithinWatermark]] is the event-time-bounded variant
+    * for unbounded key spaces.
     */
   def dedupedUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
@@ -115,6 +114,38 @@ object StreamingOps {
     finally q.stop()
 
     spark.table(name).localCheckpoint()
+  }
+
+  /** Streaming dedup with BOUNDED state on an UNBOUNDED key space:
+    * `dropDuplicatesWithinWatermark` keyed on event_id — the state for an
+    * id is evicted once the watermark passes its event time plus the
+    * delay, so re-delivered records inside the watermark window are
+    * absorbed while total state stays finite. (The q24 `dropDuplicates`
+    * variant holds every key forever — right only when the key space is
+    * bounded.) Re-deliveries are PLANTED: the bounded input is rewritten
+    * to a scratch dir with every (event_id % 10 == 0) row duplicated; the
+    * deduped per-type counts must equal the original table's.
+    */
+  def dedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val planted = ev.unionByName(ev.filter(col("event_id") % 10 === 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q29_").toString
+    try {
+      planted.write.mode("overwrite").parquet(s"$dir/in")
+      val name = s"graft_wmdedup_${counter.incrementAndGet()}"
+      val deduped = spark.readStream.schema(ev.schema).parquet(s"$dir/in")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // eager — the scratch dir can be deleted after
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
