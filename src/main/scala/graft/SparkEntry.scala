@@ -417,6 +417,10 @@ object SparkEntry {
            |LATERAL VIEW parse_turtle(ttl) t AS subj, pred, obj""".stripMargin)
     }),
 
+    // per-triple source-span lineage (reference Meta parity): byte offsets
+    // of the emitting statement ride every triple as prunable columns
+    "kg10_parse_spans" -> ((s, d) => GraphOps.parseTurtleWithSpans(t(s, d, "documents"))),
+
     // rich-grammar Turtle distributed: @base-relative IRIs, \u escapes,
     // collections (reverse bnode allocation), anonymous bnode property
     // lists, integer/decimal lexical forms — the reference's hard
@@ -716,7 +720,45 @@ object SparkEntry {
       .mkString("(", " ||\n   ", ")")
   }
 
+  /** DuckDB twin of [[GraphOps.parseTurtleWithSpans]]: all four triples
+    * come from ONE statement whose span is closed-form — start right after
+    * the two prefix directives, end after the terminating `.` (the
+    * reference's statement-span convention: the period is part of the
+    * span, only what follows it is not — see the fixture-pinned test in
+    * ConformanceSpec). The constants are computed from the same literal
+    * fragments [[GraphOps.turtleForDoc]] concatenates, so impl and oracle
+    * cannot drift; the corpus is ASCII so char lengths equal byte lengths.
+    */
+  private val spanOracle: String = {
+    val head = (s"@prefix d: <${GraphOps.DocPrefix}> .\n" +
+      s"@prefix p: <${GraphOps.PropPrefix}> .\n").length
+    val fixed = "d:".length + " p:lang \"".length + "\" ;\n".length +
+      "  p:label \"doc ".length + "\"@".length + " ;\n".length +
+      "  p:source \"".length + "\" ;\n".length + "  p:nchars ".length +
+      " .".length
+    s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+       |  '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,
+       |  CAST($head AS BIGINT) AS span_start,
+       |  CAST($head + $fixed
+       |    + 2 * len(CAST(doc_id AS VARCHAR)) + 2 * len(lang)
+       |    + len(source) + len(CAST(n_chars AS VARCHAR)) AS BIGINT) AS span_end
+       |  FROM documents)
+       |SELECT doc_id, subj, '${GraphOps.PropPrefix}lang' AS pred,
+       |  '"' || lang || '"' AS obj, span_start, span_end FROM d
+       |UNION ALL
+       |SELECT doc_id, subj, '${GraphOps.PropPrefix}label' AS pred,
+       |  '"doc ' || doc_id || '"@' || lang AS obj, span_start, span_end FROM d
+       |UNION ALL
+       |SELECT doc_id, subj, '${GraphOps.PropPrefix}source' AS pred,
+       |  '"' || source || '"' AS obj, span_start, span_end FROM d
+       |UNION ALL
+       |SELECT doc_id, subj, '${GraphOps.PropPrefix}nchars' AS pred,
+       |  '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj,
+       |  span_start, span_end FROM d""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg10_parse_spans" -> spanOracle,
     "q01_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -46,6 +46,34 @@ object GraphOps {
       }.toDF("doc_id", "subj", "pred", "obj")
   }
 
+  /** [[parseTurtle]] carrying each triple's source BYTE span — the
+    * reference's `Meta` lineage on every emitted triple
+    * (`src/build.rs:279-287`: a triple gets the span of the statement that
+    * emitted it; collection/anon-bnode triples the emitting object's span,
+    * replicated by `graft.turtle.Builder`). All four triples per doc come
+    * from one statement, so they share its span — start after the two
+    * prefix directives, end after the terminating `.` (the reference
+    * appends `last_span` at `src/parsing.rs:415` AFTER the period was
+    * already consumed by the po-list's lookahead, so the period is inside
+    * the span — pinned byte-exactly on p01/p12/p18 in ConformanceSpec).
+    */
+  def parseTurtleWithSpans(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, lang, source, nChars) =>
+          val ttl = turtleForDoc(id, lang, source, nChars)
+          Turtle.parseToTriples(ttl) match {
+            case Right(ts) => ts.iterator.map(t =>
+              (id, t.subj.render, t.pred, t.obj.render, t.span.start.toLong, t.span.end.toLong))
+            case Left(e)   => throw new IllegalStateException(s"doc $id: $e")
+          }
+        }
+      }.toDF("doc_id", "subj", "pred", "obj", "span_start", "span_end")
+  }
+
   /** Distributed Turtle FILE source — the reference's file-source entry
     * point (`examples/simple.rs:15-37`) at cluster scale: every `*.ttl`
     * under `dir` is one document (wholetext read, filename = provenance

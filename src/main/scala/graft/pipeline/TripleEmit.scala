@@ -85,13 +85,28 @@ object TripleEmit {
       (Dataset[TripleRow], Dataset[Reject]) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (spanned, rejects) = ingestTurtleSpanned(docs)
+    (spanned.map(t => TripleRow(t.subj, t.pred, t.obj, t.src_url, t.warc_ts)), rejects)
+  }
+
+  /** [[ingestTurtle]] carrying each triple's source byte span (reference
+    * `Meta` lineage parity — the span of the statement/object that emitted
+    * the triple). Use this when downstream diagnostics need to point back
+    * into the source bytes; the extra columns prune away when unselected.
+    */
+  def ingestTurtleSpanned(
+      docs: Dataset[(String, java.sql.Timestamp, String)]): // (url, ts, turtle_text)
+      (Dataset[SpannedTripleRow], Dataset[Reject]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val parsed = docs.mapPartitions { it =>
       it.map { case (url, ts, text) =>
         Turtle.parseToTriplesScoped(text, java.lang.Long.toHexString(Mentions.hash64(url))) match {
           case Right(ts2) =>
-            (ts2.map(t => TripleRow(t.subj.render, t.pred, t.obj.render, url, ts)), None: Option[Reject])
+            (ts2.map(t => SpannedTripleRow(t.subj.render, t.pred, t.obj.render, url, ts,
+              t.span.start, t.span.end)), None: Option[Reject])
           case Left(e) =>
-            (Seq.empty[TripleRow], Some(Reject(url, e.span.start, e.span.end, e.message)))
+            (Seq.empty[SpannedTripleRow], Some(Reject(url, e.span.start, e.span.end, e.message)))
         }
       }
     }.cache()

@@ -53,6 +53,50 @@ class ConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("per-triple spans: reference byte-offset convention on p01/p12/p18") {
+    // Independent oracle: expected offsets located with plain string search
+    // and converted to BYTE offsets via UTF-8 re-encoding — the reference's
+    // convention (locspan byte spans; `DecodedChar::len`). A triple carries
+    // the span of its emitting statement INCLUDING the terminating period:
+    // the reference appends the char-level `last_span` at
+    // `src/parsing.rs:415` after the po-list's lookahead has already
+    // consumed the `.` (`src/lexing.rs:284-285,891`). Collection cons
+    // triples carry the collection OBJECT's span (`src/build.rs:419-456`),
+    // which closes at `)` — its lookahead happens after the span is fixed.
+    def byteOf(text: String, charIdx: Int): Int =
+      text.substring(0, charIdx).getBytes(StandardCharsets.UTF_8).length
+    def after(text: String, s: String, from: Int = 0): Int =
+      byteOf(text, text.indexOf(s, from) + s.length)
+    def spans(ttl: String): Vector[(Int, Int)] =
+      Turtle.parseToTriples(ttl).fold(e => fail(s"$e"), _.map(t => (t.span.start, t.span.end)))
+
+    // p01: two statements; the second ends in a multi-byte Cyrillic literal,
+    // so byte offsets diverge from char offsets — the byte convention shows
+    val p01 = read("p01.ttl")
+    val s1 = (byteOf(p01, p01.indexOf("<#green-goblin>")),
+      after(p01, "\"Green Goblin\" ."))
+    val subj2 = p01.indexOf("<#spiderman>", p01.indexOf("\"Green Goblin\"")) // the SUBJECT occurrence
+    val s2 = (byteOf(p01, subj2), after(p01, "@ru ."))
+    assert(byteOf(p01, p01.indexOf("@ru")) > p01.indexOf("@ru"), "fixture lost its multi-byte char")
+    assert(spans(p01) == Vector.fill(3)(s1) ++ Vector.fill(4)(s2))
+
+    // p12: one statement, three numeric-typed triples; the comment after
+    // the period stays outside the span
+    val p12 = read("p12.ttl")
+    val s12 = (byteOf(p12, p12.indexOf("<http://en.wikipedia.org/wiki/Helium>")),
+      after(p12, "1.663E-4 ."))
+    assert(spans(p12) == Vector.fill(3)(s12))
+
+    // p18: the 9 cons-cell triples carry the collection object's span; the
+    // parent triple the statement's; the empty collection maps to rdf:nil
+    // with the second statement's span
+    val p18 = read("p18.ttl")
+    val coll = (byteOf(p18, p18.indexOf("( :a :b :c )")), after(p18, "( :a :b :c )"))
+    val st1 = (byteOf(p18, p18.indexOf(":subject :predicate (")), after(p18, "( :a :b :c ) ."))
+    val st2 = (byteOf(p18, p18.indexOf(":subject :predicate2 ()")), after(p18, "() ."))
+    assert(spans(p18) == Vector.fill(9)(coll) ++ Vector(st1, st2))
+  }
+
   test("negative: space inside IRIREF is a lex error with a span (examples/syntax_error.ttl)") {
     val src = {
       val url = getClass.getResource("/turtle/syntax_error.ttl")
