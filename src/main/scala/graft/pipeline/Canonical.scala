@@ -60,26 +60,24 @@ object Canonical {
 
       // pointer jumping (shortcutting): adopt the label of your label —
       // halves chain depth each round, O(log diameter) total rounds.
-      // Convergence detection costs ZERO extra jobs: an accumulator counts
-      // changed rows DURING the checkpoint materialization itself (round 1
-      // paid a second full join pass; the first fix paid a scan job).
-      // At-least-once accumulator semantics are safe for a "> 0" test —
-      // retried tasks can only re-add rows that genuinely changed, never
-      // invent changes on a converged frame.
+      // Convergence detection costs ZERO extra jobs: a native
+      // CollectMetrics node (Dataset.observe) sums the changed flags
+      // DURING the checkpoint materialization itself — no per-row UDF in
+      // the loop hot path (round 2 used an always-true filter UDF; round 1
+      // paid a second full join pass). Exactly-once: observed metrics
+      // ignore retried/speculative task attempts, unlike accumulators.
       val parents = updated.select($"id".as("component"), $"component".as("jump"))
       val jumped = updated.join(parents, Seq("component"), "left")
         .select($"id", least($"component", coalesce($"jump", $"component")).as("component"),
           $"changed")
 
-      val changedAcc = spark.sparkContext.longAccumulator(s"cc.changed.$iter")
-      // id-type-agnostic (ids are Longs in doc CC, String IRIs in entity
-      // canonicalization): an always-true filter UDF counts as it streams
-      val countChanged = udf { c: Boolean => if (c) changedAcc.add(1L); true }
-      val next = jumped.filter(countChanged($"changed"))
+      val obs = new org.apache.spark.sql.Observation(s"cc.changed.$iter")
+      val next = jumped
+        .observe(obs, sum(when($"changed", 1L).otherwise(0L)).as("n_changed"))
         .drop("changed")
-        .localCheckpoint() // eager: populates the accumulator
+        .localCheckpoint() // eager: materializes and completes the observation
       labels = next
-      converged = changedAcc.value == 0L
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       iter += 1
     }
     sym.unpersist()
