@@ -324,6 +324,11 @@ object SparkEntry {
 
     "td10_tokens_bpe" -> ((s, d) => TextOps.bpeTokenCounts(t(s, d, "documents"))),
 
+    // the dedup CAPSTONE: LSH candidates -> connected components -> one
+    // representative per near-dup cluster (oracle: recursive-CTE closure
+    // over the same band pairs)
+    "td14_dedup_clusters" -> ((s, d) => TextOps.dedupClusters(t(s, d, "documents"))),
+
     // REAL BPE apply: the td10 pre-tokenizer followed by the deterministic
     // merge table — token counts a trainer budgets with, not piece counts
     "td13_bpe_merges" -> ((s, d) => TextOps.bpeMergeCounts(t(s, d, "documents"))),
@@ -603,6 +608,25 @@ object SparkEntry {
        |FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** DuckDB twin of [[TextOps.dedupClusters]]: the same band-pair CTE, then
+    * a recursive transitive closure over the undirected edges — each doc's
+    * representative is the min id among itself and everything reachable.
+    */
+  private val dedupClustersOracle: String =
+    s"""WITH RECURSIVE p AS (
+       |$minhashBandOracle
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p
+       |), reach(id, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+       |)
+       |SELECT d.doc_id,
+       |  CAST(least(coalesce(MIN(r.r), d.doc_id), d.doc_id) AS BIGINT) AS cluster_rep
+       |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
 
   /** DuckDB twin of [[EmbeddingOps.annIvf]]: centroid list literals are
     * generated from the same [[EmbeddingOps.ivfCentroid]] spec; assignment
@@ -900,6 +924,8 @@ object SparkEntry {
     "td11_rolling_fingerprint" -> rollingOracle,
 
     "td13_bpe_merges" -> bpeOracle,
+
+    "td14_dedup_clusters" -> dedupClustersOracle,
 
     "td08_ngram_jaccard" ->
       """WITH sh AS (

@@ -538,6 +538,26 @@ object TextOps {
       .filter(col("n_docs") > maxBucket)
   }
 
+  /** END-TO-END near-dup dedup — the operator a production pipeline ships:
+    * banded MinHash candidates ([[minHashBandPairs]]) become an undirected
+    * graph, distributed connected components collapse transitive
+    * near-dup chains, and every document maps to its cluster's min-id
+    * representative (singletons map to themselves). "Keep one per
+    * cluster" is then `filter(doc_id == cluster_rep)`. The [[DefaultMaxBucket]]
+    * star-capping composes EXACTLY here: a capped bucket's star edges
+    * produce the same connected components as the full clique, so the
+    * dedup result is unchanged while hot buckets stay linear.
+    */
+  def dedupClusters(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = minHashBandPairs(documents, maxBucket)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val cc = graft.pipeline.Canonical.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    documents.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_rep"))
+  }
+
   /** Near-duplicate candidate pairs by n-gram Jaccard over the distinct
     * 5-gram shingles of the first `prefixLen` chars, within the same
     * `source` (blocking key bounds the self-join). Exact set arithmetic:

@@ -151,6 +151,32 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.simHashHotBands(d, maxBucket = 64).count() == 4L)
   }
 
+  test("dedupClusters: LSH→CC representatives; star-capping yields identical clusters") {
+    val s = spark
+    import s.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val near = boiler.replace("lazy", "hazy")
+    val single = "entirely different content about catalyst exchanges and parquet row groups"
+    // 200 identical docs (ids 100..299) + a near-dup of them (id 1) + a singleton (id 2)
+    val d = spark.range(100, 300).select($"id".as("doc_id"), lit(boiler).as("text"))
+      .unionByName(Seq((1L, near), (2L, single)).toDF("doc_id", "text"))
+
+    def clusters(maxBucket: Int): Map[Long, Long] =
+      TextOps.dedupClusters(d, maxBucket).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val uncapped = clusters(maxBucket = 1 << 20)
+    val capped = clusters(maxBucket = 16) // boilerplate bucket (201 docs) star-reduced
+    assert(capped == uncapped, "star-capping changed the dedup clusters")
+    // the identical docs + the near-dup form one cluster anchored at min id
+    assert((100L until 300L).forall(uncapped(_) == uncapped(100L)))
+    assert(uncapped(2L) == 2L) // singleton keeps itself
+    // "keep one per cluster" sanity: exactly 2 or 3 survivors (near-dup may
+    // or may not band-collide with the boilerplate — but must be consistent)
+    val survivors = uncapped.count { case (id, rep) => id == rep }
+    assert(survivors == uncapped.values.toSet.size)
+  }
+
   test("nearDupPairs block-pair join matches single-block all-pairs exactly") {
     val s = spark
     import s.implicits._
