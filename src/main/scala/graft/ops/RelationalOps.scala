@@ -91,12 +91,16 @@ object RelationalOps {
         // per key — max(struct(ts, payload)) picks the last row's payload),
         // then a per-key cumulative last over the bucket axis = the
         // carry-in from all earlier buckets. One row per (key, bucket):
-        // the per-key window is #buckets long, never #rows long.
-        val rb = r.withColumn("_b", bucketOf(r, tsCol, width))
+        // the per-key window is #buckets long, never #rows long. Both the
+        // summary aggregate and the axis derive from the WINDOWED frame,
+        // whose HashPartitioning(key, _b) already satisfies their
+        // clustering — no second exchange of the big table, and the one
+        // window exchange is shared (ReusedExchange) across consumers.
+        val rb = withRun.filter(col("_side") === 0)
           .groupBy(col(keyCol), col("_b"))
           .agg(max(struct(col(tsCol), col("_asof_payload"))).as("_m"))
           .select(col(keyCol), col("_b"), col("_m._asof_payload").as("_blast"))
-        val axis = ub.select(col(keyCol), col("_b")).distinct()
+        val axis = withRun.select(col(keyCol), col("_b")).distinct()
         val wc = Window.partitionBy(col(keyCol)).orderBy(col("_b").asc)
           .rowsBetween(Window.unboundedPreceding, -1)
         val carriers = axis.join(rb, Seq(keyCol, "_b"), "left")

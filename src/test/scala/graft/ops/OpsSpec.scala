@@ -311,6 +311,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-3 op plan shapes: bounded exchanges, no nested-loop joins") {
+    val s = spark
+    import s.implicits._
+    def audit(df: org.apache.spark.sql.DataFrame, maxExchanges: Int, label: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$label plans a nested-loop join:\n${plan.take(1500)}")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= maxExchanges,
+        s"$label: expected <= $maxExchanges exchanges, got $exchanges:\n${plan.take(1500)}")
+    }
+
+    val e = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(2.0f, 1.0f))).toDF("vec_id", "embedding")
+    // multi-probe = probe-group exchange + global re-rank window exchange
+    audit(EmbeddingOps.annMultiProbe(e, nPlanes = 4, k = 1, maxHamming = 1, dims = 2), 2, "emb06")
+    audit(EmbeddingOps.annIvfMultiProbe(e, cells = 4, k = 1, nprobe = 2, dims = 2), 2, "emb07")
+
+    // capped band pairs = band-group exchange + (a,b) count exchange
+    val d = docs((1L, "aaa bbb ccc", "en", "s", 0L), (2L, "aaa bbb ccd", "en", "s", 0L))
+    audit(TextOps.minHashBandPairs(d), 2, "td09")
+    audit(TextOps.simHashPairs(d), 2, "td12")
+
+    // bucketed as-of: the BIG union exchanges once on (key, bucket); the
+    // carry side is per-(key,bucket) summaries — small by construction
+    val left = Seq((1L, 10L, 7L)).toDF("k", "ts", "v")
+    val right = Seq((1L, 5L, 9L)).toDF("k", "ts", "p")
+    audit(RelationalOps.asofJoin(left, right, "k", "ts", tsBucket = Some(100L)), 6, "q30")
+  }
+
   test("asofJoin: inclusive most-recent match, null before first right row") {
     val s = spark
     import s.implicits._
