@@ -202,6 +202,10 @@ object SparkEntry {
         .select(col("user_id"), col("click_id"), col("purchase_id").as("last_purchase_id"))
     }),
 
+    // STREAM-STREAM interval join (both sides streaming, watermark-bounded
+    // join state): q28's semantics on the inner-matched clicks
+    "q31_stream_stream_join" -> ((s, d) => StreamingOps.streamStreamJoin(s, d)),
+
     // skew-safe AS-OF: same query as q27 through the (key, ts-bucket)
     // composite window + carry path (1-hour buckets) — identical semantics,
     // per-task rows bounded by bucket width instead of key frequency
@@ -421,6 +425,10 @@ object SparkEntry {
            |  FROM graft_docs) x
            |LATERAL VIEW parse_turtle(ttl) t AS subj, pred, obj""".stripMargin)
     }),
+
+    // serializer round-trip at corpus scale: parse → NT render → NT
+    // re-parse; identity with kg01's oracle pins losslessness on every row
+    "kg11_nt_roundtrip" -> ((s, d) => GraphOps.parseTurtleNtRoundTrip(t(s, d, "documents"))),
 
     // per-triple source-span lineage (reference Meta parity): byte offsets
     // of the emitting statement ride every triple as prunable columns
@@ -781,6 +789,21 @@ object SparkEntry {
        |  span_start, span_end FROM d""".stripMargin
   }
 
+  private val kg01Oracle: String =
+    s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+       |  '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj FROM documents)
+       |SELECT doc_id, subj, '${GraphOps.PropPrefix}lang' AS pred,
+       |  '"' || lang || '"' AS obj FROM d
+       |UNION ALL
+       |SELECT doc_id, subj, '${GraphOps.PropPrefix}label' AS pred,
+       |  '"doc ' || doc_id || '"@' || lang AS obj FROM d
+       |UNION ALL
+       |SELECT doc_id, subj, '${GraphOps.PropPrefix}source' AS pred,
+       |  '"' || source || '"' AS obj FROM d
+       |UNION ALL
+       |SELECT doc_id, subj, '${GraphOps.PropPrefix}nchars' AS pred,
+       |  '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj FROM d""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "kg10_parse_spans" -> spanOracle,
     "q01_agg_lineitem" ->
@@ -1045,20 +1068,10 @@ object SparkEntry {
         |  CAST(((s.s * (16 + doc_id % 16)) // 4) * 40 AS BIGINT) AS frame_ts_ms
         |FROM documents, generate_series(0, 3) s(s)""".stripMargin,
 
-    "kg01_parse_turtle" ->
-      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
-         |  '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj FROM documents)
-         |SELECT doc_id, subj, '${GraphOps.PropPrefix}lang' AS pred,
-         |  '"' || lang || '"' AS obj FROM d
-         |UNION ALL
-         |SELECT doc_id, subj, '${GraphOps.PropPrefix}label' AS pred,
-         |  '"doc ' || doc_id || '"@' || lang AS obj FROM d
-         |UNION ALL
-         |SELECT doc_id, subj, '${GraphOps.PropPrefix}source' AS pred,
-         |  '"' || source || '"' AS obj FROM d
-         |UNION ALL
-         |SELECT doc_id, subj, '${GraphOps.PropPrefix}nchars' AS pred,
-         |  '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj FROM d""".stripMargin,
+    "kg01_parse_turtle" -> kg01Oracle,
+
+    // the round-trip must be the identity, so the oracle is kg01's
+    "kg11_nt_roundtrip" -> kg01Oracle,
 
     "kg02_extract" ->
       "SELECT doc_id, md5(text) AS extracted_md5 FROM documents",
@@ -1180,6 +1193,19 @@ object SparkEntry {
         |)
         |SELECT c.user_id, c.click_id, CAST(COUNT(p.t) AS BIGINT) AS n_recent
         |FROM clicks c LEFT JOIN purch p
+        |  ON p.user_id = c.user_id AND p.t BETWEEN c.t - 1800000000 AND c.t
+        |GROUP BY 1, 2""".stripMargin,
+
+    // inner interval join: clicks with zero recent purchases don't appear
+    "q31_stream_stream_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, c.click_id, CAST(COUNT(*) AS BIGINT) AS n_recent
+        |FROM clicks c JOIN purch p
         |  ON p.user_id = c.user_id AND p.t BETWEEN c.t - 1800000000 AND c.t
         |GROUP BY 1, 2""".stripMargin,
 

@@ -143,6 +143,61 @@ object GraphOps {
       }).toDF("doc_id", "subj", "pred", "obj")
   }
 
+  /** Distributed N-Triples SINK — the reference's serializer surface at
+    * scale. Each TripleRow renders to one NT line by pure codegen'd string
+    * concat, because the row columns already hold N-Triples term syntax
+    * (that invariant is the point of the TripleRow encoding; the escape
+    * table was applied when the term was rendered). NT carries no lineage
+    * columns — the parquet graph table stays the system of record, `.nt`
+    * is the interchange EXPORT.
+    */
+  def writeNTriples(triples: org.apache.spark.sql.Dataset[graft.pipeline.TripleRow],
+      path: String): Unit =
+    triples.toDF()
+      .select(concat(col("subj"), lit(" <"), col("pred"), lit("> "),
+        col("obj"), lit(" .")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** N-Triples SOURCE: text lines parsed per-partition with the
+    * conformance-tested NT parser (one line = one triple in NT; the parser
+    * is the same one that validates the golden fixtures).
+    */
+  def readNTriples(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .mapPartitions(_.flatMap { line =>
+        graft.turtle.NTriples.parse(line) match {
+          case Right(ts) => ts.iterator.map(t => (t.subj.render, t.pred, t.obj.render))
+          case Left(e)   => throw new IllegalStateException(s"bad NT line `$line`: $e")
+        }
+      }).toDF("subj", "pred", "obj")
+  }
+
+  /** Serializer round-trip at scale (kg11): parse each doc's Turtle, render
+    * with the N-Triples serializer, re-parse the rendered document with the
+    * independent NT parser — output the REPARSED triples. Identity with
+    * kg01's oracle proves serialize ∘ parse ∘ serialize is lossless on
+    * every row of the corpus, not just the 29 fixtures.
+    */
+  def parseTurtleNtRoundTrip(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, lang, source, nChars) =>
+          val ttl = turtleForDoc(id, lang, source, nChars)
+          val ts = Turtle.parseToTriples(ttl)
+            .fold(e => throw new IllegalStateException(s"doc $id: $e"), identity)
+          val nt = graft.turtle.NTriples.render(ts)
+          graft.turtle.NTriples.parse(nt) match {
+            case Right(ts2) => ts2.iterator.map(t => (id, t.subj.render, t.pred, t.obj.render))
+            case Left(e)    => throw new IllegalStateException(s"doc $id reparse: $e")
+          }
+        }
+      }.toDF("doc_id", "subj", "pred", "obj")
+  }
+
   /** Wrap each document in the synthetic page HTML and re-extract —
     * verifiable because extraction must be the identity on the original
     * text (md5(extracted) == md5(text)).

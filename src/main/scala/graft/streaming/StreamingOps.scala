@@ -148,6 +148,48 @@ object StreamingOps {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  /** STREAM-STREAM interval join: clicks joined to the purchases of the
+    * same user within the preceding 30 minutes, both sides unbounded
+    * streams. The event-time range condition plus watermarks on BOTH
+    * sides is what bounds the join state: a buffered purchase can be
+    * evicted once the click watermark passes its ts + 30 min — without
+    * the range the state grows forever. Inner join in append mode (the
+    * only stream-stream mode with exact semantics); counting per click
+    * happens batch-side on the drained sink so the streaming query stays
+    * a single stateful operator.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_ssjoin_${counter.incrementAndGet()}"
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("ts").cast("timestamp").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("ts").cast("timestamp").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+
+    val joined = clicks.join(purchases,
+      expr("c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"))
+
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(name)
+      .groupBy(col("c_user").as("user_id"), col("click_id"))
+      .agg(count(lit(1)).as("n_recent"))
+      .localCheckpoint()
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
   /** Custom stateful streaming: per-user sessionization via

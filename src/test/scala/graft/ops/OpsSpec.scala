@@ -438,6 +438,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got > 0)
   }
 
+  test("N-Triples sink/source: escape-bearing triples round-trip through text files") {
+    val s = spark
+    import s.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    // literals in CANONICAL TripleRow term syntax (the reference escape
+    // table: quote → ", backslash → \, control chars short-form)
+    val rows = Seq(
+      graft.pipeline.TripleRow("<http://x/s1>", "http://x/p", "\"a\\nb\\tc\"", "u", ts),
+      graft.pipeline.TripleRow("<http://x/s2>", "http://x/p",
+        "\"say \\u0022hi\\u0022 \\u005c done\"@en", "u", ts),
+      graft.pipeline.TripleRow("_:b0", "http://x/q",
+        "\"42\"^^<http://www.w3.org/2001/XMLSchema#integer>", "u", ts)).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-nt").toString
+    GraphOps.writeNTriples(rows, s"$dir/g.nt")
+    val back = GraphOps.readNTriples(spark, s"$dir/g.nt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == rows.collect().map(t => (t.subj, t.pred, t.obj)).toSet)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("doc components: forest ground truth (root = min of component)") {
     val d = docs((0L, "", "e", "s", 0L), (1L, "", "e", "s", 0L), (2L, "", "e", "s", 0L),
       (3L, "", "e", "s", 0L), (4L, "", "e", "s", 0L), (5L, "", "e", "s", 0L),
