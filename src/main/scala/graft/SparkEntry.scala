@@ -333,6 +333,10 @@ object SparkEntry {
     // over the same band pairs)
     "td14_dedup_clusters" -> ((s, d) => TextOps.dedupClusters(t(s, d, "documents"))),
 
+    // curation capstone: quality gate × language routing × dedup reps →
+    // per-language surviving doc/token budget
+    "td15_curation" -> ((s, d) => TextOps.curate(t(s, d, "documents"))),
+
     // REAL BPE apply: the td10 pre-tokenizer followed by the deterministic
     // merge table — token counts a trainer budgets with, not piece counts
     "td13_bpe_merges" -> ((s, d) => TextOps.bpeMergeCounts(t(s, d, "documents"))),
@@ -635,6 +639,39 @@ object SparkEntry {
        |  CAST(least(coalesce(MIN(r.r), d.doc_id), d.doc_id) AS BIGINT) AS cluster_rep
        |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
        |GROUP BY d.doc_id""".stripMargin
+
+  /** DuckDB twin of [[TextOps.curate]]: the dedup closure, the language
+    * argmax, and the token-count gate re-composed from the same fragments
+    * as their standalone oracles.
+    */
+  private val curationOracle: String =
+    s"""WITH RECURSIVE p AS (
+       |$minhashBandOracle
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM p WHERE n_bands >= 2
+       |  UNION SELECT b AS src, a AS dst FROM p WHERE n_bands >= 2
+       |), reach(id, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+       |), rep AS (
+       |  SELECT d.doc_id,
+       |    least(coalesce(MIN(r.r), d.doc_id), d.doc_id) AS cluster_rep
+       |  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+       |  GROUP BY d.doc_id
+       |), lang AS (
+       |$langidOracle
+       |), quality AS (
+       |  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents
+       |)
+       |SELECT l.lang_pred,
+       |  CASE WHEN q.n_tokens >= 70 THEN 'long' ELSE 'std' END AS tier,
+       |  COUNT(*) AS n_docs, CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens
+       |FROM rep
+       |JOIN lang l ON l.doc_id = rep.doc_id
+       |JOIN quality q ON q.doc_id = rep.doc_id
+       |WHERE rep.doc_id = rep.cluster_rep AND q.n_tokens >= 40
+       |GROUP BY 1, 2""".stripMargin
 
   /** DuckDB twin of [[EmbeddingOps.annIvf]]: centroid list literals are
     * generated from the same [[EmbeddingOps.ivfCentroid]] spec; assignment
@@ -949,6 +986,8 @@ object SparkEntry {
     "td13_bpe_merges" -> bpeOracle,
 
     "td14_dedup_clusters" -> dedupClustersOracle,
+
+    "td15_curation" -> curationOracle,
 
     "td08_ngram_jaccard" ->
       """WITH sh AS (

@@ -548,14 +548,46 @@ object TextOps {
     * produce the same connected components as the full clique, so the
     * dedup result is unchanged while hot buckets stay linear.
     */
-  def dedupClusters(documents: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  def dedupClusters(
+      documents: DataFrame,
+      maxBucket: Int = DefaultMaxBucket,
+      minBands: Int = 1): DataFrame = {
+    // n_bands is the cheap similarity proxy: requiring agreement on >= k of
+    // the 4 bands tightens the effective Jaccard threshold (P(band) ~ J^2),
+    // the knob that keeps templated corpora from chaining transitively
     val pairs = minHashBandPairs(documents, maxBucket)
+      .filter(col("n_bands") >= minBands)
       .select(col("a").as("src"), col("b").as("dst"))
     val cc = graft.pipeline.Canonical.connectedComponents(pairs)
       .withColumnRenamed("id", "doc_id")
     documents.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_rep"))
+  }
+
+  /** Training-data CURATION capstone — the composition a real corpus
+    * pipeline ships: per-doc quality signals ([[qualityScores]]) gate the
+    * corpus, language-ID ([[langId]]) routes it, and near-dup dedup
+    * ([[dedupClusters]]) keeps one representative per cluster; the output
+    * is the per-language surviving document/token budget a trainer plans
+    * against. Each constituent is individually oracle-checked; this op's
+    * own oracle re-composes the same three CTEs.
+    */
+  def curate(documents: DataFrame, minTokens: Long = 40L): DataFrame = {
+    val quality = qualityScores(documents).select(col("doc_id"), col("n_tokens"))
+    val lang = langId(documents).select(col("doc_id"), col("lang_pred"))
+    // templated web corpora chain transitively on single-band agreement —
+    // curation dedups on >= 2 of 4 bands (effective Jaccard much higher)
+    val reps = dedupClusters(documents, minBands = 2)
+    documents.select(col("doc_id"))
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .join(reps, "doc_id")
+      .filter(col("doc_id") === col("cluster_rep") && col("n_tokens") >= minTokens)
+      .groupBy(col("lang_pred"),
+        when(col("n_tokens") >= 70, lit("long")).otherwise(lit("std")).as("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"))
   }
 
   /** Near-duplicate candidate pairs by n-gram Jaccard over the distinct
