@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{EmbeddingOps, GraphOps, MultimodalOps, TextOps}
+import graft.ops.{EmbeddingOps, GraphAnalytics, GraphOps, MultimodalOps, TextOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract: one entry per implemented operator, each paired (where
@@ -444,6 +444,35 @@ object SparkEntry {
     // conformance paths (p18/p23/p25) under Spark, not just in sbt
     "kg06_parse_rich" -> ((s, d) => GraphOps.parseTurtleRich(t(s, d, "documents"))),
 
+    // ------------------------------------------- graph analytics on the KG
+    // all four run on the closed-form synthetic graph over doc ids
+    // (tree + triangle chords — GraphAnalytics.syntheticEdges), which the
+    // DuckDB oracle re-derives in SQL, so results are value-checked
+    "kg12_degree" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      GraphAnalytics.degrees(GraphAnalytics.syntheticEdges(docs),
+        Some(docs.select(col("doc_id").as("id"))))
+        .select(col("id").as("doc_id"), col("degree"))
+    }),
+
+    "kg13_triangles" -> ((s, d) =>
+      GraphAnalytics.triangleCounts(GraphAnalytics.syntheticEdges(t(s, d, "documents")))
+        .select(col("id").as("doc_id"), col("n_triangles"))),
+
+    "kg14_bfs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val src = docs.agg(min(col("doc_id")).as("id"))
+      GraphAnalytics.bfsHops(GraphAnalytics.syntheticEdges(docs), src)
+        .select(col("id").as("doc_id"), col("hop"))
+    }),
+
+    "kg15_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      GraphAnalytics.pageRank(GraphAnalytics.syntheticEdges(docs),
+        docs.select(col("doc_id").as("id")), iterations = 3)
+        .select(col("id").as("doc_id"), col("rank"))
+    }),
+
     // lenient SQL surface: planted malformed docs (doc_id % 37 == 0) route
     // to error rows via parse_turtle_safe; the job survives and every doc
     // is accounted for
@@ -789,6 +818,81 @@ object SparkEntry {
       .mkString("(", " ||\n   ", ")")
   }
 
+  /** Shared CTE prefix of the graph-analytics oracles — the SQL twin of
+    * [[GraphAnalytics.syntheticEdges]] (tree d → d⌊/2⌋ + chord triangles at
+    * every multiple of 4, endpoints closed over the id set) plus the
+    * canonical undirected projection.
+    */
+  private val graphEdgesCte: String =
+    """ids AS (SELECT doc_id AS id FROM documents),
+      |raw AS (
+      |  SELECT id AS src, id // 2 AS dst FROM ids WHERE id > 0
+      |  UNION ALL SELECT id, id + 1 FROM ids WHERE id % 4 = 0
+      |  UNION ALL SELECT id, id + 2 FROM ids WHERE id % 4 = 0
+      |  UNION ALL SELECT id + 1, id + 2 FROM ids WHERE id % 4 = 0),
+      |edges AS (
+      |  SELECT src, dst FROM raw
+      |  WHERE src <> dst AND src IN (SELECT id FROM ids) AND dst IN (SELECT id FROM ids)),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges)""".stripMargin
+
+  private val degreeOracle: String =
+    s"""WITH $graphEdgesCte
+       |SELECT i.id AS doc_id, CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+       |FROM ids i LEFT JOIN (
+       |  SELECT id, COUNT(*) AS degree
+       |  FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+       |  GROUP BY 1) d ON d.id = i.id""".stripMargin
+
+  // a < b < c enumeration — same triangle set the degree-oriented Spark
+  // plan finds (orientation changes the join shape, never the result)
+  private val triangleOracle: String =
+    s"""WITH $graphEdgesCte,
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e2.u = e1.v
+       |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT id AS doc_id, COUNT(*) AS n_triangles
+       |FROM (SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+       |      UNION ALL SELECT c AS id FROM tri)
+       |GROUP BY 1""".stripMargin
+
+  private val bfsOracle: String =
+    s"""WITH RECURSIVE $graphEdgesCte,
+       |adj AS (SELECT src AS a, dst AS b FROM edges
+       |        UNION SELECT dst AS a, src AS b FROM edges),
+       |walk(id, hop) AS (
+       |  SELECT (SELECT MIN(id) FROM ids), 0
+       |  UNION
+       |  SELECT adj.b, w.hop + 1 FROM walk w JOIN adj ON adj.a = w.id
+       |  WHERE w.hop < 25)
+       |SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hop
+       |FROM walk GROUP BY 1""".stripMargin
+
+  /** Three power-method iterations unrolled as CTEs — term-for-term the
+    * arithmetic of [[GraphAnalytics.pageRank]] (same double literals, same
+    * coalesce-to-0 for rankless-in-degree nodes, dangling mass dropped).
+    */
+  private val pageRankOracle: String = {
+    def iter(prev: String, t: Int): String =
+      s"""c$t AS (
+         |  SELECT e.dst AS id, SUM(r.rank / od.deg) AS c
+         |  FROM edges e JOIN $prev r ON r.id = e.src
+         |  JOIN outdeg od ON od.id = e.src
+         |  GROUP BY 1),
+         |r$t AS (
+         |  SELECT i.id, 0.15 / cnt.n + 0.85 * coalesce(c$t.c, 0) AS rank
+         |  FROM ids i CROSS JOIN cnt LEFT JOIN c$t ON c$t.id = i.id)""".stripMargin
+    s"""WITH $graphEdgesCte,
+       |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ids),
+       |outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, 1.0 / cnt.n AS rank FROM ids CROSS JOIN cnt),
+       |${iter("r0", 1)},
+       |${iter("r1", 2)},
+       |${iter("r2", 3)}
+       |SELECT id AS doc_id, round(rank, 6) AS rank FROM r3""".stripMargin
+  }
+
   /** DuckDB twin of [[GraphOps.parseTurtleWithSpans]]: all four triples
     * come from ONE statement whose span is closed-form — start right after
     * the two prefix directives, end after the terminating `.` (the
@@ -1111,6 +1215,14 @@ object SparkEntry {
 
     // the round-trip must be the identity, so the oracle is kg01's
     "kg11_nt_roundtrip" -> kg01Oracle,
+
+    "kg12_degree" -> degreeOracle,
+
+    "kg13_triangles" -> triangleOracle,
+
+    "kg14_bfs" -> bfsOracle,
+
+    "kg15_pagerank" -> pageRankOracle,
 
     "kg02_extract" ->
       "SELECT doc_id, md5(text) AS extracted_md5 FROM documents",

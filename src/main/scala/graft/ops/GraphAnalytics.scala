@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the constructed KG — the query side of a
+  * KG-construction engine: once triples are materialized, users ask degree
+  * distributions, multi-hop reachability, triangle/community structure and
+  * centrality. Every operator takes a generic `(src, dst)` edge DataFrame,
+  * so it runs unchanged on [[graft.pipeline.Materialize]] output (project
+  * subj/obj of a predicate) or any derived edge set.
+  *
+  * Scale shapes (the properties that survive 1000 executors):
+  *   - degree: one partial-aggregated groupBy — map-side combine does the
+  *     heavy lifting, shuffle carries one row per (node) per task;
+  *   - triangles: DEGREE-ORIENTED enumeration — each undirected edge is
+  *     directed from its (degree, id)-smaller endpoint, so every wedge is
+  *     generated at its lowest-degree vertex and total wedge count is
+  *     O(m^1.5) even on power-law graphs (the naive a<b<c orientation
+  *     explodes at the hubs exactly where a web KG is skewed);
+  *   - BFS: frontier-based iteration — per round, only the newly-reached
+  *     frontier joins the adjacency (not the whole dist table), lineage is
+  *     truncated with localCheckpoint like [[graft.pipeline.Canonical]];
+  *   - PageRank: fixed-iteration power method; contributions are one
+  *     shuffle per iteration (join on src + groupBy dst, both partial-agg),
+  *     rank state is one row per node.
+  *
+  * The SparkEntry queries run these on [[syntheticEdges]] — a closed-form
+  * graph over the corpus doc ids that the DuckDB oracle re-derives in SQL —
+  * so every operator is value-checked end to end.
+  */
+object GraphAnalytics {
+
+  /** Deterministic synthetic graph over the corpus doc ids, closed-form in
+    * SQL for the oracles: a connected tree (d → d/2 for every d > 0) plus a
+    * triangle chord block {4k, 4k+1, 4k+2} at every multiple of 4. Chords
+    * both shortcut BFS paths and create triangles that ALSO combine with
+    * tree edges (e.g. {4, 8, 9}: 8→4 and 9→4 tree edges + 8—9 chord).
+    * Endpoints are semi-joined back to the id set so the edge list stays
+    * closed over the corpus at any scale factor; self-loops excluded.
+    */
+  def syntheticEdges(documents: DataFrame): DataFrame = {
+    val ids = documents.select(col("doc_id").as("id"))
+    val tree = ids.filter(col("id") > 0)
+      .select(col("id").as("src"), (col("id") / 2).cast("long").as("dst"))
+    def chord(sOff: Int, dOff: Int) = ids.filter(col("id") % 4 === 0)
+      .select((col("id") + sOff).as("src"), (col("id") + dOff).as("dst"))
+    tree.union(chord(0, 1)).union(chord(0, 2)).union(chord(1, 2))
+      .filter(col("src") =!= col("dst"))
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+  }
+
+  /** Distinct undirected edge set as canonical (u < v) pairs. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(
+      least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Undirected degree per node: number of distinct neighbours. One
+    * groupBy over the exploded endpoints (map-side combined); `nodes`
+    * (optional) left-joins isolated vertices back in with degree 0.
+    */
+  def degrees(edges: DataFrame, nodes: Option[DataFrame] = None): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    nodes match {
+      case None => deg
+      case Some(n) =>
+        n.select(col("id")).join(deg, Seq("id"), "left")
+          .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
+    }
+  }
+
+  /** Per-node triangle counts via degree-oriented wedge enumeration.
+    *
+    * Orient every undirected edge from its (degree, id)-smaller endpoint;
+    * generate wedges (two out-edges of one vertex, the two heads ordered by
+    * the same total order); close each wedge with an equi-join back to the
+    * oriented edge set — the closing edge is oriented exactly
+    * lower-head → higher-head, so each triangle is found ONCE, with no
+    * post-hoc dedup. The orientation bounds per-vertex wedge fan-out by
+    * out-degree ≤ O(√m), the classic bound that keeps hub vertices of a
+    * web graph from generating quadratic wedges. Output: (id, n_triangles)
+    * for every vertex in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // (degree, id) total order as a sortable struct key per endpoint
+    def key(dC: Column, idC: Column): Column = struct(dC.as("d"), idC.as("id"))
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(key(col("du"), col("u")) < key(col("dv"), col("v")), col("u")).otherwise(col("v")).as("src"),
+        when(key(col("du"), col("u")) < key(col("dv"), col("v")), col("v")).otherwise(col("u")).as("dst"),
+        when(key(col("du"), col("u")) < key(col("dv"), col("v")), key(col("dv"), col("v")))
+          .otherwise(key(col("du"), col("u"))).as("dstKey"))
+    val e1 = oriented.select(col("src"), col("dst").as("b1"), col("dstKey").as("k1"))
+    val e2 = oriented.select(col("src"), col("dst").as("b2"), col("dstKey").as("k2"))
+    val wedges = e1.join(e2, Seq("src")).filter(col("k1") < col("k2"))
+      .select(col("src").as("a"), col("b1").as("b"), col("b2").as("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val triangles = wedges.join(closing, Seq("b", "c"))
+    triangles.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Minimum hop distance from `sources` to every reachable vertex over
+    * the UNDIRECTED graph. Frontier-based BFS: each round joins only the
+    * frontier (nodes first reached last round) against the adjacency,
+    * anti-joins already-settled vertices, and truncates lineage with
+    * localCheckpoint — the [[graft.pipeline.Canonical]] iteration
+    * discipline. Terminates when the frontier empties; throws if `maxIter`
+    * rounds pass first (a diameter contract violation, never silent).
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxIter: Int = 25): DataFrame = {
+    val adj = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .persist()
+    try {
+      // settled rounds are each checkpointed ONCE and never re-materialized;
+      // `dist` below is a lazy union over those in-memory blocks (2 jobs per
+      // round: checkpoint `next`, count it — the count doubles as the
+      // convergence test)
+      val settled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var frontier = sources.select(col("id"), lit(0L).as("hop")).localCheckpoint()
+      settled += frontier
+      var n = frontier.count()
+      var iter = 0
+      while (n > 0) {
+        require(iter < maxIter,
+          s"bfsHops: frontier non-empty after $maxIter rounds — graph diameter exceeds contract")
+        val dist = settled.reduce(_ union _)
+        val next = frontier.join(adj, frontier("id") === adj("a"))
+          .select(col("b").as("id"), (col("hop") + 1).as("hop"))
+          .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+          .join(dist.select(col("id").as("seen")), col("id") === col("seen"), "left_anti")
+          .localCheckpoint()
+        n = next.count()
+        if (n > 0) settled += next
+        frontier = next
+        iter += 1
+      }
+      settled.reduce(_ union _)
+    } finally adj.unpersist()
+  }
+
+  /** Fixed-iteration PageRank (damping 0.85) over the DIRECTED edge set:
+    * r₀ = 1/N; r_{t+1}(v) = 0.15/N + 0.85·Σ_{u→v} r_t(u)/outdeg(u).
+    * Power method with one shuffle per iteration (join ranks⋈edges on src,
+    * groupBy dst — both sides partial-aggregated); no convergence loop, so
+    * no driver round-trips beyond the single N count. Matches the unrolled
+    * SQL oracle term for term (double sums over in-degrees this small are
+    * order-insensitive at round-6).
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 10, s"iterations=$iterations out of 1..10")
+    val ids = nodes.select(col("id")).persist()
+    try {
+      val n = ids.count()
+      val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      var ranks = ids.select(col("id"), lit(1.0 / n).as("rank"))
+      for (_ <- 1 to iterations) {
+        val contribs = ranks
+          .join(outdeg, Seq("id"))
+          .join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("c"))
+        ranks = ids.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
+          .localCheckpoint(eager = false)
+      }
+      ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    } finally ids.unpersist()
+  }
+}

@@ -477,4 +477,99 @@ class OpsSpec extends AnyFunSuite {
     val groups = ids.groupBy(find).flatMap { case (_, g) => g.map(_ -> g.min) }
     assert(got == groups)
   }
+
+  // ------------------------------------------------------ graph analytics
+
+  private def edgesDf(rows: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  test("triangleCounts: K4 has 4 triangles, every vertex in 3") {
+    val k4 = edgesDf((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    val got = GraphAnalytics.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: degree-oriented join matches naive enumeration") {
+    // deterministic pseudo-random graph on 30 nodes, mixed degrees
+    val n = 30
+    val pairs = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i.toLong, j.toLong)
+    // feed some edges reversed + duplicated: op must canonicalize
+    val noisy = pairs.zipWithIndex.map { case ((a, b), k) =>
+      if (k % 3 == 0) (b, a) else (a, b)
+    } ++ pairs.take(5)
+    val got = GraphAnalytics.triangleCounts(edgesDf(noisy: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = pairs.toSet
+    def has(a: Long, b: Long) = adj((math.min(a, b), math.max(a, b)))
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if has(a, b) && has(b, c) && has(a, c)
+    } { expected(a) += 1; expected(b) += 1; expected(c) += 1 }
+    assert(got == expected.toMap)
+    assert(got.values.sum % 3 == 0)
+  }
+
+  test("bfsHops: shortcut beats the long path; other component unreachable") {
+    val s = spark
+    import s.implicits._
+    // component A: path 0-1-2-3 with chord 0-3; component B: 10-11
+    val e = edgesDf((0, 1), (1, 2), (2, 3), (0, 3), (10, 11))
+    val src = Seq(0L).toDF("id")
+    val got = GraphAnalytics.bfsHops(e, src).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("bfsHops: exceeding maxIter throws instead of silently truncating") {
+    val s = spark
+    import s.implicits._
+    val path = edgesDf((0L until 6L).map(i => (i, i + 1)): _*)
+    val src = Seq(0L).toDF("id")
+    val ex = intercept[IllegalArgumentException] {
+      GraphAnalytics.bfsHops(path, src, maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("diameter"))
+  }
+
+  test("pageRank: directed ring stays exactly uniform at every iteration") {
+    val s = spark
+    import s.implicits._
+    val ring = edgesDf((0, 1), (1, 2), (2, 3), (3, 0))
+    val nodes = (0L to 3L).toDF("id")
+    // r = 0.15/4 + 0.85 * (0.25/1) = 0.25 exactly, a fixpoint
+    val got = GraphAnalytics.pageRank(ring, nodes, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 0.25, 1L -> 0.25, 2L -> 0.25, 3L -> 0.25))
+  }
+
+  test("degrees: isolated node surfaces with degree 0; duplicates collapse") {
+    val s = spark
+    import s.implicits._
+    val e = edgesDf((1, 2), (2, 1), (2, 3)) // 1-2 duplicated in both directions
+    val nodes = (1L to 4L).toDF("id")
+    val got = GraphAnalytics.degrees(e, Some(nodes)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("syntheticEdges: closed over the id set, no self-loops, connected") {
+    val d = docs((0L to 20L).map(i => (i, s"t$i", "en", "web", 2L)): _*)
+    val e = GraphAnalytics.syntheticEdges(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = (0L to 20L).toSet
+    assert(e.forall { case (s0, d0) => ids(s0) && ids(d0) && s0 != d0 })
+    // every node reachable from 0 via the tree alone ⇒ BFS covers all ids
+    val s = spark
+    import s.implicits._
+    val hops = GraphAnalytics.bfsHops(
+      GraphAnalytics.syntheticEdges(d), Seq(0L).toDF("id")).count()
+    assert(hops == 21)
+  }
 }
