@@ -337,6 +337,13 @@ object SparkEntry {
     // per-language surviving doc/token budget
     "td15_curation" -> ((s, d) => TextOps.curate(t(s, d, "documents"))),
 
+    // stable, content-free train/val/test assignment (salted id hash)
+    "td16_split" -> ((s, d) => TextOps.assignSplit(t(s, d, "documents"))),
+
+    // reproducible per-language downsample: k smallest salted hashes
+    "td17_stratified_sample" -> ((s, d) =>
+      TextOps.stratifiedSample(t(s, d, "documents"), perStratum = 40)),
+
     // REAL BPE apply: the td10 pre-tokenizer followed by the deterministic
     // merge table — token counts a trainer budgets with, not piece counts
     "td13_bpe_merges" -> ((s, d) => TextOps.bpeMergeCounts(t(s, d, "documents"))),
@@ -364,6 +371,11 @@ object SparkEntry {
 
     // IVF scale path: 8 deterministic centroids → per-cell search (~N/8
     // candidates/query), the coarse-quantizer sibling of emb04's LSH
+    // learned coarse quantizer: one Lloyd refinement of the md5 seed
+    // centroids, quantized to the integer grid so assignment stays exact
+    "emb08_kmeans" -> ((s, d) =>
+      EmbeddingOps.kmeansRefine(t(s, d, "embeddings"), cells = 8, dims = 64, iterations = 1)),
+
     "emb05_ann_ivf" -> ((s, d) =>
       EmbeddingOps.annIvf(t(s, d, "embeddings"), cells = 8, k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -818,6 +830,57 @@ object SparkEntry {
       .mkString("(", " ||\n   ", ")")
   }
 
+  /** DuckDB twin of [[EmbeddingOps.kmeansRefine]] (8 cells, 1 Lloyd
+    * iteration): seed assignment by exact integer argmin, per-(cell, dim)
+    * integer sums, HALF_UP quantization to the 1000× grid, exact integer
+    * re-assignment. Empty cells keep their (quantized) seed centroid.
+    */
+  private val kmeansOracle: String = {
+    val cents = (0 until EmbeddingOps.IvfCells).map { k =>
+      val c = EmbeddingOps.ivfCentroid(k, 64)
+      val norm = c.map(x => x * x).sum
+      s"SELECT $k AS k, ${c.mkString("[", ", ", "]")} AS c, CAST($norm AS BIGINT) AS cnorm"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+       |  FROM embeddings
+       |), cent AS (
+       |$cents
+       |), assign0 AS (
+       |  SELECT vec_id, g, k,
+       |    cnorm - 2 * CAST(list_sum(list_transform(list_zip(g, c), p -> p[1] * p[2])) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cent
+       |), a0 AS (
+       |  SELECT vec_id, g, CAST(k AS BIGINT) AS cell0 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, k ASC) rn
+       |    FROM assign0)
+       |  WHERE rn = 1
+       |), ex AS (
+       |  -- parallel unnests zip element-wise (DuckDB 1.0 forbids lateral
+       |  -- generate_series on a column, so no per-row table function here)
+       |  SELECT cell0, unnest(generate_series(1, len(g))) AS i, unnest(g) AS x FROM a0
+       |), sums AS (
+       |  SELECT cell0, i,
+       |    CAST(round(1000.0 * SUM(x) / COUNT(*)) AS BIGINT) AS m
+       |  FROM ex GROUP BY 1, 2
+       |), learned AS (
+       |  SELECT cell0 AS k, list(m ORDER BY i) AS m FROM sums GROUP BY 1
+       |), cent1 AS (
+       |  SELECT c0.k, coalesce(l.m, list_transform(c0.c, x -> x * 1000)) AS m
+       |  FROM cent c0 LEFT JOIN learned l ON l.k = c0.k
+       |), assign1 AS (
+       |  SELECT a.vec_id, a.cell0, c1.k,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_transform(a.g, x -> x * 1000), c1.m),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       |  FROM a0 a CROSS JOIN cent1 c1)
+       |SELECT vec_id, cell0, CAST(k AS BIGINT) AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, k ASC) rn
+       |  FROM assign1)
+       |WHERE rn = 1""".stripMargin
+  }
+
   /** Shared CTE prefix of the graph-analytics oracles — the SQL twin of
     * [[GraphAnalytics.syntheticEdges]] (tree d → d⌊/2⌋ + chord triangles at
     * every multiple of 4, endpoints closed over the id set) plus the
@@ -1093,6 +1156,21 @@ object SparkEntry {
 
     "td15_curation" -> curationOracle,
 
+    "td16_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "td17_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 40""".stripMargin,
+
     "td08_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, source,
@@ -1180,6 +1258,8 @@ object SparkEntry {
     "emb06_ann_multiprobe" -> multiProbeOracle,
 
     "emb07_ann_ivf_nprobe" -> ivfNprobeOracle,
+
+    "emb08_kmeans" -> kmeansOracle,
 
     "mm01_image_meta" ->
       """SELECT doc_id,

@@ -414,4 +414,61 @@ object EmbeddingOps {
     annWithinKey(
       gridded(embeddings).withColumn("cell", ivfCellExpr(cells, dims)),
       "cell", k)
+
+  // -------------------------------------------------------- learned coarse
+  // quantizer: Lloyd refinement of the md5 seed centroids. This closes the
+  // "centroids not learned" gap of [[annIvf]]: the same deterministic seeds
+  // start the iteration, but cell boundaries then move to the data.
+
+  /** Exact cross-engine Lloyd step determinism: learned centroids are
+    * quantized to a 1000× integer grid — m_i = round(1000·Σx_i / n), where
+    * the sum and count are exact integers on both engines and `round` is
+    * HALF_UP in Spark and DuckDB alike (the same parity the embedding grid
+    * snap already relies on). Distances at the next assignment are then
+    * exact integer sums of (1000·x_i − m_i)², so the argmin never depends
+    * on float summation order.
+    */
+  def kmeansRefine(
+      embeddings: DataFrame, cells: Int = IvfCells,
+      dims: Int = 64, iterations: Int = 1): DataFrame = {
+    require(iterations >= 1 && iterations <= 8, s"iterations=$iterations out of 1..8")
+    require(cells >= 1 && cells <= 256, s"cells=$cells out of range")
+    val base = gridded(embeddings)
+      .withColumn("cell0", ivfCellExpr(cells, dims).cast("long"))
+      .select(col("vec_id"), col("g"), col("cell0"))
+
+    // argmin over quantized centroid literals on the 1000× grid
+    def assignExpr(m: Array[Array[Long]]): org.apache.spark.sql.Column = {
+      val g1000 = transform(col("g"), x => x * 1000L)
+      val scored = m.indices.map { k =>
+        val cSliced = slice(array(m(k).map(lit(_)): _*), lit(1), size(col("g")))
+        val d = aggregate(zip_with(g1000, cSliced, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+        struct(d.as("d"), lit(k).as("k"))
+      }
+      transform(sort_array(array(scored: _*), asc = true), s => s.getField("k"))
+        .getItem(0).cast("long")
+    }
+
+    var assigned = base.withColumn("cell", col("cell0"))
+    var centroids = Array.tabulate(cells)(k => ivfCentroid(k, dims).map(_ * 1000L))
+    for (_ <- 1 to iterations) {
+      // per-(cell, dim) exact integer sums — one partial-aggregated shuffle
+      // of K×dims keys; the collect is K×dims rows, bounded by PARAMETERS
+      // (8×64 here), never by data — the standard "train the coarse
+      // quantizer centrally, apply distributedly" IVF shape. Quantization
+      // happens IN the plan (Spark's HALF_UP round), not in Scala, so the
+      // rounding rule is the engines', not the JVM's.
+      val sums = assigned
+        .select(col("cell"), posexplode(col("g")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(round(lit(1000.0) * sum(col("x")) / count(lit(1))).cast("long").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) }
+      centroids = next // cells left empty keep their previous centroid
+      assigned = base.withColumn("cell", assignExpr(centroids))
+    }
+    assigned.select(col("vec_id"), col("cell0"), col("cell"))
+  }
 }

@@ -590,6 +590,42 @@ object TextOps {
         sum(col("n_tokens").cast("long")).as("sum_tokens"))
   }
 
+  /** Deterministic train/val/test split by salted content-free hash of the
+    * doc id — the assignment every trainer needs to be STABLE across reruns
+    * and machines (no RNG, no row order dependence): re-ingesting the same
+    * corpus always lands each doc in the same split. Pure projection —
+    * codegen'd, zero shuffle, pushes through any downstream filter.
+    */
+  def assignSplit(documents: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val h = md5Hash60Col(concat(lit("split:"), col("doc_id"))) % 100
+    documents.select(col("doc_id"), col("lang"),
+      when(h < trainPct, lit("train"))
+        .when(h < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Deterministic per-stratum sample: the `perStratum` docs with the
+    * smallest salted id-hash within each language — a reproducible
+    * downsample with exact per-stratum counts (hash order ≈ uniform). The
+    * rank-≤-k filter compiles to WindowGroupLimit (plan-guarded), so each
+    * task keeps a bounded top-k heap per stratum instead of sorting whole
+    * partitions — the property that matters when one language is 90% of
+    * 100 TB.
+    */
+  def stratifiedSample(documents: DataFrame, perStratum: Int): DataFrame = {
+    require(perStratum >= 1, s"perStratum=$perStratum must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    documents
+      .select(col("doc_id"), col("lang"),
+        md5Hash60Col(concat(lit("sample:"), col("doc_id"))).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+  }
+
   /** Near-duplicate candidate pairs by n-gram Jaccard over the distinct
     * 5-gram shingles of the first `prefixLen` chars, within the same
     * `source` (blocking key bounds the self-join). Exact set arithmetic:

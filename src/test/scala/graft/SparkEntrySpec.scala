@@ -128,6 +128,16 @@ class SparkEntrySpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("td16 split is a zero-exchange projection; td17 rank filter compiles to WindowGroupLimit") {
+    val split = SparkEntry.queries("td16_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!split.contains("Exchange"), "split projection must not shuffle:\n" + split.take(600))
+    val sample = SparkEntry.queries("td17_stratified_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sample.contains("WindowGroupLimit"),
+      "rank<=k should push a per-stratum group limit:\n" + sample.take(800))
+  }
+
   test("turtle ingestion routes malformed documents to the rejects table") {
     import spark.implicits._
     val docs = Seq(

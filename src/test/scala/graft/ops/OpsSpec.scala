@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Unit tests for the training-data ops: kernel-level checks against
   * hand-computed / independently-derived values, plus behaviours the
@@ -476,6 +476,54 @@ class OpsSpec extends AnyFunSuite {
     // normalize to min id per component
     val groups = ids.groupBy(find).flatMap { case (_, g) => g.map(_ -> g.min) }
     assert(got == groups)
+  }
+
+  test("kmeansRefine: refined cells converge on planted clusters and never split them") {
+    val s = spark
+    import s.implicits._
+    // 3 tight planted clusters, far apart, 8 dims; md5 seeds scatter them
+    val dims = 8
+    val centers = Seq(
+      Array.fill(dims)(0.9f),
+      Array.tabulate(dims)(i => if (i % 2 == 0) -0.9f else 0.9f),
+      Array.fill(dims)(-0.9f))
+    val vecs = (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.002f * ((i * 7) % 5 - 2)), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.kmeansRefine(vecs, cells = 8, dims = dims, iterations = 2)
+      .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("label"), col("cell")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // after refinement every planted cluster maps to exactly one cell
+    val byLabel = out.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    assert(byLabel.values.forall(_.size == 1), s"split clusters: $byLabel")
+  }
+
+  test("kmeansRefine: one refinement never increases within-cell distance mass") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(16)(d => (((i * 13 + d * 29) % 17) - 8) / 10.0f))
+    }.toDF("vec_id", "embedding")
+    def cost(assign: org.apache.spark.sql.DataFrame, cellCol: String): Double = {
+      // mean squared distance of each vector to its cell's (float) mean
+      val g = assign.join(vecs, Seq("vec_id"))
+        .select(col(cellCol).as("cell"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val means = g.groupBy(_._1).map { case (c, xs) =>
+        val m = Array.tabulate(16)(d => xs.map(_._2(d).toDouble).sum / xs.length)
+        c -> m
+      }
+      g.map { case (c, v) =>
+        val m = means(c)
+        v.indices.map(d => (v(d) - m(d)) * (v(d) - m(d))).sum
+      }.sum
+    }
+    val refined = EmbeddingOps.kmeansRefine(vecs, cells = 4, dims = 16, iterations = 1)
+    val c0 = cost(refined, "cell0")
+    val c1 = cost(refined, "cell")
+    assert(c1 <= c0 + 1e-9, s"refinement increased cost: $c0 -> $c1")
   }
 
   // ------------------------------------------------------ graph analytics
