@@ -188,6 +188,14 @@ object SparkEntry {
     // planted re-deliveries absorbed by dropDuplicatesWithinWatermark
     "q29_stream_dedup_watermark" -> ((s, d) => StreamingOps.dedupWithinWatermark(s, d)),
 
+    // built-in session_window streaming aggregation (Catalyst-owned
+    // session merge; contrast q13's hand-rolled flatMapGroupsWithState)
+    "q32_session_window" -> ((s, d) => StreamingOps.sessionWindows(s, d)),
+
+    // arbitrary stateful processing v2: transformWithState with typed
+    // ValueState/MapState primitives on the RocksDB state store
+    "q33_transform_with_state" -> ((s, d) => StreamingOps.userStatsTws(s, d)),
+
     // AS-OF join (composed, single-shuffle): each click joined to the
     // user's most recent prior-or-equal purchase; DuckDB's native ASOF
     // JOIN is the oracle
@@ -1439,6 +1447,32 @@ object SparkEntry {
         |FROM clicks c JOIN purch p
         |  ON p.user_id = c.user_id AND p.t BETWEEN c.t - 1800000000 AND c.t
         |GROUP BY 1, 2""".stripMargin,
+
+    // session_window boundary: an event at exactly last_ts + gap opens a
+    // NEW session (windows are [start, end)), hence the `>=` break test;
+    // session_end = last event + gap
+    "q32_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    "q33_transform_with_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q25_full_outer" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_mktsegment, o.n_orders

@@ -126,11 +126,15 @@ object GraphAnalytics {
       .distinct()
       .persist()
     try {
-      // settled rounds are each checkpointed ONCE and never re-materialized;
-      // `dist` below is a lazy union over those in-memory blocks (2 jobs per
-      // round: checkpoint `next`, count it — the count doubles as the
-      // convergence test)
+      // settled rounds are each checkpointed ONCE and never re-materialized
+      // (2 jobs per round: checkpoint `next`, count it — the count doubles
+      // as the convergence test). Because `adj` is symmetrized, a neighbour
+      // of a hop-h node has distance ≥ h−1, so the dedup anti-join only
+      // needs the PREVIOUS TWO frontiers — O(frontier) rows, not the O(N)
+      // full settled set (the textbook frontier-BFS bound that matters when
+      // the reached set dwarfs the wave).
       val settled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var prev: Option[DataFrame] = None
       var frontier = sources.select(col("id"), lit(0L).as("hop")).localCheckpoint()
       settled += frontier
       var n = frontier.count()
@@ -138,14 +142,15 @@ object GraphAnalytics {
       while (n > 0) {
         require(iter < maxIter,
           s"bfsHops: frontier non-empty after $maxIter rounds — graph diameter exceeds contract")
-        val dist = settled.reduce(_ union _)
+        val recent = prev.map(_ union frontier).getOrElse(frontier)
         val next = frontier.join(adj, frontier("id") === adj("a"))
           .select(col("b").as("id"), (col("hop") + 1).as("hop"))
           .groupBy(col("id")).agg(min(col("hop")).as("hop"))
-          .join(dist.select(col("id").as("seen")), col("id") === col("seen"), "left_anti")
+          .join(recent.select(col("id").as("seen")), col("id") === col("seen"), "left_anti")
           .localCheckpoint()
         n = next.count()
         if (n > 0) settled += next
+        prev = Some(frontier)
         frontier = next
         iter += 1
       }

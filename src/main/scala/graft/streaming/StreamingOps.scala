@@ -10,6 +10,38 @@ import org.apache.spark.sql.functions._
   * the result is a deterministic DataFrame a batch oracle can replicate
   * (5-minute windows are epoch-aligned in both engines).
   */
+/** State-v2 processor for [[StreamingOps.userStatsTws]]: counts a user's
+  * events in a ValueState and their distinct event types in a MapState
+  * (used as a set — values are occurrence counts). Emits (user, n_events,
+  * n_distinct_types) once per touched key per micro-batch.
+  */
+final class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var total: ValueState[Long] = _
+  @transient private var types: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    total = getHandle.getValueState[Long]("total", E.scalaLong, TTLConfig.NONE)
+    types = getHandle.getMapState[String, Long]("types", E.STRING, E.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, String)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var n = if (total.exists()) total.get() else 0L
+    rows.foreach { case (_, tpe) =>
+      n += 1
+      val seen = if (types.containsKey(tpe)) types.getValue(tpe) else 0L
+      types.updateValue(tpe, seen + 1)
+    }
+    total.update(n)
+    Iterator.single((key, n, types.keys().size.toLong))
+  }
+}
+
 object StreamingOps {
 
   private val counter = new AtomicInteger(0)
@@ -188,6 +220,91 @@ object StreamingOps {
       .groupBy(col("c_user").as("user_id"), col("click_id"))
       .agg(count(lit(1)).as("n_recent"))
       .localCheckpoint()
+  }
+
+  /** Built-in SESSION WINDOWS: `session_window(ts, gap)` merges events
+    * into gap-separated sessions inside the streaming aggregation itself —
+    * no custom state function, Catalyst owns the merge (contrast
+    * [[sessionize]], which hand-rolls the same semantics with
+    * `flatMapGroupsWithState`). Complete output mode keeps the bounded-
+    * input memory-sink result exact even if the source ever split into
+    * several micro-batches (sessions can MERGE across batches, so the
+    * update-mode max-per-key repair used elsewhere would not be sound
+    * here). Window end = last event + gap, the boundary where an event at
+    * exactly start+gap opens a NEW session (oracle uses `>=`).
+    */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_sesswin_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(name)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .localCheckpoint()
+  }
+
+  /** Arbitrary stateful processing v2 (`transformWithState`): per-user
+    * running totals with TYPED state primitives — a ValueState event
+    * counter plus a MapState of distinct event types — instead of one
+    * opaque case-class blob (the [[sessionize]]-era API). Requires the
+    * RocksDB state store provider, set per-query and restored after; at
+    * 100 TB/day that provider is also what keeps per-executor state on
+    * disk with changelog checkpointing instead of on-heap. Update mode
+    * emits one row per touched key per batch; the bounded single-batch
+    * input therefore yields exactly the final per-user stats the batch
+    * oracle computes.
+    */
+  def userStatsTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"graft_tws_${counter.incrementAndGet()}"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+
+      val stats = events.groupByKey(_._1)
+        .transformWithState(new UserStatsProcessor(),
+          TimeMode.None(), OutputMode.Update())
+
+      val q = stats.toDF("user_id", "n_events", "n_types")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+
+      spark.table(name)
+        // update-mode memory sink appends per-batch rows; counters only
+        // grow, so max-per-key == latest (same repair as eventsWatermarked)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"), max(col("n_types")).as("n_types"))
+        .localCheckpoint()
+    } finally oldProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
