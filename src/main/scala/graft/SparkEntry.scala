@@ -493,6 +493,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank"))
     }),
 
+    // bipartite → unipartite fold: weighted entity–entity co-occurrence
+    // edges from the real mention table (the graph kg12–kg15 style
+    // analytics would consume in production)
+    "kg16_entity_cooccur" -> ((s, d) => GraphOps.entityCooccurrence(t(s, d, "documents"))),
+
+    // incremental KG construction: the conformance parser under Structured
+    // Streaming — triples emitted per micro-batch, per-doc counts aggregated
+    "kg17_stream_parse" -> ((s, d) => StreamingOps.streamingParse(s, d)),
+
+    // co-located join: both sides bucketed on the key, joined with ZERO
+    // exchanges (plan-guarded in OpsSpec) — the repeated-join amortization
+    // at 100 TB
+    "q34_bucketed_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val ords = t(s, d, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      graft.ops.RelationalOps.withBucketed(cust, ords, "custkey") { (c, o) =>
+        c.join(o, Seq("custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      }
+    }),
+
     // lenient SQL surface: planted malformed docs (doc_id % 37 == 0) route
     // to error rows via parse_turtle_safe; the job survives and every doc
     // is accounted for
@@ -1311,6 +1335,27 @@ object SparkEntry {
     "kg14_bfs" -> bfsOracle,
 
     "kg15_pagerank" -> pageRankOracle,
+
+    "kg16_entity_cooccur" ->
+      s"""WITH m AS (
+         |  SELECT DISTINCT doc_id, term
+         |  FROM documents, (VALUES $mentionTermValues) terms(term)
+         |  WHERE len(text) - len(replace(text, term, '')) > 0)
+         |SELECT a.term AS a, b.term AS b, COUNT(*) AS n_docs
+         |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+         |GROUP BY 1, 2""".stripMargin,
+
+    // every generated doc parses to exactly 4 triples; the STREAMING parse
+    // must land on the same closed form
+    "kg17_stream_parse" ->
+      "SELECT doc_id, CAST(4 AS BIGINT) AS n_triples FROM documents",
+
+    "q34_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "kg02_extract" ->
       "SELECT doc_id, md5(text) AS extracted_md5 FROM documents",

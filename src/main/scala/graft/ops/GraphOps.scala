@@ -270,6 +270,23 @@ object GraphOps {
       }).toDF("doc_id", "n_triples")
   }
 
+  /** Entity co-occurrence projection of the KG: weighted entity–entity
+    * edges (a < b, n_docs co-mentioning both) from the mention table — the
+    * bipartite→unipartite fold that turns detected mentions into a graph
+    * [[GraphAnalytics]] can analyze. The self-join is keyed on doc_id, so
+    * fan-out per doc is (entities-per-doc choose 2) — bounded by the
+    * mention dictionary, never by corpus size.
+    */
+  def entityCooccurrence(documents: DataFrame): DataFrame = {
+    val m = mentionCounts(documents).select(col("doc_id"), col("term"))
+    val a = m.withColumnRenamed("term", "a")
+    val b = m.withColumnRenamed("term", "b")
+    a.join(b, Seq("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Synthetic forest over doc ids: d (> 0, d % 3 ≠ 0) — edge to d / 2.
     * Distributed CC (hash-to-min self-joins) labels every doc with the min
     * id of its component; singletons keep their own id.

@@ -151,4 +151,43 @@ object RelationalOps {
       .select(Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++
         (Seq(col(rTs)) ++ rightPayloadCols.map(col)): _*)
   }
+
+  private val bucketedCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** CO-LOCATED join via bucketing — the zero-exchange repeated-join story
+    * at 100 TB: both sides are written once as tables bucketed (and
+    * sorted) on the join key, so every subsequent equi-join on that key
+    * reads matching buckets directly — NO shuffle on either side, ever
+    * again (the plan guard asserts the joined plan is Exchange-free).
+    * `body` receives the bucketed tables and must produce the result,
+    * which is materialized (localCheckpoint) before the scratch tables and
+    * files are dropped. Broadcast is disabled inside `body` so the guard
+    * proves the shuffle-free SMJ, not a small-table special case.
+    */
+  def withBucketed(left: DataFrame, right: DataFrame, key: String, buckets: Int = 8)
+      (body: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(buckets >= 1 && buckets <= 4096, s"buckets=$buckets out of range")
+    val spark = left.sparkSession
+    val id = bucketedCounter.incrementAndGet()
+    val (tl, tr) = (s"graft_bkt_l_$id", s"graft_bkt_r_$id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldBc = spark.conf.getOption(bcKey)
+    spark.conf.set(bcKey, "-1")
+    try {
+      left.write.option("path", s"$dir/l")
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(tl)
+      right.write.option("path", s"$dir/r")
+        .bucketBy(buckets, key).sortBy(key).saveAsTable(tr)
+      body(spark.table(tl), spark.table(tr)).localCheckpoint()
+    } finally {
+      oldBc match {
+        case Some(v) => spark.conf.set(bcKey, v)
+        case None => spark.conf.unset(bcKey)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tl")
+      spark.sql(s"DROP TABLE IF EXISTS $tr")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -307,6 +307,30 @@ object StreamingOps {
     }
   }
 
+  /** INCREMENTAL KG construction: the conformance-tested Turtle parser
+    * running under Structured Streaming. Documents arrive as a stream,
+    * [[graft.ops.GraphOps.parseTurtle]]'s stateless typed mapPartitions
+    * emits triples per micro-batch, and a per-doc triple count aggregates
+    * in complete mode — the shape of a KG that grows as the crawl lands
+    * (new docs re-parse incrementally; only the aggregate holds state).
+    */
+  def streamingParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val name = s"graft_streamparse_${counter.incrementAndGet()}"
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val agg = graft.ops.GraphOps.parseTurtle(docs)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triples"))
+
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.table(name).localCheckpoint()
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
   /** Custom stateful streaming: per-user sessionization via

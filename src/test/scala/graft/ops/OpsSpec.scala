@@ -526,6 +526,24 @@ class OpsSpec extends AnyFunSuite {
     assert(c1 <= c0 + 1e-9, s"refinement increased cost: $c0 -> $c1")
   }
 
+  test("withBucketed: the co-located join plans with ZERO exchanges") {
+    val s = spark
+    import s.implicits._
+    val l = (1L to 100L).map(i => (i, s"s${i % 4}")).toDF("k", "seg")
+    val r = (1L to 300L).map(i => (i % 100 + 1, i.toDouble)).toDF("k", "v")
+    var plan = ""
+    val res = RelationalOps.withBucketed(l, r, "k", buckets = 4) { (bl, br) =>
+      val j = bl.join(br, Seq("k"))
+      plan = j.queryExecution.executedPlan.toString
+      j.groupBy(col("seg")).agg(lit(1)) // any downstream shape; plan already captured
+    }
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+    assert(!plan.contains("Exchange"), "bucketed join shuffled:\n" + plan.take(800))
+    assert(res.count() == 4)
+    // scratch tables dropped
+    assert(spark.catalog.listTables().collect().forall(!_.name.startsWith("graft_bkt_")))
+  }
+
   // ------------------------------------------------------ graph analytics
 
   private def edgesDf(rows: (Long, Long)*) = {
