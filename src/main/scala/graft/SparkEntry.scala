@@ -1493,14 +1493,15 @@ object SparkEntry {
         |  ON p.user_id = c.user_id AND p.t BETWEEN c.t - 1800000000 AND c.t
         |GROUP BY 1, 2""".stripMargin,
 
-    // session_window boundary: an event at exactly last_ts + gap opens a
-    // NEW session (windows are [start, end)), hence the `>=` break test;
+    // session_window boundary: an event at exactly last_ts + gap still
+    // MERGES into the session (Spark merges when next.start <= prev.end —
+    // pinned by the OpsSpec boundary test), hence the strict `>` break;
     // session_end = last event + gap
     "q32_session_window" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

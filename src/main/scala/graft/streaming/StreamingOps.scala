@@ -230,8 +230,9 @@ object StreamingOps {
     * input memory-sink result exact even if the source ever split into
     * several micro-batches (sessions can MERGE across batches, so the
     * update-mode max-per-key repair used elsewhere would not be sound
-    * here). Window end = last event + gap, the boundary where an event at
-    * exactly start+gap opens a NEW session (oracle uses `>=`).
+    * here). Window end = last event + gap; an event at exactly that end
+    * still MERGES (Spark merges when next.start <= prev.end — pinned by
+    * the OpsSpec boundary test), so the oracle breaks on strict `>`.
     */
   def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema

@@ -544,6 +544,47 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.catalog.listTables().collect().forall(!_.name.startsWith("graft_bkt_")))
   }
 
+  test("sessionWindows: an event at exactly start+gap MERGES; gap+1 splits") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1700000000000000L // µs
+    val gap = 1800L * 1000000L
+    val rows = Seq(
+      (1L, t0, 7L, "click", 0.0, ""),
+      (2L, t0 + gap, 7L, "click", 0.0, ""),     // exactly the gap → merges
+      (3L, t0 + gap - 1, 8L, "click", 0.0, ""), // 1 µs inside → same session
+      (4L, t0, 8L, "click", 0.0, ""),
+      (5L, t0, 9L, "click", 0.0, ""),
+      (6L, t0 + gap + 1, 9L, "click", 0.0, "")) // 1 µs past the end → new session
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_").toString
+    try {
+      // the streaming source glob-filters on the FILE name events.parquet —
+      // write one part file and move it up under that exact name
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("ts_us")))
+        .drop("ts_us")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+      val part = new java.io.File(s"$dir/stage").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/stage"))
+      val got = graft.streaming.StreamingOps.sessionWindows(spark, dir)
+        .groupBy(col("user_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(7L -> 1L, 8L -> 1L, 9L -> 2L), got.toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("triangleCounts plan has no cartesian or nested-loop join") {
+    val pairs = (for { i <- 0 until 20; j <- (i + 1) until 20 if (i + j) % 3 == 0 }
+      yield (i.toLong, j.toLong))
+    val plan = GraphAnalytics.triangleCounts(edgesDf(pairs: _*))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+  }
+
   // ------------------------------------------------------ graph analytics
 
   private def edgesDf(rows: (Long, Long)*) = {
