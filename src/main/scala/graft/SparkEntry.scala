@@ -345,6 +345,10 @@ object SparkEntry {
     // per-language surviving doc/token budget
     "td15_curation" -> ((s, d) => TextOps.curate(t(s, d, "documents"))),
 
+    // benchmark decontamination: per-train-doc shingle overlap with the
+    // (broadcast) eval-set shingle union
+    "td18_contamination" -> ((s, d) => TextOps.contamination(t(s, d, "documents"))),
+
     // stable, content-free train/val/test assignment (salted id hash)
     "td16_split" -> ((s, d) => TextOps.assignSplit(t(s, d, "documents"))),
 
@@ -492,6 +496,14 @@ object SparkEntry {
         docs.select(col("doc_id").as("id")), iterations = 3)
         .select(col("id").as("doc_id"), col("rank"))
     }),
+
+    // SPARQL-style BGP over the constructed graph: two triple patterns
+    // sharing ?s, numeric FILTER on a typed literal
+    "kg18_bgp_star" -> ((s, d) => GraphOps.bgpStar(t(s, d, "documents"))),
+
+    // graph → table round-trip: one wide row per entity via explicit-values
+    // pivot over its triples
+    "kg19_assemble" -> ((s, d) => GraphOps.assembleEntities(t(s, d, "documents"))),
 
     // bipartite → unipartite fold: weighted entity–entity co-occurrence
     // edges from the real mention table (the graph kg12–kg15 style
@@ -1188,6 +1200,22 @@ object SparkEntry {
 
     "td15_curation" -> curationOracle,
 
+    "td18_contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(substr(text, 1, 120)) - 4, 1)),
+        |      i -> substr(substr(text, 1, 120), CAST(i AS INTEGER), 5))) AS shingle
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  round(CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS ratio
+        |FROM sh s LEFT JOIN ev e ON e.shingle = s.shingle
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY 1""".stripMargin,
+
     "td16_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
@@ -1335,6 +1363,16 @@ object SparkEntry {
     "kg14_bfs" -> bfsOracle,
 
     "kg15_pagerank" -> pageRankOracle,
+
+    "kg18_bgp_star" ->
+      s"""SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,
+         |  CAST(n_chars AS BIGINT) AS n_chars
+         |FROM documents WHERE lang = 'en' AND n_chars >= 300""".stripMargin,
+
+    "kg19_assemble" ->
+      s"""SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,
+         |  lang, source, CAST(n_chars AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin,
 
     "kg16_entity_cooccur" ->
       s"""WITH m AS (

@@ -270,6 +270,47 @@ object GraphOps {
       }).toDF("doc_id", "n_triples")
   }
 
+  /** SPARQL-style basic graph pattern as DataFrame joins — QUERYING the
+    * graph this engine constructs: { ?s p:lang "en" . ?s p:nchars ?n .
+    * FILTER(?n >= minChars) }. Each triple pattern is a pushed-down
+    * filter over the triple table; the shared subject variable is an
+    * equi-join. On a pred_hash-partitioned materialized graph
+    * ([[graft.pipeline.Materialize]]) each pattern reads ONLY its
+    * predicate's partitions — the property that makes BGPs cheap at
+    * 100 TB.
+    */
+  def bgpStar(documents: DataFrame, minChars: Long = 300L): DataFrame = {
+    val t = parseTurtle(documents)
+    val langPat = t.filter(col("pred") === s"${PropPrefix}lang" && col("obj") === "\"en\"")
+      .select(col("subj"))
+    val ncharsPat = t.filter(col("pred") === s"${PropPrefix}nchars")
+      .select(col("subj"),
+        regexp_extract(col("obj"), "^\"(\\d+)\"", 1).cast("long").as("n_chars"))
+    langPat.join(ncharsPat, Seq("subj"))
+      .filter(col("n_chars") >= minChars)
+      .select(col("subj"), col("n_chars"))
+  }
+
+  /** Inverse of triple emission: re-assemble one wide row per entity from
+    * its triples (graph → table round-trip) with an explicit-values pivot
+    * — one shuffle on subj, no extra distinct-values pass, deterministic
+    * because each (subj, pred) holds exactly one object here (`max`, not
+    * `first`). Literal rendering is peeled per property type.
+    */
+  def assembleEntities(documents: DataFrame): DataFrame = {
+    val t = parseTurtle(documents)
+    val preds = Seq("lang", "source", "nchars").map(p => s"$PropPrefix$p")
+    t.groupBy(col("subj"))
+      .pivot("pred", preds)
+      .agg(max(col("obj")))
+      .select(
+        col("subj"),
+        regexp_extract(col(s"`${PropPrefix}lang`"), "^\"(.*)\"$", 1).as("lang"),
+        regexp_extract(col(s"`${PropPrefix}source`"), "^\"(.*)\"$", 1).as("source"),
+        regexp_extract(col(s"`${PropPrefix}nchars`"), "^\"(\\d+)\"", 1)
+          .cast("long").as("n_chars"))
+  }
+
   /** Entity co-occurrence projection of the KG: weighted entity–entity
     * edges (a < b, n_docs co-mentioning both) from the mention table — the
     * bipartite→unipartite fold that turns detected mentions into a graph

@@ -626,6 +626,30 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
   }
 
+  /** Benchmark DECONTAMINATION scan: for every training doc, the fraction
+    * of its distinct shingles that appear anywhere in the eval set (here:
+    * doc_id % 50 == 0 plays the held-out benchmark). The eval shingle set
+    * is distinct-collapsed and BROADCAST — benchmark suites are tiny
+    * relative to a 100 TB corpus, so the scan stays one shuffle-free pass
+    * over the training side plus a per-doc aggregate. Output ratio ≥ the
+    * review threshold is what a curation pipeline quarantines.
+    */
+  def contamination(documents: DataFrame, prefixLen: Int = 120): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, greatest(length(substring(text, 1, $prefixLen)) - ${ShingleLen - 1}, 1)), " +
+            s"i -> substring(substring(text, 1, $prefixLen), i, $ShingleLen))"))).as("shingle"))
+    val evalSh = sh.filter(col("doc_id") % 50 === 0).select(col("shingle")).distinct()
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Near-duplicate candidate pairs by n-gram Jaccard over the distinct
     * 5-gram shingles of the first `prefixLen` chars, within the same
     * `source` (blocking key bounds the self-join). Exact set arithmetic:

@@ -585,6 +585,19 @@ class OpsSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("contamination: a train doc copying an eval doc's prefix scores ratio 1.0") {
+    val evalText = "the quick brown fox jumps over the lazy dog again and again"
+    val cleanText = "zx9 qw8 vb7 nm6 kj5 hg4 fd3 sa2 pl1 ok0 completely disjoint shingles"
+    val d = docs(
+      (50L, evalText, "en", "web", evalText.length.toLong),   // eval (id % 50 == 0)
+      (51L, evalText, "en", "web", evalText.length.toLong),   // train, verbatim copy
+      (52L, cleanText, "en", "web", cleanText.length.toLong)) // train, clean
+    val got = TextOps.contamination(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(51L) == 1.0, s"copied doc not flagged: $got")
+    assert(got(52L) == 0.0, s"clean doc flagged: $got")
+  }
+
   // ------------------------------------------------------ graph analytics
 
   private def edgesDf(rows: (Long, Long)*) = {
