@@ -169,14 +169,19 @@ object GraphAnalytics {
   def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1 && iterations <= 10, s"iterations=$iterations out of 1..10")
     val ids = nodes.select(col("id")).persist()
+    // degree-annotated edges computed ONCE and persisted — every iteration
+    // joins against these blocks instead of re-scanning + re-shuffling the
+    // edge table (the loop-invariant subtree is the dominant cost repeated
+    // N× otherwise)
+    val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(outdeg, col("src") === outdeg("id"))
+      .select(col("src"), col("dst"), col("deg")).persist()
     try {
       val n = ids.count()
-      val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       var ranks = ids.select(col("id"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to iterations) {
         val contribs = ranks
-          .join(outdeg, Seq("id"))
-          .join(edges, col("id") === col("src"))
+          .join(withDeg, col("id") === col("src"))
           .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("c"))
         ranks = ids.join(contribs, Seq("id"), "left")
@@ -185,6 +190,10 @@ object GraphAnalytics {
           .localCheckpoint(eager = false)
       }
       ranks.select(col("id"), round(col("rank"), 6).as("rank"))
-    } finally ids.unpersist()
+        .localCheckpoint() // eager — safe to unpersist inputs after
+    } finally {
+      ids.unpersist()
+      withDeg.unpersist()
+    }
   }
 }

@@ -680,6 +680,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("bfsHops matches naive reference BFS on a random graph") {
+    val s = spark
+    import s.implicits._
+    val n = 40
+    val pairs = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if (i * 37 + j * 13) % 11 == 0
+    } yield (i.toLong, j.toLong)
+    val got = GraphAnalytics.bfsHops(edgesDf(pairs: _*), Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: queue BFS over the undirected adjacency
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    val queue = scala.collection.mutable.Queue(0L)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      adj.getOrElse(u, Nil).foreach { v =>
+        if (!dist.contains(v)) { dist(v) = dist(u) + 1; queue.enqueue(v) }
+      }
+    }
+    assert(got == dist.toMap)
+  }
+
   test("syntheticEdges: closed over the id set, no self-loops, connected") {
     val d = docs((0L to 20L).map(i => (i, s"t$i", "en", "web", 2L)): _*)
     val e = GraphAnalytics.syntheticEdges(d).collect().map(r => (r.getLong(0), r.getLong(1)))
