@@ -196,6 +196,12 @@ object SparkEntry {
     // ValueState/MapState primitives on the RocksDB state store
     "q33_transform_with_state" -> ((s, d) => StreamingOps.userStatsTws(s, d)),
 
+    // from-scratch HyperLogLog distinct (p=8), next to the exact count —
+    // the partial-aggregable sketch whose ESTIMATE the DuckDB oracle
+    // reproduces (value-checked sketch, not shape-checked)
+    "q35_hll_distinct" -> ((s, d) =>
+      graft.ops.SketchOps.hllDistinct(t(s, d, "events"), "event_type", "user_id")),
+
     // AS-OF join (composed, single-shuffle): each click joined to the
     // user's most recent prior-or-equal purchase; DuckDB's native ASOF
     // JOIN is the oracle
@@ -1552,6 +1558,9 @@ object SparkEntry {
         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
         |  COUNT(*) AS n_events
         |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    "q35_hll_distinct" ->
+      graft.ops.SketchOps.hllDistinctSql("events", "event_type", "user_id"),
 
     "q33_transform_with_state" ->
       """SELECT user_id, COUNT(*) AS n_events,

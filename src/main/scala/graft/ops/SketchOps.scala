@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch operators — the sub-linear-state answers to questions that are
+  * shuffle-bound when asked exactly. The flagship is a from-scratch
+  * HyperLogLog whose every step is CROSS-ENGINE DETERMINISTIC (md5-prefix
+  * hashing, integer bucket/rank arithmetic via `bin()` string length, the
+  * same double formula on both sides), so the DuckDB oracle reproduces the
+  * ESTIMATE itself — the sketch is value-checked, not just shape-checked.
+  *
+  * Why it matters at 100 TB: `COUNT(DISTINCT x)` shuffles every distinct
+  * value; the HLL register table is 2^p rows per group, fully
+  * partial-aggregable (`max` per register combines map-side), so the
+  * exchange carries ≤ groups × 2^p tiny rows regardless of cardinality —
+  * and register tables MERGE, so per-partition / per-day sketches roll up
+  * without re-reading data.
+  */
+object SketchOps {
+
+  /** Register-index bits: 2^8 = 256 registers, standard error ≈ 1.04/√256
+    * ≈ 6.5%.
+    */
+  val HllP = 8
+  val HllM = 1 << HllP // 256
+
+  /** α₂₅₆ · m² and the raw-estimate constant, computed ONCE in Scala and
+    * inlined as the same double literal into both the Spark plan and the
+    * DuckDB oracle (so neither engine re-derives it).
+    */
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** ρ (rank) of the 52 hash bits above the register index: number of
+    * leading zeros + 1. Computed integrally — 53 − bit_length(w), with
+    * bit_length via the length of `bin(w)` (identical in Spark and DuckDB;
+    * no float log2 edge cases). w = 0 (all 52 bits zero) → ρ = 53.
+    */
+  private def rhoCol(w: Column): Column =
+    when(w === 0L, lit(53L)).otherwise(lit(53L) - length(bin(w)))
+
+  /** Distinct `valueCol` per `groupCol` via HLL(p=8) next to the exact
+    * count (sketch error is part of the output contract). Two-level
+    * aggregation: (group, register) → max ρ, then group → estimate; both
+    * levels partial-aggregate map-side. Small-range (linear-counting)
+    * correction applied exactly as the oracle does.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val h = TextOps.md5Hash60Col(concat(lit("hll:"), col(valueCol)))
+    val registers = df
+      .select(col(groupCol), (h % HllM).as("bucket"), rhoCol(h / HllM).as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val agg = registers.groupBy(col(groupCol))
+      .agg(
+        sum(pow(lit(2.0), -col("m"))).as("s_present"),
+        count(lit(1)).as("present"))
+    // absent registers contribute 2^0 = 1 each to the harmonic sum; zeros
+    // (for linear counting) equal the absent registers because ρ ≥ 1
+    val zeros = lit(HllM.toLong) - col("present")
+    val raw = lit(HllAlpha * HllM * HllM) / (col("s_present") + zeros.cast("double"))
+    val est = when(raw <= lit(2.5 * HllM) && zeros > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    agg.select(col(groupCol), round(est, 2).as("n_est"))
+      .join(exact, Seq(groupCol))
+  }
+
+  /** DuckDB twin of [[hllDistinct]] over a table/CTE named `rel` — every
+    * constant and step mirrored (same salted md5 hash, bucket %, ρ via
+    * `bin` length, inlined α·m², linear-counting branch), so the two
+    * engines disagree only below the round-2 output grid.
+    */
+  def hllDistinctSql(rel: String, groupCol: String, valueCol: String): String =
+    s"""WITH h AS (
+       |  SELECT $groupCol,
+       |    ('0x' || substr(md5('hll:' || $valueCol), 1, 15))::BIGINT AS h
+       |  FROM $rel
+       |), r AS (
+       |  SELECT $groupCol, h % ${HllM} AS bucket,
+       |    MAX(CASE WHEN h // ${HllM} = 0 THEN 53
+       |             ELSE 53 - len(bin(h // ${HllM})) END) AS m
+       |  FROM h GROUP BY 1, 2
+       |), a AS (
+       |  SELECT $groupCol,
+       |    SUM(pow(2.0, -m)) AS s_present,
+       |    COUNT(*) AS present
+       |  FROM r GROUP BY 1
+       |), e AS (
+       |  SELECT $groupCol,
+       |    ${HllAlpha * HllM * HllM} / (s_present + (${HllM} - present)) AS raw,
+       |    ${HllM} - present AS zeros
+       |  FROM a)
+       |SELECT e.$groupCol,
+       |  round(CASE WHEN raw <= ${2.5 * HllM} AND zeros > 0
+       |        THEN ${HllM.toDouble} * ln(${HllM.toDouble} / zeros)
+       |        ELSE raw END, 2) AS n_est,
+       |  x.n_exact
+       |FROM e JOIN (
+       |  SELECT $groupCol, COUNT(DISTINCT $valueCol) AS n_exact
+       |  FROM $rel GROUP BY 1) x ON x.$groupCol = e.$groupCol""".stripMargin
+}

@@ -598,6 +598,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got(52L) == 0.0, s"clean doc flagged: $got")
   }
 
+  test("hllDistinct: estimate within 3 standard errors on known cardinalities") {
+    val s = spark
+    import s.implicits._
+    // group "big": 5000 distinct values; group "small": 40 (linear-counting range)
+    val rows = (0 until 5000).map(i => ("big", i.toLong)) ++
+      (0 until 40).flatMap(i => Seq(("small", 100000L + i), ("small", 100000L + i)))
+    val got = SketchOps.hllDistinct(rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val se = 1.04 / math.sqrt(SketchOps.HllM) // ≈ 6.5%
+    assert(got("big")._2 == 5000L)
+    assert(math.abs(got("big")._1 - 5000.0) / 5000.0 <= 3 * se,
+      s"big estimate off: ${got("big")}")
+    assert(got("small")._2 == 40L)
+    assert(math.abs(got("small")._1 - 40.0) / 40.0 <= 3 * se,
+      s"small estimate off: ${got("small")}")
+  }
+
   // ------------------------------------------------------ graph analytics
 
   private def edgesDf(rows: (Long, Long)*) = {
