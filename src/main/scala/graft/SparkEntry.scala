@@ -196,6 +196,17 @@ object SparkEntry {
     // ValueState/MapState primitives on the RocksDB state store
     "q33_transform_with_state" -> ((s, d) => StreamingOps.userStatsTws(s, d)),
 
+    // semi-structured schema-on-read: typed from_json over the props JSON
+    // column, integer aggregation per type (sums stay exact longs)
+    "q36_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))),
+
     // from-scratch HyperLogLog distinct (p=8), next to the exact count —
     // the partial-aggregable sketch whose ESTIMATE the DuckDB oracle
     // reproduces (value-checked sketch, not shape-checked)
@@ -1561,6 +1572,13 @@ object SparkEntry {
 
     "q35_hll_distinct" ->
       graft.ops.SketchOps.hllDistinctSql("events", "event_type", "user_id"),
+
+    "q36_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  CAST(MAX(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS max_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q33_transform_with_state" ->
       """SELECT user_id, COUNT(*) AS n_events,
