@@ -400,15 +400,15 @@ object SparkEntry {
 
     // IVF scale path: 8 deterministic centroids → per-cell search (~N/8
     // candidates/query), the coarse-quantizer sibling of emb04's LSH
-    // learned coarse quantizer: one Lloyd refinement of the md5 seed
-    // centroids, quantized to the integer grid so assignment stays exact
-    "emb08_kmeans" -> ((s, d) =>
-      EmbeddingOps.kmeansRefine(t(s, d, "embeddings"), cells = 8, dims = 64, iterations = 1)),
-
     "emb05_ann_ivf" -> ((s, d) =>
       EmbeddingOps.annIvf(t(s, d, "embeddings"), cells = 8, k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))),
+
+    // learned coarse quantizer: one Lloyd refinement of the md5 seed
+    // centroids, quantized to the integer grid so assignment stays exact
+    "emb08_kmeans" -> ((s, d) =>
+      EmbeddingOps.kmeansRefine(t(s, d, "embeddings"), cells = 8, dims = 64, iterations = 1)),
 
     // multi-probe SRP ANN: each query also probes every Hamming-1 bucket
     // (5 of 16 at 4 planes) — the recall control single-bucket emb04 lacks;

@@ -117,8 +117,9 @@ object GraphAnalytics {
     * frontier (nodes first reached last round) against the adjacency,
     * anti-joins already-settled vertices, and truncates lineage with
     * localCheckpoint — the [[graft.pipeline.Canonical]] iteration
-    * discipline. Terminates when the frontier empties; throws if `maxIter`
-    * rounds pass first (a diameter contract violation, never silent).
+    * discipline. Terminates when the frontier empties; nodes at hop
+    * `maxIter` are still in-contract, and a non-empty frontier beyond it
+    * throws (a diameter contract violation, never silent truncation).
     */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxIter: Int = 25): DataFrame = {
     val adj = edges.select(col("src").as("a"), col("dst").as("b"))
@@ -140,8 +141,6 @@ object GraphAnalytics {
       var n = frontier.count()
       var iter = 0
       while (n > 0) {
-        require(iter < maxIter,
-          s"bfsHops: frontier non-empty after $maxIter rounds — graph diameter exceeds contract")
         val recent = prev.map(_ union frontier).getOrElse(frontier)
         val next = frontier.join(adj, frontier("id") === adj("a"))
           .select(col("b").as("id"), (col("hop") + 1).as("hop"))
@@ -149,6 +148,11 @@ object GraphAnalytics {
           .join(recent.select(col("id").as("seen")), col("id") === col("seen"), "left_anti")
           .localCheckpoint()
         n = next.count()
+        // nodes AT hop maxIter are in-contract (the oracle's `hop < maxIter`
+        // recursion reaches them); only a non-empty frontier BEYOND it
+        // violates the diameter contract — and loudly, never by truncation
+        require(n == 0 || iter + 1 <= maxIter,
+          s"bfsHops: frontier non-empty past hop $maxIter — graph diameter exceeds contract")
         if (n > 0) settled += next
         prev = Some(frontier)
         frontier = next

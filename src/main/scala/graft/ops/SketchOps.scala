@@ -47,8 +47,12 @@ object SketchOps {
     */
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val h = TextOps.md5Hash60Col(concat(lit("hll:"), col(valueCol)))
+    // shiftright, NOT `/`: Column./ on longs is DOUBLE division, whose
+    // rounding (h can exceed 2^53) and nonzero-but-truncated quotients
+    // would silently diverge from the oracle's integer `h // 256`
     val registers = df
-      .select(col(groupCol), (h % HllM).as("bucket"), rhoCol(h / HllM).as("rho"))
+      .select(col(groupCol), (h % HllM).as("bucket"),
+        rhoCol(shiftright(h, HllP)).as("rho"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rho")).as("m"))
     val agg = registers.groupBy(col(groupCol))

@@ -634,12 +634,20 @@ object TextOps {
     * over the training side plus a per-doc aggregate. Output ratio ≥ the
     * review threshold is what a curation pipeline quarantines.
     */
+  /** Distinct [[ShingleLen]]-gram shingles of the first `prefixLen` chars
+    * of `text`, exploded one row per shingle — the ONE definition both
+    * [[ngramJaccardPairs]] (td08) and [[contamination]] (td18) and their
+    * DuckDB oracles mirror; a drift here desynchronizes an op from its
+    * oracle, so there is exactly one copy.
+    */
+  private def prefixShingles(prefixLen: Int): Column =
+    explode(array_distinct(expr(
+      s"transform(sequence(1, greatest(length(substring(text, 1, $prefixLen)) - ${ShingleLen - 1}, 1)), " +
+        s"i -> substring(substring(text, 1, $prefixLen), i, $ShingleLen))")))
+
   def contamination(documents: DataFrame, prefixLen: Int = 120): DataFrame = {
     val sh = documents
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, greatest(length(substring(text, 1, $prefixLen)) - ${ShingleLen - 1}, 1)), " +
-            s"i -> substring(substring(text, 1, $prefixLen), i, $ShingleLen))"))).as("shingle"))
+      .select(col("doc_id"), prefixShingles(prefixLen).as("shingle"))
     val evalSh = sh.filter(col("doc_id") % 50 === 0).select(col("shingle")).distinct()
     sh.filter(col("doc_id") % 50 =!= 0)
       .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("shingle"), "left")
@@ -656,12 +664,8 @@ object TextOps {
     * |A∩B| via shingle join, |A|,|B| via per-doc counts.
     */
   def ngramJaccardPairs(documents: DataFrame, prefixLen: Int, minJaccard: Double): DataFrame = {
-    // substring with a non-literal position needs the SQL expression form
     val sh = documents
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, greatest(length(substring(text, 1, $prefixLen)) - ${ShingleLen - 1}, 1)), " +
-            s"i -> substring(substring(text, 1, $prefixLen), i, $ShingleLen))"))).as("shingle"))
+      .select(col("doc_id"), col("source"), prefixShingles(prefixLen).as("shingle"))
 
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 

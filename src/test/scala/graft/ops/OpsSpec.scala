@@ -674,6 +674,10 @@ class OpsSpec extends AnyFunSuite {
       GraphAnalytics.bfsHops(path, src, maxIter = 3).collect()
     }
     assert(ex.getMessage.contains("diameter"))
+    // eccentricity EXACTLY maxIter is in-contract (the oracle's recursive
+    // CTE reaches hop == maxIter) — must complete, not throw
+    val short = edgesDf((0L until 3L).map(i => (i, i + 1)): _*)
+    assert(GraphAnalytics.bfsHops(short, src, maxIter = 3).count() == 4)
   }
 
   test("pageRank: directed ring stays exactly uniform at every iteration") {
