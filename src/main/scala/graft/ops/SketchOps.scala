@@ -39,22 +39,33 @@ object SketchOps {
   private def rhoCol(w: Column): Column =
     when(w === 0L, lit(53L)).otherwise(lit(53L) - length(bin(w)))
 
-  /** Distinct `valueCol` per `groupCol` via HLL(p=8) next to the exact
-    * count (sketch error is part of the output contract). Two-level
-    * aggregation: (group, register) → max ρ, then group → estimate; both
-    * levels partial-aggregate map-side. Small-range (linear-counting)
-    * correction applied exactly as the oracle does.
+  /** Register table (group, bucket, m = max ρ) — the MERGEABLE sketch
+    * state: registers of two corpora (per-partition, per-day) combine by
+    * `max` per (group, bucket), and [[hllEstimate]] of the merge equals
+    * the estimate over the union (test-pinned). Partial-aggregates
+    * map-side.
     */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val h = TextOps.md5Hash60Col(concat(lit("hll:"), col(valueCol)))
     // shiftright, NOT `/`: Column./ on longs is DOUBLE division, whose
     // rounding (h can exceed 2^53) and nonzero-but-truncated quotients
     // would silently diverge from the oracle's integer `h // 256`
-    val registers = df
-      .select(col(groupCol), (h % HllM).as("bucket"),
+    df.select(col(groupCol), (h % HllM).as("bucket"),
         rhoCol(shiftright(h, HllP)).as("rho"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rho")).as("m"))
+  }
+
+  /** Merge register tables (the per-day roll-up): max per (group, bucket). */
+  def hllMerge(registerTables: DataFrame*): DataFrame =
+    registerTables.reduce(_ unionByName _)
+      .groupBy(registerTables.head.columns.take(2).map(col): _*)
+      .agg(max(col("m")).as("m"))
+
+  /** Estimate per group from a register table, with the linear-counting
+    * small-range branch applied exactly as the oracle does.
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String): DataFrame = {
     val agg = registers.groupBy(col(groupCol))
       .agg(
         sum(pow(lit(2.0), -col("m"))).as("s_present"),
@@ -66,9 +77,18 @@ object SketchOps {
     val est = when(raw <= lit(2.5 * HllM) && zeros > 0,
       lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
       .otherwise(raw)
+    agg.select(col(groupCol), round(est, 2).as("n_est"))
+  }
+
+  /** Distinct `valueCol` per `groupCol` via HLL(p=8) next to the exact
+    * count (sketch error is part of the output contract). Two-level
+    * aggregation: (group, register) → max ρ, then group → estimate; both
+    * levels partial-aggregate map-side.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val exact = df.groupBy(col(groupCol))
       .agg(countDistinct(col(valueCol)).as("n_exact"))
-    agg.select(col(groupCol), round(est, 2).as("n_est"))
+    hllEstimate(hllRegisters(df, groupCol, valueCol), groupCol)
       .join(exact, Seq(groupCol))
   }
 

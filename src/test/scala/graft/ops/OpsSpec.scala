@@ -598,6 +598,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(52L) == 0.0, s"clean doc flagged: $got")
   }
 
+  test("hll registers merge: estimate(merge(A, B)) == estimate(A ∪ B)") {
+    val s = spark
+    import s.implicits._
+    val a = (0 until 2000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val b = (1000 until 3000).map(i => ("g", i.toLong)).toDF("g", "v") // overlaps A
+    val merged = SketchOps.hllEstimate(
+      SketchOps.hllMerge(
+        SketchOps.hllRegisters(a, "g", "v"),
+        SketchOps.hllRegisters(b, "g", "v")), "g")
+      .collect().head.getDouble(1)
+    val direct = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(a.union(b), "g", "v"), "g")
+      .collect().head.getDouble(1)
+    assert(merged == direct, s"merge broke the sketch algebra: $merged vs $direct")
+  }
+
   test("hllDistinct: estimate within 3 standard errors on known cardinalities") {
     val s = spark
     import s.implicits._
