@@ -60,11 +60,21 @@ object RelationalOps {
     require(clash.isEmpty,
       s"input columns collide with asofJoin internals: ${clash.mkString(", ")}")
 
+    // NULL key/ts rows never match, per SQL equality semantics — and
+    // IDENTICALLY in both modes: the default window would group NULL keys
+    // into one partition (spurious null-to-null matches) while the
+    // bucketed equi-join would silently DROP them; instead, null-keyed
+    // right rows are ignored and null-keyed left rows bypass the match
+    // and surface unmatched at the end.
+    val leftNull = left.filter(col(keyCol).isNull || col(tsCol).isNull)
+    val leftOk = left.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val rightOk = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+
     val payload = struct(rightPayloadCols.map(col): _*).as("_asof_payload")
-    val r = right.select(
+    val r = rightOk.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("_side"), payload) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val l = left.select(
+    val l = leftOk.select(
       Seq(col(keyCol), col(tsCol), lit(1).as("_side"),
         lit(null).cast(r.schema("_asof_payload").dataType).as("_asof_payload")) ++
         leftCols.map(col): _*)
@@ -114,6 +124,10 @@ object RelationalOps {
     matched.select(
       Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++
         rightPayloadCols.map(c => col(s"_asof.$c").as(c)): _*)
+      .unionByName(leftNull.select(
+        Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++
+          rightPayloadCols.map(c =>
+            lit(null).cast(right.schema(c).dataType).as(c)): _*))
   }
 
   /** Bounded RANGE join: all pairs with `right.ts ∈ [left.ts − window,

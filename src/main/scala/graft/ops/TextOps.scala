@@ -333,11 +333,18 @@ object TextOps {
     * to a STAR on the bucket's min-id representative — a boilerplate-heavy
     * corpus at 100 TB puts thousands of near-identical docs in one band,
     * and O(|bucket|²) pairs in a single task is the first thing a
-    * production dedup hits. The star keeps every member connected to the
-    * representative, so the connected components a downstream dedup
-    * computes are UNCHANGED — nothing is silently dropped, the clique is
-    * re-expressed in O(|bucket|) edges. Audit the capped buckets with
-    * [[minHashHotBands]] / [[simHashHotBands]].
+    * production dedup hits.
+    *
+    * Exactness of the reduction depends on the op: where bucket
+    * membership alone defines a candidate ([[minHashBandPairs]],
+    * [[dedupClusters]]'s composite buckets), the star preserves the
+    * bucket's connected component exactly — the clique re-expressed in
+    * O(|bucket|) edges. Where a per-pair verification filters the emitted
+    * edges ([[simHashPairs]]'s `maxDist`), capping is an explicit
+    * recall/cost TRADEOFF: a member farther than `maxDist` from the
+    * bucket's representative loses this bucket's pairs (its other bands
+    * may still link it). Audit what was capped with [[minHashHotBands]] /
+    * [[simHashHotBands]].
     */
   val DefaultMaxBucket = 1024
 
@@ -348,9 +355,12 @@ object TextOps {
     * fingerprints, ONE exchange groups each band bucket, and the exact
     * `bitCount(xor)` verification runs inside the group — shuffle is
     * O(docs × 4), never O(docs²). Buckets above `maxBucket` emit the
-    * min-id star instead of the clique (see [[DefaultMaxBucket]]); a star
-    * edge still verifies against `maxDist`, so an over-distance member of
-    * a hot bucket links via later exact verification of its own bands.
+    * min-id star instead of the clique (see [[DefaultMaxBucket]]); star
+    * edges still verify against `maxDist`, so for THIS op the cap is a
+    * recall/cost tradeoff, not an exact reduction: a member farther than
+    * `maxDist` from the hot bucket's representative contributes no pairs
+    * from that bucket (pairs it forms in its other, un-capped bands
+    * survive) — audit the affected buckets with [[simHashHotBands]].
     */
   def simHashPairs(
       documents: DataFrame,
@@ -504,6 +514,16 @@ object TextOps {
       }
   }
 
+  /** Within-bucket pair emission with the star cap: the full clique below
+    * `maxBucket`, the min-id star above it — the ONE emission rule every
+    * banded op shares.
+    */
+  private def bucketPairs(ids: Array[Long], maxBucket: Int): Iterator[(Long, Long)] =
+    if (ids.length <= maxBucket)
+      ids.indices.iterator.flatMap(i =>
+        (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+    else ids.iterator.drop(1).map(m => (ids(0), m))
+
   def minHashBandPairs(
       documents: DataFrame,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -517,14 +537,35 @@ object TextOps {
     minHashBandRows(documents)
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
-        val ids = it.map(_._1).toArray.sorted
-        if (ids.length <= maxBucket)
-          ids.indices.iterator.flatMap(i =>
-            (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
-        else ids.iterator.drop(1).map(m => (ids(0), m))
+        bucketPairs(it.map(_._1).toArray.sorted, maxBucket)
       }.toDF("a", "b")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** (doc_id, composite m-of-[[Bands]] key) rows: one key per m-subset of
+    * bands, equal iff the two docs agree on EVERY band in the subset. A
+    * pair agrees on ≥ m bands ⟺ it shares at least one composite bucket —
+    * the classic r-of-b construction that turns a "≥ m bands" PAIR filter
+    * into plain bucket equality, which is what lets the star cap stay
+    * exactly connectivity-preserving (a post-hoc n_bands filter would cut
+    * star edges and split real clusters; see [[dedupClusters]]).
+    */
+  private def minHashCompositeBandRows(documents: DataFrame, m: Int) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val combos = (0 until Bands).combinations(m).map(_.toArray).toArray
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[Long]](1 << 14)
+        it.flatMap { case (id, text) =>
+          val sig = minHashSignature(text, BandedSeeds, memo)
+          combos.iterator.map { combo =>
+            val key = combo.map(b => s"$b:${sig(2 * b)}_${sig(2 * b + 1)}").mkString("|")
+            (id, md5Hex(s"c:$key"))
+          }
+        }
+      }
   }
 
   /** Audit surface for [[minHashBandPairs]] capping: band buckets larger
@@ -539,25 +580,37 @@ object TextOps {
   }
 
   /** END-TO-END near-dup dedup — the operator a production pipeline ships:
-    * banded MinHash candidates ([[minHashBandPairs]]) become an undirected
-    * graph, distributed connected components collapse transitive
-    * near-dup chains, and every document maps to its cluster's min-id
-    * representative (singletons map to themselves). "Keep one per
-    * cluster" is then `filter(doc_id == cluster_rep)`. The [[DefaultMaxBucket]]
-    * star-capping composes EXACTLY here: a capped bucket's star edges
-    * produce the same connected components as the full clique, so the
-    * dedup result is unchanged while hot buckets stay linear.
+    * banded MinHash candidates become an undirected graph, distributed
+    * connected components collapse transitive near-dup chains, and every
+    * document maps to its cluster's min-id representative (singletons map
+    * to themselves). "Keep one per cluster" is then
+    * `filter(doc_id == cluster_rep)`.
+    *
+    * `minBands` tightens the effective Jaccard threshold (P(band) ≈ J², so
+    * ≥ m of 4 bands ≈ a much higher J) — the knob that keeps templated
+    * corpora from chaining transitively. It is implemented as COMPOSITE
+    * m-of-4 banding ([[minHashCompositeBandRows]]), NOT as a post-filter
+    * on per-pair band counts: a filter would cut a capped bucket's star
+    * edges (each star edge witnesses only its own bucket) and silently
+    * split real clusters the moment any band bucket exceeds `maxBucket`.
+    * With composite buckets there is no post-filter, so the
+    * [[DefaultMaxBucket]] star-capping composes EXACTLY at every
+    * `minBands`: capped and uncapped runs produce the same components
+    * (OpsSpec pins this for m = 1 and m = 2 on a corpus with forced caps).
     */
   def dedupClusters(
       documents: DataFrame,
       maxBucket: Int = DefaultMaxBucket,
       minBands: Int = 1): DataFrame = {
-    // n_bands is the cheap similarity proxy: requiring agreement on >= k of
-    // the 4 bands tightens the effective Jaccard threshold (P(band) ~ J^2),
-    // the knob that keeps templated corpora from chaining transitively
-    val pairs = minHashBandPairs(documents, maxBucket)
-      .filter(col("n_bands") >= minBands)
-      .select(col("a").as("src"), col("b").as("dst"))
+    require(minBands >= 1 && minBands <= Bands, s"minBands=$minBands out of 1..$Bands")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pairs = minHashCompositeBandRows(documents, minBands)
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        bucketPairs(it.map(_._1).toArray.sorted, maxBucket)
+      }.toDF("src", "dst")
+      .distinct()
     val cc = graft.pipeline.Canonical.connectedComponents(pairs)
       .withColumnRenamed("id", "doc_id")
     documents.select(col("doc_id"))

@@ -131,7 +131,11 @@ object Materialize {
     val df = triples.toDF()
     val counts = predCounts.getOrElse(sketchPredCounts(df))
     val shuffleP = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val baseSalt = math.max(1, (2 * shuffleP + counts.size - 1) / math.max(counts.size, 1))
+    // the parallelism floor obeys the same ceiling the plan does — a
+    // 1-predicate sketch under a large shuffle-partition setting must not
+    // fan unplanned predicates out beyond maxSalt
+    val baseSalt = math.min(maxSalt,
+      math.max(1, (2 * shuffleP + counts.size - 1) / math.max(counts.size, 1)))
     val plan = saltPlan(counts, targetRowsPerSalt, maxSalt, baseSalt)
     saltedDeduped(df, predBuckets, plan, baseSalt)
       .write.mode("overwrite")

@@ -40,9 +40,13 @@ final class StageMetricsListener extends SparkListener {
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
     val info = sc.stageInfo
     val m = info.taskMetrics
-    // drop the mapping once consumed so the map stays bounded over the
-    // listener's lifetime
-    val group = stageToGroup.remove(info.stageId).getOrElse("other")
+    // look up WITHOUT removing: onStageCompleted fires once per ATTEMPT,
+    // and a stage resubmitted after fetch failure must keep its group on
+    // the retry. Boundedness comes from the size valve below (a measured
+    // pipeline run has hundreds of stages; the valve only matters for a
+    // pathological long-lived session).
+    val group = stageToGroup.getOrElse(info.stageId, "other")
+    if (stageToGroup.size > 100000) stageToGroup.clear()
     buf.synchronized {
       buf += StageRow(
         group,

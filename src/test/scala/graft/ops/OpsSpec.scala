@@ -177,6 +177,64 @@ class OpsSpec extends AnyFunSuite {
     assert(survivors == uncapped.values.toSet.size)
   }
 
+  test("dedupClusters minBands=2: composite banding keeps capped == uncapped on a varied corpus") {
+    val s = spark
+    import s.implicits._
+    // several near-dup families with per-doc mutations, so band agreement
+    // varies across members and hot buckets mix docs with DIFFERENT band
+    // signatures — the regime where a post-filter on star-edge band counts
+    // would split clusters (each star edge witnesses only its own bucket)
+    val bases = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6,
+      "one two three four five six seven eight nine ten eleven twelve " * 6,
+      "spark shuffle exchange partition broadcast codegen catalyst rows " * 6)
+    val docs = (0 until 120).map { i =>
+      val base = bases(i % 3)
+      // mutate a small window so most shingles (and often >= 2 bands) agree
+      val mutated = base.substring(0, 8 + (i % 7)) + s" v$i " + base.substring(8 + (i % 7))
+      (i.toLong, mutated)
+    }.toDF("doc_id", "text")
+    def clusters(maxBucket: Int): Map[Long, Long] =
+      TextOps.dedupClusters(docs, maxBucket, minBands = 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uncapped = clusters(1 << 20)
+    val capped = clusters(3) // force star-reduction on every sizable bucket
+    assert(capped == uncapped, "minBands=2 star-capping changed the clusters")
+    // sanity: the threshold actually bites somewhere (some docs cluster)
+    assert(uncapped.exists { case (id, rep) => id != rep },
+      "corpus too dissimilar — test exercises nothing")
+  }
+
+  test("asofJoin: null keys/timestamps surface unmatched, identically in both modes") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (Some(1L), Some(10L), "a"),
+      (None: Option[Long], Some(20L), "b"), // null key
+      (Some(1L), None: Option[Long], "c"), // null ts
+      (Some(2L), Some(30L), "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (Some(1L), Some(5L), 100L),
+      (None: Option[Long], Some(1L), 666L), // null-keyed right: ignored
+      (Some(2L), Some(25L), 200L))
+      .toDF("k", "ts", "payload")
+    def run(bucket: Option[Long]) =
+      RelationalOps.asofJoin(left, right, "k", "ts", bucket).collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2),
+          Option(r.get(3)))).toSet
+    val windowed = run(None)
+    val bucketed = run(Some(7L))
+    assert(windowed == bucketed, s"modes diverge:\n$windowed\nvs\n$bucketed")
+    val expected = Set(
+      (Some(1L), Some(10L), "a", Some(100L)),
+      (None, Some(20L), "b", None),
+      (Some(1L), None, "c", None),
+      (Some(2L), Some(30L), "d", Some(200L)))
+    assert(windowed.map(t => (t._1.asInstanceOf[Option[Any]], t._2, t._3, t._4)) ==
+      expected.map(t => (t._1.asInstanceOf[Option[Any]], t._2, t._3, t._4)))
+  }
+
   test("nearDupPairs block-pair join matches single-block all-pairs exactly") {
     val s = spark
     import s.implicits._

@@ -26,7 +26,9 @@ graph_rows = rows.pop()
 levels = sorted({int(l) for b in batches for l in b["levels"]})
 pooled = {}
 for l in levels:
-    walls_per_batch = [b["levels"][str(l)]["walls"] for b in batches]
+    # a batch may have measured only a subset of levels — pool what exists
+    walls_per_batch = [b["levels"][str(l)]["walls"] for b in batches
+                      if str(l) in b["levels"]]
     all_walls = [w for ws in walls_per_batch for w in ws]
     mn = min(all_walls)
     pooled[l] = {
