@@ -496,7 +496,10 @@ object TextOps {
     *
     * Output: (a, b, n_bands) with a < b — n_bands = how many of the 4
     * bands agree (a cheap similarity proxy for downstream exact
-    * verification).
+    * verification). Under capping, pairs whose shared buckets were
+    * star-reduced UNDERCOUNT n_bands (each star edge witnesses only its
+    * own bucket) — which is why [[dedupClusters]] thresholds via composite
+    * banding instead of filtering this column.
     */
   /** (doc_id, band-key) rows — the shared signature pass. */
   private def minHashBandRows(documents: DataFrame) = {
