@@ -28,9 +28,15 @@ object Extract {
         val after = start + open.length
         after < s.length && (s.charAt(after) == '>' || s.charAt(after) == ' ' || s.charAt(after) == '/')
       }
-      if (!valid) {
+      if (start < 0) {
         sb.append(s, i, s.length)
         i = s.length
+      } else if (!valid) {
+        // prefix-sharing false match (e.g. "<navy" while scanning for
+        // "<nav"): keep this char and CONTINUE scanning — aborting here
+        // would leave every later genuine block unstripped
+        sb.append(s, i, start + 1)
+        i = start + 1
       } else {
         sb.append(s, i, start)
         val end = lower.indexOf(close, start)

@@ -17,6 +17,11 @@ object Lineage {
 
     /** Wrap a Dataset: counts rows flowing out of each partition of this
       * stage. Zero-copy — the iterator is decorated, not materialized.
+      * The decorator observes ONE stream (the stage's output); the
+      * input-side cardinality is not visible at this boundary, so
+      * `rows_in` is recorded as -1 (not observed) rather than a
+      * fabricated copy of `rows_out` — consumers computing per-stage
+      * selectivity must join the upstream stage's `rows_out` instead.
       */
     def track[T: Encoder](stage: String)(ds: Dataset[T]): Dataset[T] = {
       val a = acc
@@ -32,7 +37,7 @@ object Lineage {
             val h = it.hasNext
             if (!h && !reported) {
               reported = true
-              a.add(LineageRow(stage, pid, attempt, n, n, System.currentTimeMillis() - t0))
+              a.add(LineageRow(stage, pid, attempt, -1L, n, System.currentTimeMillis() - t0))
             }
             h
           }

@@ -94,8 +94,12 @@ object Linking {
     import spark.implicits._
 
     // distinct surfaces only — the band fan-out runs once per unique string,
-    // not once per occurrence (mentions of hot entities are heavily skewed)
-    val surfaceBands = mentions.select($"surface").distinct()
+    // not once per occurrence (mentions of hot entities are heavily skewed).
+    // ONE distinct over the (widest) mention table, persisted: both the
+    // band fan-out and the exact-match union read it — two independent
+    // distincts would scan + shuffle the big table twice
+    val distinctSurfaces = mentions.select($"surface").distinct().persist()
+    val surfaceBands = distinctSurfaces
       .flatMap { r =>
         val s = r.getString(0)
         bandKeys(s).map { case (b, h) => (s, b, h) }
@@ -116,17 +120,22 @@ object Linking {
     // of the (large) mention-surface table beyond its own distinct.
     // Exact surface==alias matches are unioned in directly: identical
     // strings must be candidates even when their band bucket is capped.
-    val exactPairs = mentions.select($"surface").distinct()
+    val exactPairs = distinctSurfaces
       .join(broadcast(dict.toDF().select($"alias".as("surface"), $"entity_iri")), "surface")
       .select($"surface", $"entity_iri")
+    // pairs ≤ |surfaces| × few candidates — eagerly checkpoint the SMALL
+    // result so the distinct-surfaces cache can be released before
+    // returning (the lazy return value must not pin it)
     val pairs = surfaceBands
       .join(broadcast(aliasCapped), Seq("band_id", "band_hash"))
       .select($"surface", $"entity_iri")
       .unionByName(exactPairs)
       .distinct()
+      .localCheckpoint()
+    distinctSurfaces.unpersist()
 
-    // pairs ≤ |surfaces| × few candidates — broadcast so the (big, skewed)
-    // mention table never shuffles on the hot surface strings
+    // broadcast so the (big, skewed) mention table never shuffles on the
+    // hot surface strings
     mentions.select($"mention_id", $"surface")
       .join(broadcast(pairs), "surface")
       .select($"mention_id", $"entity_iri")

@@ -58,7 +58,11 @@ object Pipeline {
       inputPages: Option[DataFrame] = None): Summary = {
     import spark.implicits._
 
-    val snaps = new SnapshotStore(s"$out/_stages", spark)
+    // snapshots are valid only for the SAME job: a different page count /
+    // entity count / input identity into the same out dir recomputes
+    val snaps = new SnapshotStore(s"$out/_stages", spark,
+      config = s"pages=$nPages;entities=$nEntities;input=" +
+        (if (inputPages.isDefined) "external" else "synthetic"))
     val lineage = Lineage.collector(spark)
     var rows = Map.empty[String, Long]
     var walls = Map.empty[String, Long]

@@ -16,21 +16,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Isolated behind this one class so a real catalog/table-format backend
   * can replace it without touching the stages.
   */
-final class SnapshotStore(root: String, spark: SparkSession) {
+final class SnapshotStore(root: String, spark: SparkSession, config: String = "") {
+
+  require(!config.contains('"') && !config.contains('\\'),
+    s"snapshot config must not need JSON escaping: $config")
 
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def dir(stage: String) = new Path(root, stage)
   private def manifest(stage: String) = new Path(dir(stage), "_manifest.json")
 
+  /** Committed iff data + manifest exist AND the manifest's recorded
+    * config equals ours — re-running a DIFFERENT job (page count, input
+    * identity) into the same out dir must recompute, not silently serve
+    * the previous run's snapshots.
+    */
   def committed(stage: String): Boolean =
-    fs.exists(new Path(dir(stage), "_SUCCESS")) && fs.exists(manifest(stage))
+    fs.exists(new Path(dir(stage), "_SUCCESS")) && fs.exists(manifest(stage)) &&
+      manifestConfig(stage) == config
+
+  private def manifestConfig(stage: String): String = {
+    val in = fs.open(manifest(stage))
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    """"config":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+  }
 
   def load(stage: String): DataFrame = spark.read.parquet(dir(stage).toString)
 
   private def writeManifest(stage: String, rows: Long, wallMs: Long): Unit = {
     val json =
-      s"""{"stage":"$stage","rows":$rows,"wall_ms":$wallMs,"committed_at_ms":${System.currentTimeMillis()}}"""
+      s"""{"stage":"$stage","rows":$rows,"wall_ms":$wallMs,"config":"$config",""" +
+        s""""committed_at_ms":${System.currentTimeMillis()}}"""
     val out = fs.create(manifest(stage), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -18,6 +18,7 @@ final class StageMetricsListener extends SparkListener {
   final case class StageRow(
       group: String,
       stageId: Int,
+      attempt: Int,
       tasks: Int,
       runMs: Long,
       cpuMs: Long,
@@ -51,6 +52,7 @@ final class StageMetricsListener extends SparkListener {
       buf += StageRow(
         group,
         info.stageId,
+        info.attemptNumber(),
         info.numTasks,
         m.executorRunTime,
         m.executorCpuTime / 1000000L,
@@ -62,10 +64,16 @@ final class StageMetricsListener extends SparkListener {
 
   def rows: Seq[StageRow] = buf.synchronized(buf.toVector)
 
-  /** Aggregate by pipeline stage group, sorted by CPU desc. */
+  /** Aggregate by pipeline stage group, sorted by CPU desc. Per-ATTEMPT
+    * completions collapse to the LAST attempt per stage first — a
+    * fetch-failure resubmission must not double-count the stage's volume
+    * (the tool exists to show shuffle bytes are identical across
+    * parallelism levels; a retry would masquerade as a plan regression).
+    */
   def byGroup: Seq[(String, StageRow)] =
-    rows.groupBy(_.group).view.mapValues { rs =>
-      StageRow(rs.head.group, -1, rs.map(_.tasks).sum, rs.map(_.runMs).sum,
+    rows.groupBy(_.stageId).valuesIterator.map(_.maxBy(_.attempt)).toSeq
+      .groupBy(_.group).view.mapValues { rs =>
+      StageRow(rs.head.group, -1, -1, rs.map(_.tasks).sum, rs.map(_.runMs).sum,
         rs.map(_.cpuMs).sum, rs.map(_.shuffleReadBytes).sum,
         rs.map(_.shuffleWriteBytes).sum, rs.map(_.spillBytes).sum)
     }.toSeq.sortBy(-_._2.cpuMs)

@@ -17,6 +17,25 @@ object TripleEmit {
 
   private def esc(s: String): String = NTriples.escapeString(s)
 
+  /** Percent-encode the characters IRIREF forbids (controls, space, and
+    * `<>"{}|^`\``) so a raw crawl URL can neither fail the embedded
+    * re-parse of the whole partition nor INJECT extra triples by closing
+    * the `<...>` early. All forbidden chars are ASCII ⇒ one %XX each;
+    * clean IRIs (every synthetic url, every dictionary entity) pass
+    * through untouched, keeping emission byte-identical for them.
+    */
+  private[pipeline] def iriSafe(s: String): String = {
+    def forbidden(c: Char): Boolean = c <= ' ' || "<>\"{}|^`\\".indexOf(c.toInt) >= 0
+    if (!s.exists(forbidden)) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      s.foreach { c =>
+        if (forbidden(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c)
+      }
+      sb.toString
+    }
+  }
+
   /** Turtle document for one page's emissions (deterministic layout). */
   def turtleForPage(
       url: String,
@@ -27,17 +46,17 @@ object TripleEmit {
     sb.append("@prefix kg: <").append(Kg).append("> .\n")
     sb.append("@prefix xsd: <").append(Xsd).append("> .\n")
     val ts = java.time.Instant.ofEpochMilli(warcTsMs).toString
-    sb.append('<').append(url).append("> a kg:Page ;\n")
+    sb.append('<').append(iriSafe(url)).append("> a kg:Page ;\n")
     sb.append("  kg:lang \"").append(esc(lang)).append("\" ;\n")
     sb.append("  kg:fetchedAt \"").append(ts).append("\"^^xsd:dateTime")
     val distinctEnts = entities.map(_._1).distinct
     if (distinctEnts.nonEmpty) {
       sb.append(" ;\n  kg:mentions ")
-      sb.append(distinctEnts.map(e => s"<$e>").mkString(", "))
+      sb.append(distinctEnts.map(e => s"<${iriSafe(e)}>").mkString(", "))
     }
     sb.append(" .\n")
     entities.distinct.foreach { case (iri, label) =>
-      sb.append('<').append(iri).append("> kg:label \"").append(esc(label)).append("\" .\n")
+      sb.append('<').append(iriSafe(iri)).append("> kg:label \"").append(esc(label)).append("\" .\n")
     }
     sb.toString
   }
@@ -109,9 +128,14 @@ object TripleEmit {
             (Seq.empty[SpannedTripleRow], Some(Reject(url, e.span.start, e.span.end, e.message)))
         }
       }
-    }.cache()
-    val triples = parsed.flatMap(_._1)
-    val rejects = parsed.flatMap(_._2)
+    }.persist()
+    // materialize both outputs ONCE (eager localCheckpoint), then release
+    // the shared parse cache — otherwise every ingest call leaks a cached
+    // copy of the parsed corpus for the session's lifetime; the returned
+    // checkpoint blocks are cleaned when the datasets become unreachable
+    val triples = parsed.flatMap(_._1).localCheckpoint()
+    val rejects = parsed.flatMap(_._2).localCheckpoint()
+    parsed.unpersist()
     (triples, rejects)
   }
 }

@@ -32,6 +32,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("extraction: prefix-sharing tag is not a block boundary and does not stop the scan") {
+    // '<navy>' must not match the 'nav' block tag — and crucially must not
+    // abort the scan, or the REAL <nav> after it would survive
+    val html = "<p>keep1</p><navy>keep2</navy><nav>menu</nav><p>keep3</p>" +
+      "<script>var x;</script><p>keep4</p>"
+    val got = Extract.extractText(html)
+    assert(got.contains("keep1") && got.contains("keep2") &&
+      got.contains("keep3") && got.contains("keep4"), got)
+    assert(!got.contains("menu") && !got.contains("var x"), got)
+  }
+
+  test("emit survives hostile URLs: IRIREF-forbidden chars percent-encode, no injection") {
+    val hostile = "http://x.example/a b/>. <http://evil.example/s> <http://evil.example/p"
+    val ttl = TripleEmit.turtleForPage(hostile, 0L, "en", Seq.empty)
+    graft.turtle.Turtle.parseToTriples(ttl) match {
+      case Right(ts) =>
+        // every triple keeps the ONE (percent-encoded) page IRI as its
+        // subject — injection would surface as a separate evil subject
+        assert(ts.nonEmpty && ts.map(_.subj.render).distinct.size == 1)
+        assert(ts.head.subj.render.contains("%20") && ts.head.subj.render.contains("%3E"))
+        assert(!ts.exists(_.subj.render == "<http://evil.example/s>"), ts.map(_.subj.render))
+      case Left(e) => fail(s"hostile URL failed the emit round-trip: $e")
+    }
+  }
+
+  test("snapshots gate on job config: a different page count recomputes instead of serving stale data") {
+    val out = Files.createTempDirectory("graft_snapcfg_").toString
+    try {
+      val s1 = Pipeline.run(spark, 60L, NEntities, out)
+      val s2 = Pipeline.run(spark, 120L, NEntities, out) // same dir, different job
+      assert(s2.stageRows("pages") == 120L,
+        s"second run served the first run's snapshots: ${s2.stageRows}")
+      assert(s1.stageRows("pages") == 60L)
+      // and an identical re-run DOES reuse (resume still works)
+      val s3 = Pipeline.run(spark, 120L, NEntities, out)
+      assert(s3.stageRows("pages") == 120L)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("mention detection matches the single-threaded oracle exactly (P/R = 1.0)") {
     import spark.implicits._
     val pages = PageGen.pages(spark, NPages, NEntities)
