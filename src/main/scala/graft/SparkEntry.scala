@@ -344,6 +344,11 @@ object SparkEntry {
 
     "td07_simhash" -> ((s, d) => TextOps.simHashes(t(s, d, "documents"))),
 
+    // td09/td12 oracles pin the UNCAPPED clique semantics: the sf corpora
+    // hold no band bucket near DefaultMaxBucket (500–5000 docs total), so
+    // the default capped op equals them; hot-band star behavior is pinned
+    // separately by the OpsSpec adversarial corpus + capped==uncapped
+    // cluster guards, and audited at runtime via *HotBands
     "td12_simhash_pairs" -> ((s, d) => TextOps.simHashPairs(t(s, d, "documents"))),
 
     "td08_ngram_jaccard" -> ((s, d) =>

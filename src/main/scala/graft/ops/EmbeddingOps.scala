@@ -40,7 +40,10 @@ object EmbeddingOps {
   private def cosKernel(a: Array[Long], na: Long, b: Array[Long], nb: Long): Double = {
     var dot = 0L
     var i = 0
-    val n = a.length
+    // zip to the SHORTER vector (ragged inputs must not read out of
+    // bounds) — the same truncation semantics the SQL paths' slice guards
+    // implement
+    val n = math.min(a.length, b.length)
     while (i < n) { dot += a(i) * b(i); i += 1 }
     dot.toDouble / math.sqrt((na * nb).toDouble)
   }
@@ -161,11 +164,16 @@ object EmbeddingOps {
     // signs depend only on (plane, index) — precompute per-plane ±1 vectors
     // on the driver and inline them as array literals, instead of hashing
     // md5("p:i") once per ELEMENT PER ROW inside the plan
+    // slice BOTH ways: shorter vectors must not zip against null, and a
+    // vector LONGER than dims must truncate to the dims-dimensional
+    // hyperplane basis — unguarded, zip_with would null-pad the signs,
+    // null-poison every plane sum, and silently funnel all over-length
+    // vectors into one bucket
+    val gS = slice(col("g"), lit(1), lit(dims))
     val bits = (0 until nPlanes).map { p =>
       val signs = array((0 until dims).map(i => lit(srpSign(p, i))): _*)
-      // slice to the row's length: shorter vectors must not zip against null
       val s = aggregate(
-        zip_with(col("g"), slice(signs, lit(1), size(col("g"))), (x, sg) => x * sg),
+        zip_with(gS, slice(signs, lit(1), size(gS)), (x, sg) => x * sg),
         lit(0L), (acc, v) => acc + v)
       (s > 0).cast("int")
     }
@@ -387,10 +395,13 @@ object EmbeddingOps {
     * probe order of [[annIvfMultiProbe]]; element 0 is the assignment.
     */
   private def ivfCellsRankedExpr(cells: Int, dims: Int): org.apache.spark.sql.Column = {
+    // both-ways slice, as in srpBucketExpr: over-length vectors truncate
+    // to the centroids' dims instead of null-poisoning every distance
+    val gS = slice(col("g"), lit(1), lit(dims))
     val scored = (0 until cells).map { k =>
       val c = ivfCentroid(k, dims)
-      val cSliced = slice(array(c.map(lit(_)): _*), lit(1), size(col("g")))
-      val dot = aggregate(zip_with(col("g"), cSliced, (x, y) => x * y),
+      val cSliced = slice(array(c.map(lit(_)): _*), lit(1), size(gS))
+      val dot = aggregate(zip_with(gS, cSliced, (x, y) => x * y),
         lit(0L), (acc, v) => acc + v)
       val norm = aggregate(cSliced, lit(0L), (acc, v) => acc + v * v)
       struct((norm - dot * 2).as("d"), lit(k).as("k"))
@@ -439,9 +450,11 @@ object EmbeddingOps {
 
     // argmin over quantized centroid literals on the 1000× grid
     def assignExpr(m: Array[Array[Long]]): org.apache.spark.sql.Column = {
-      val g1000 = transform(col("g"), x => x * 1000L)
+      // both-ways slice (see ivfCellsRankedExpr): truncate over-length
+      // vectors to the centroid basis instead of null-poisoning distances
+      val g1000 = transform(slice(col("g"), lit(1), lit(dims)), x => x * 1000L)
       val scored = m.indices.map { k =>
-        val cSliced = slice(array(m(k).map(lit(_)): _*), lit(1), size(col("g")))
+        val cSliced = slice(array(m(k).map(lit(_)): _*), lit(1), size(g1000))
         val d = aggregate(zip_with(g1000, cSliced, (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, v) => acc + v)
         struct(d.as("d"), lit(k).as("k"))
@@ -450,6 +463,10 @@ object EmbeddingOps {
         .getItem(0).cast("long")
     }
 
+    // loop-invariant scan+grid+seed-argmin persisted once (the pageRank
+    // discipline): each Lloyd iteration reads these blocks instead of
+    // re-deriving the projection from parquet
+    base.persist()
     var assigned = base.withColumn("cell", col("cell0"))
     var centroids = Array.tabulate(cells)(k => ivfCentroid(k, dims).map(_ * 1000L))
     for (_ <- 1 to iterations) {
@@ -469,6 +486,10 @@ object EmbeddingOps {
       centroids = next // cells left empty keep their previous centroid
       assigned = base.withColumn("cell", assignExpr(centroids))
     }
-    assigned.select(col("vec_id"), col("cell0"), col("cell"))
+    // materialize the (output-sized) result before releasing the cache the
+    // lazy plan would otherwise still reference
+    val out = assigned.select(col("vec_id"), col("cell0"), col("cell")).localCheckpoint()
+    base.unpersist()
+    out
   }
 }

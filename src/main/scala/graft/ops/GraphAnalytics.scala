@@ -90,8 +90,9 @@ object GraphAnalytics {
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
-    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // ONE degree definition — [[degrees]] — so orientation can never
+    // drift from the degree op it is defined in terms of
+    val deg = degrees(edges).withColumnRenamed("degree", "d")
     // (degree, id) total order as a sortable struct key per endpoint
     def key(dC: Column, idC: Column): Column = struct(dC.as("d"), idC.as("id"))
     val oriented = und

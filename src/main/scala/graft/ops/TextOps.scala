@@ -32,7 +32,15 @@ object TextOps {
   /** Column version, equal to [[md5Hash60]]: conv parses the hex prefix. */
   def md5Hash60Col(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  val TokenPattern = "\\S+"
+  /** THE token-separator class, spelled explicitly: the DuckDB oracles'
+    * RE2 `\s` is exactly [\t\n\f\r ] (probed: no \x0B, no Unicode spaces),
+    * while Java's `\s` adds \x0B and `Character.isWhitespace` adds the
+    * whole Unicode zoo — every engine surface here (Spark regex, the
+    * hand-rolled kernels) uses this one class so tokenization is
+    * value-identical cross-engine on ANY input, not just ASCII corpora.
+    */
+  val TokenSepChars = " \t\n\f\r"
+  val TokenPattern = "[^ \\t\\n\\f\\r]+"
 
   def tokensCol(text: Column): Column = regexp_extract_all(text, lit(TokenPattern), lit(0))
 
@@ -45,7 +53,9 @@ object TextOps {
     * non-space symbol runs are separate pieces ("abc123!?" → 3 pieces,
     * where whitespace counting sees 1). Pure codegen'd built-ins.
     */
-  val BpePattern = "[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+  // explicit separator set in the symbol class (not Java's `\s`, which
+  // adds \x0B over the oracles' RE2 class — see [[TokenSepChars]])
+  val BpePattern = "[\\p{L}]+|[\\p{N}]+|[^ \\t\\n\\f\\r\\p{L}\\p{N}]+"
 
   def bpeTokenCounts(documents: DataFrame): DataFrame = {
     val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
@@ -203,7 +213,7 @@ object TextOps {
     (nWin.toLong, minH, selected)
   }
 
-  private val AsciiTokenPattern = java.util.regex.Pattern.compile("\\S+")
+  private val AsciiTokenPattern = java.util.regex.Pattern.compile(TokenPattern)
 
   /** (doc_id, n_windows, min_whash, n_selected) per document. */
   def rollingFingerprints(documents: DataFrame): DataFrame = {
@@ -275,7 +285,7 @@ object TextOps {
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+      md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\n\\f\\r]+", " ")).as("fingerprint"))
 
   /** Exact dedup groups: (text_hash, n_docs, min_doc_id). */
   def exactDedup(documents: DataFrame): DataFrame =
@@ -291,13 +301,17 @@ object TextOps {
     * is > 0. Single pass per document; token hashes memoized per partition.
     */
   def simHash(text: String, memo: java.util.HashMap[String, java.lang.Long]): Long = {
+    // the shared [[TokenSepChars]] class, NOT Character.isWhitespace —
+    // Unicode whitespace would tokenize differently from the RE2 oracles
+    def isSep(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
     val counts = new Array[Int](SimHashBits)
     var i = 0
     val n = text.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isSep(text.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && !isSep(text.charAt(i))) i += 1
       if (i > start) {
         val tok = text.substring(start, i)
         val cached = memo.get(tok)

@@ -4,12 +4,6 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Structured Streaming surface: the same events table consumed as a
-  * stream (file source) with tumbling-window aggregation into a memory
-  * sink. `processAllAvailable` drains the bounded input synchronously, so
-  * the result is a deterministic DataFrame a batch oracle can replicate
-  * (5-minute windows are epoch-aligned in both engines).
-  */
 /** State-v2 processor for [[StreamingOps.userStatsTws]]: counts a user's
   * events in a ValueState and their distinct event types in a MapState
   * (used as a set — values are occurrence counts). Emits (user, n_events,
@@ -42,21 +36,33 @@ final class UserStatsProcessor
   }
 }
 
+/** Structured Streaming surface: the same events table consumed as a
+  * stream (file source) with tumbling-window aggregation into a memory
+  * sink. `processAllAvailable` drains the bounded input synchronously, so
+  * the result is a deterministic DataFrame a batch oracle can replicate
+  * (5-minute windows are epoch-aligned in both engines).
+  */
 object StreamingOps {
 
   private val counter = new AtomicInteger(0)
 
+  /** Shared bounded-stream source: schema sniffed from the single batch
+    * file, then the parent dir streamed with a glob pinned to that file —
+    * the ONE definition of "the events table as a stream" (a per-op copy
+    * already drifted once on the defensive ts cast).
+    */
+  private def boundedStream(spark: SparkSession, sfDir: String, file: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/$file").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", file)
+      .parquet(sfDir)
+  }
+
   /** Tumbling 5-minute window counts by event_type over a parquet STREAM. */
   def eventsWindowed(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
     val name = s"graft_stream_${counter.incrementAndGet()}"
 
-    // the events table may be a single parquet FILE: stream the parent dir
-    // with a glob filter (the file source requires a directory basePath)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = boundedStream(spark, sfDir, "events.parquet")
     val agg = stream
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -85,13 +91,9 @@ object StreamingOps {
     * append mode emits each window once when the watermark passes it.
     */
   def eventsWatermarked(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
     val name = s"graft_wm_${counter.incrementAndGet()}"
 
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = boundedStream(spark, sfDir, "events.parquet")
     val agg = stream
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "10 minutes")
@@ -124,13 +126,9 @@ object StreamingOps {
     * for unbounded key spaces.
     */
   def dedupedUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
     val name = s"graft_dedup_${counter.incrementAndGet()}"
 
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = boundedStream(spark, sfDir, "events.parquet")
     val agg = stream
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -191,11 +189,8 @@ object StreamingOps {
     * a single stateful operator.
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_ssjoin_${counter.incrementAndGet()}"
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    def src = boundedStream(spark, sfDir, "events.parquet")
 
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"),
@@ -235,11 +230,8 @@ object StreamingOps {
     * the OpsSpec boundary test), so the oracle breaks on strict `>`.
     */
   def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_sesswin_${counter.incrementAndGet()}"
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = boundedStream(spark, sfDir, "events.parquet")
     val agg = stream
       .withColumn("ts", col("ts").cast("timestamp"))
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -281,9 +273,7 @@ object StreamingOps {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val events = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      val events = boundedStream(spark, sfDir, "events.parquet")
         .select(col("user_id"), col("event_type"))
         .as[(Long, String)]
 
@@ -316,11 +306,8 @@ object StreamingOps {
     * (new docs re-parse incrementally; only the aggregate holds state).
     */
   def streamingParse(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val name = s"graft_streamparse_${counter.incrementAndGet()}"
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val docs = boundedStream(spark, sfDir, "documents.parquet")
     val agg = graft.ops.GraphOps.parseTurtle(docs)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triples"))
 
@@ -343,13 +330,9 @@ object StreamingOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
     val name = s"graft_sessions_${counter.incrementAndGet()}"
 
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val events = boundedStream(spark, sfDir, "events.parquet")
       .select(col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"))
       .as[Ev]

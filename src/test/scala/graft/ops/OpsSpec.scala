@@ -656,6 +656,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got(52L) == 0.0, s"clean doc flagged: $got")
   }
 
+  test("token separators are the RE2 class exactly: \\x0B and Unicode spaces do NOT split") {
+    val p = java.util.regex.Pattern.compile(TextOps.TokenPattern)
+    def nTokens(s: String): Int = {
+      val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+    }
+    assert(nTokens("a b") == 2 && nTokens("a\tb") == 2 && nTokens("a\nb") == 2)
+    // Java \s would split \x0B; Character.isWhitespace would split U+2028,
+    // U+2000, U+1680 — the DuckDB oracles' RE2 \s splits NONE of these
+    for (sep <- Seq('\u000B', '\u2028', '\u2000', '\u1680', '\u001C'))
+      assert(nTokens(s"a${sep}b") == 1, f"U+${sep.toInt}%04X must not split")
+    // simHash agrees: a single-token text's fingerprint IS the token's
+    // 60-bit hash (every bit votes once), so Unicode-space texts stay one
+    // token in the kernel too
+    val memo = new java.util.HashMap[String, java.lang.Long]()
+    assert(TextOps.simHash("a b", memo) == TextOps.md5Hash60("a b"))
+    assert(TextOps.simHash("ab", memo) == TextOps.md5Hash60("ab"))
+  }
+
   test("hll registers merge: estimate(merge(A, B)) == estimate(A ∪ B)") {
     val s = spark
     import s.implicits._
