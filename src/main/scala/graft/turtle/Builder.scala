@@ -74,8 +74,12 @@ final class Builder(
     if (base.isDefined) {
       refMemo.getOrElseUpdate(iriRef, IriResolver.resolveAgainst(iriRef, baseParsed))
     } else {
-      if (IriResolver.isAbsolute(iriRef)) iriRef
-      else throw TurtleError(s"cannot resolve relative IRI <$iriRef>: no base IRI", span)
+      // memoized like the base path: every production call site parses with
+      // no base, and vocabulary IRIs repeat — pay the appendix-B component
+      // parse once per DISTINCT reference, not per occurrence
+      refMemo.getOrElseUpdate(iriRef,
+        if (IriResolver.isAbsolute(iriRef)) iriRef
+        else throw TurtleError(s"cannot resolve relative IRI <$iriRef>: no base IRI", span))
     }
 
   /** Expand `prefix:suffix` by string concatenation then re-validate —
@@ -230,7 +234,11 @@ object Turtle {
       baseIri: Option[String] = None): Either[TurtleError, Vector[Triple]] =
     try {
       val doc = new Parser(new Lexer(text)).parseDocument()
-      val scope = (l: String) => "_:d" + docTag + "-" + l.substring(2)
+      // DISJOINT namespaces: document labels rewrite under "l", generated
+      // anonymous nodes under "-" (BlankGenerator.scoped) — a shared "-"
+      // would merge a document's `_:0` with the first anonymous node
+      // (both "_:d<tag>-0"), silently conflating two distinct nodes
+      val scope = (l: String) => "_:d" + docTag + "l" + l.substring(2)
       Right(new Builder(baseIri, BlankGenerator.scoped(docTag), scope).build(doc.value))
     } catch { case e: TurtleError => Left(e) }
 }

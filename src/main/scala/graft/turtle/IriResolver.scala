@@ -142,8 +142,9 @@ object IriResolver {
   /** Syntax-validate an IRI reference (RFC 3987 `IRI-reference`).
     * Returns None when valid, or Some(reason).
     */
-  def validateIriRef(ref: String): Option[String] = {
-    val c = parse(ref)
+  def validateIriRef(ref: String): Option[String] = validateParsed(parse(ref))
+
+  private def validateParsed(c: Components): Option[String] = {
     if (c.scheme.exists(!isValidScheme(_))) return Some("invalid scheme")
     if (c.authority.exists(!validAuthority(_))) return Some("invalid authority")
     // ipchar = iunreserved / pct-encoded / sub-delims / ":" / "@"  (+ "/" separators)
@@ -168,28 +169,42 @@ object IriResolver {
   /** Validate as an absolute IRI (reference `Iri::new`, used for compact-IRI
     * expansion at `src/build.rs:147-152`).
     */
-  def validateIri(iri: String): Option[String] =
-    validateIriRef(iri).orElse(if (isAbsolute(iri)) None else Some("missing scheme"))
+  def validateIri(iri: String): Option[String] = {
+    // one component parse for both checks (was: validateIriRef + isAbsolute,
+    // each re-parsing the same string)
+    val c = parse(iri)
+    validateParsed(c).orElse(if (c.scheme.isDefined) None else Some("missing scheme"))
+  }
 
-  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  /** RFC 3986 §5.2.4 remove_dot_segments — cursor form: the naive
+    * "rewrite the remaining input per rule" loop copies the whole tail on
+    * every consumed segment (O(n²): a 1 MB path of short segments would
+    * burn ~10¹¹ char copies in one task). An index over the ORIGINAL
+    * string with one output builder is linear; the "/./x" → "/x" and
+    * "/../x" → pop + "/x" rewrites fall out of advancing the cursor to the
+    * following '/' instead of re-prefixing.
+    */
   def removeDotSegments(path: String): String = {
     val out = new java.lang.StringBuilder
-    var in = path
-    while (in.nonEmpty) {
-      if (in.startsWith("../")) in = in.substring(3)
-      else if (in.startsWith("./")) in = in.substring(2)
-      else if (in.startsWith("/./")) in = "/" + in.substring(3)
-      else if (in == "/.") in = "/"
-      else if (in.startsWith("/../")) { in = "/" + in.substring(4); popSegment(out) }
-      else if (in == "/..") { in = "/"; popSegment(out) }
-      else if (in == "." || in == "..") in = ""
+    val n = path.length
+    var i = 0
+    def at(s: String): Boolean = path.startsWith(s, i)
+    def restIs(s: String): Boolean = n - i == s.length && path.startsWith(s, i)
+    while (i < n) {
+      if (at("../")) i += 3
+      else if (at("./")) i += 2
+      else if (at("/./")) i += 2 // leaves the trailing '/' as the next prefix
+      else if (restIs("/.")) { out.append('/'); i = n }
+      else if (at("/../")) { i += 3; popSegment(out) } // ditto
+      else if (restIs("/..")) { popSegment(out); out.append('/'); i = n }
+      else if (restIs(".") || restIs("..")) i = n
       else {
         // move the first segment (incl. leading '/') to the output
-        var start = 0
-        if (in.startsWith("/")) start = 1
-        val slash = in.indexOf('/', start)
-        if (slash < 0) { out.append(in); in = "" }
-        else { out.append(in.substring(0, slash)); in = in.substring(slash) }
+        var start = i
+        if (path.charAt(i) == '/') start += 1
+        val slash = path.indexOf('/', start)
+        if (slash < 0) { out.append(path, i, n); i = n }
+        else { out.append(path, i, slash); i = slash }
       }
     }
     out.toString

@@ -77,7 +77,18 @@ object Keyword {
   *   - `%XX` in PN_LOCAL is percent-DECODED (`src/lexing.rs:750-753`);
   *   - raw newlines are accepted inside single-line strings
   *     (`src/lexing.rs:533-535`, commented-out check);
-  *   - PN_LOCAL does not admit internal dots.
+  *   - PN_LOCAL does not admit internal dots;
+  *   - langtag SUBTAGS must terminate at whitespace/EOF
+  *     (`src/lexing.rs` next_langtag_or_keyword: any other terminator is
+  *     `InvalidLangTag`), so W3C-valid `"x"@en-us;` is rejected while
+  *     `"x"@en;` is fine — the primary tag breaks on any non-letter;
+  *   - bare keywords (`true`/`false`/`a`…) likewise require a
+  *     whitespace/':'/'.'/PN terminator, so `(true)` / `true,false` are
+  *     rejected;
+  *   - the numeric DFA consumes a '.' after digits with no backtrack
+  *     (reference `State::Integer` → `NonEmptyDecimal`), so the W3C form
+  *     `1.` (integer + statement dot, no space) is rejected — `1 .` is
+  *     required.
   *
   * Pure Scala, zero Spark dependency: on the cluster one instance runs per
   * document inside a `Dataset.flatMap`/`mapPartitions` task.

@@ -212,8 +212,27 @@ final class Parser(lexer: Lexer) {
   /** `[ … ]` anonymous blank node body shared by subject/object positions —
     * reference `src/parsing.rs:572-596,666-690`.
     */
+  /** Nesting guard: collections / anonymous bnode lists recurse one JVM
+    * frame chain per level (here AND in the Builder's depth-first
+    * emission), so a crafted document of 100k `(`s would blow the stack —
+    * a StackOverflowError is an Error, escapes the `catch TurtleError`
+    * boundary, and would kill the Spark task instead of landing in the
+    * rejects table. Bounding depth turns the pathological document into a
+    * normal reject row. 512 levels is far beyond any real document and
+    * well within default executor stacks.
+    */
+  private[this] var depth = 0
+  private val MaxNestingDepth = 512
+
+  private def descend[A](span: Span)(body: => A): A = {
+    depth += 1
+    if (depth > MaxNestingDepth)
+      throw TurtleError(s"nesting deeper than $MaxNestingDepth levels", span)
+    try body finally depth -= 1
+  }
+
   private def parseAnonymous(
-      startSpan: Span): (Located[Vector[Located[PredicateObjects]]], Span) = {
+      startSpan: Span): (Located[Vector[Located[PredicateObjects]]], Span) = descend(startSpan) {
     val poList = peek() match {
       case Located(Token.EndBracket, _) => Located(Vector.empty[Located[PredicateObjects]], lastSpan.next)
       case _                            => parsePredicateObjectsListWith()
@@ -226,7 +245,7 @@ final class Parser(lexer: Lexer) {
   }
 
   /** collection ::= `(` object* `)` — reference `src/parsing.rs:609-649`. */
-  private def parseCollection(t: Located[Token]): Located[Collection] = {
+  private def parseCollection(t: Located[Token]): Located[Collection] = descend(t.span) {
     var span = t.span
     t.value match {
       case Token.BeginParen =>
