@@ -924,8 +924,11 @@ object SparkEntry {
        |  WHERE rn = 1
        |), ex AS (
        |  -- parallel unnests zip element-wise (DuckDB 1.0 forbids lateral
-       |  -- generate_series on a column, so no per-row table function here)
-       |  SELECT cell0, unnest(generate_series(1, len(g))) AS i, unnest(g) AS x FROM a0
+       |  -- generate_series on a column, so no per-row table function here);
+       |  -- g sliced to the 64-dim centroid basis, mirroring the impl's
+       |  -- posexplode(slice(g, 1, dims)) over-length guard
+       |  SELECT cell0, unnest(generate_series(1, len(g[1:64]))) AS i,
+       |    unnest(g[1:64]) AS x FROM a0
        |), sums AS (
        |  SELECT cell0, i,
        |    CAST(round(1000.0 * SUM(x) / COUNT(*)) AS BIGINT) AS m

@@ -441,7 +441,9 @@ object EmbeddingOps {
     */
   def kmeansRefine(
       embeddings: DataFrame, cells: Int = IvfCells,
-      dims: Int = 64, iterations: Int = 1): DataFrame = {
+      dims: Int = 64, iterations: Int = 1,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1 && iterations <= 8, s"iterations=$iterations out of 1..8")
     require(cells >= 1 && cells <= 256, s"cells=$cells out of range")
     val base = gridded(embeddings)
@@ -476,8 +478,11 @@ object EmbeddingOps {
       // quantizer centrally, apply distributedly" IVF shape. Quantization
       // happens IN the plan (Spark's HALF_UP round), not in Scala, so the
       // rounding rule is the engines', not the JVM's.
+      // slice to the centroid basis first (same both-ways truncation as
+      // assignExpr): an over-length vector must not emit dim indices
+      // >= dims, which would throw in the next(cell)(i) update below
       val sums = assigned
-        .select(col("cell"), posexplode(col("g")).as(Seq("i", "x")))
+        .select(col("cell"), posexplode(slice(col("g"), lit(1), lit(dims))).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))
         .agg(round(lit(1000.0) * sum(col("x")) / count(lit(1))).cast("long").as("m"))
         .collect()
@@ -488,7 +493,8 @@ object EmbeddingOps {
     }
     // materialize the (output-sized) result before releasing the cache the
     // lazy plan would otherwise still reference
-    val out = assigned.select(col("vec_id"), col("cell0"), col("cell")).localCheckpoint()
+    val out = checkpoint.truncate(
+      assigned.select(col("vec_id"), col("cell0"), col("cell")))
     base.unpersist()
     out
   }

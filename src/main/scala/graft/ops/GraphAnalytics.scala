@@ -116,13 +116,18 @@ object GraphAnalytics {
   /** Minimum hop distance from `sources` to every reachable vertex over
     * the UNDIRECTED graph. Frontier-based BFS: each round joins only the
     * frontier (nodes first reached last round) against the adjacency,
-    * anti-joins already-settled vertices, and truncates lineage with
-    * localCheckpoint — the [[graft.pipeline.Canonical]] iteration
-    * discipline. Terminates when the frontier empties; nodes at hop
-    * `maxIter` are still in-contract, and a non-empty frontier beyond it
-    * throws (a diameter contract violation, never silent truncation).
+    * anti-joins already-settled vertices, and truncates lineage per round
+    * through the [[graft.pipeline.CheckpointPolicy]] — the
+    * [[graft.pipeline.Canonical]] iteration discipline (reliable DFS
+    * checkpointing at cluster scale, executor-local blocks by default).
+    * Terminates when the frontier empties; nodes at hop `maxIter` are
+    * still in-contract, and a non-empty frontier beyond it throws (a
+    * diameter contract violation, never silent truncation).
     */
-  def bfsHops(edges: DataFrame, sources: DataFrame, maxIter: Int = 25): DataFrame = {
+  def bfsHops(
+      edges: DataFrame, sources: DataFrame, maxIter: Int = 25,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     val adj = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
@@ -137,17 +142,17 @@ object GraphAnalytics {
       // the reached set dwarfs the wave).
       val settled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var prev: Option[DataFrame] = None
-      var frontier = sources.select(col("id"), lit(0L).as("hop")).localCheckpoint()
+      var frontier = checkpoint.truncate(sources.select(col("id"), lit(0L).as("hop")))
       settled += frontier
       var n = frontier.count()
       var iter = 0
       while (n > 0) {
         val recent = prev.map(_ union frontier).getOrElse(frontier)
-        val next = frontier.join(adj, frontier("id") === adj("a"))
-          .select(col("b").as("id"), (col("hop") + 1).as("hop"))
-          .groupBy(col("id")).agg(min(col("hop")).as("hop"))
-          .join(recent.select(col("id").as("seen")), col("id") === col("seen"), "left_anti")
-          .localCheckpoint()
+        val next = checkpoint.truncate(
+          frontier.join(adj, frontier("id") === adj("a"))
+            .select(col("b").as("id"), (col("hop") + 1).as("hop"))
+            .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+            .join(recent.select(col("id").as("seen")), col("id") === col("seen"), "left_anti"))
         n = next.count()
         // nodes AT hop maxIter are in-contract (the oracle's `hop < maxIter`
         // recursion reaches them); only a non-empty frontier BEYOND it
@@ -171,7 +176,10 @@ object GraphAnalytics {
     * SQL oracle term for term (double sums over in-degrees this small are
     * order-insensitive at round-6).
     */
-  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 3): DataFrame = {
+  def pageRank(
+      edges: DataFrame, nodes: DataFrame, iterations: Int = 3,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1 && iterations <= 10, s"iterations=$iterations out of 1..10")
     val ids = nodes.select(col("id")).persist()
     // degree-annotated edges computed ONCE and persisted — every iteration
@@ -189,13 +197,13 @@ object GraphAnalytics {
           .join(withDeg, col("id") === col("src"))
           .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("c"))
-        ranks = ids.join(contribs, Seq("id"), "left")
-          .select(col("id"),
-            (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
-          .localCheckpoint(eager = false)
+        ranks = checkpoint.truncateLazy(
+          ids.join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank")))
       }
-      ranks.select(col("id"), round(col("rank"), 6).as("rank"))
-        .localCheckpoint() // eager — safe to unpersist inputs after
+      checkpoint.truncate( // eager — safe to unpersist inputs after
+        ranks.select(col("id"), round(col("rank"), 6).as("rank")))
     } finally {
       ids.unpersist()
       withDeg.unpersist()

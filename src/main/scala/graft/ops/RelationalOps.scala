@@ -168,40 +168,64 @@ object RelationalOps {
 
   private val bucketedCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Handle to a table written ONCE bucketed (and sorted) on `key` — the
+    * write-once / join-many amortization unit at 100 TB. Every equi-join
+    * on `key` between two handles' [[read]] outputs is exchange-free
+    * (OpsSpec plan-guards TWO successive joins against one pair of
+    * handles). `read(session)` resolves through the shared catalog, so a
+    * caller may join inside a forked session (e.g. with broadcast
+    * disabled) without touching the owning session's conf. [[close]]
+    * drops the scratch table and its files.
+    */
+  final class BucketedTable private[RelationalOps] (
+      owner: org.apache.spark.sql.SparkSession, val table: String, dir: String)
+      extends AutoCloseable {
+    def read: DataFrame = read(owner)
+    def read(s: org.apache.spark.sql.SparkSession): DataFrame = s.table(table)
+    override def close(): Unit = {
+      owner.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  /** Write `df` once as a bucketed+sorted scratch table and return the
+    * reusable [[BucketedTable]] handle. Callers amortize the one write
+    * across arbitrarily many downstream joins/aggregations on `key`.
+    */
+  def bucketize(df: DataFrame, key: String, buckets: Int = 8): BucketedTable = {
+    require(buckets >= 1 && buckets <= 4096, s"buckets=$buckets out of range")
+    val id = bucketedCounter.incrementAndGet()
+    val tbl = s"graft_bkt_$id"
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    df.write.option("path", s"$dir/t")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(tbl)
+    new BucketedTable(df.sparkSession, tbl, dir)
+  }
+
   /** CO-LOCATED join via bucketing — the zero-exchange repeated-join story
     * at 100 TB: both sides are written once as tables bucketed (and
-    * sorted) on the join key, so every subsequent equi-join on that key
-    * reads matching buckets directly — NO shuffle on either side, ever
-    * again (the plan guard asserts the joined plan is Exchange-free).
-    * `body` receives the bucketed tables and must produce the result,
-    * which is materialized (localCheckpoint) before the scratch tables and
-    * files are dropped. Broadcast is disabled inside `body` so the guard
-    * proves the shuffle-free SMJ, not a small-table special case.
+    * sorted) on the join key ([[bucketize]]), so every subsequent
+    * equi-join on that key reads matching buckets directly — NO shuffle
+    * on either side, ever again (the plan guard asserts the joined plan
+    * is Exchange-free). `body` receives the bucketed tables and must
+    * produce the result, which is materialized (localCheckpoint) before
+    * the scratch tables and files are dropped. Broadcast is disabled in a
+    * FORKED session (`newSession` shares the SparkContext and catalog but
+    * isolates SQL conf), so the guard proves the shuffle-free SMJ without
+    * mutating the caller's session — queries running concurrently on the
+    * caller's session keep their own broadcast setting.
     */
   def withBucketed(left: DataFrame, right: DataFrame, key: String, buckets: Int = 8)
       (body: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    require(buckets >= 1 && buckets <= 4096, s"buckets=$buckets out of range")
-    val spark = left.sparkSession
-    val id = bucketedCounter.incrementAndGet()
-    val (tl, tr) = (s"graft_bkt_l_$id", s"graft_bkt_r_$id")
-    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
-    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
-    val oldBc = spark.conf.getOption(bcKey)
-    spark.conf.set(bcKey, "-1")
+    val l = bucketize(left, key, buckets)
+    val r = bucketize(right, key, buckets)
     try {
-      left.write.option("path", s"$dir/l")
-        .bucketBy(buckets, key).sortBy(key).saveAsTable(tl)
-      right.write.option("path", s"$dir/r")
-        .bucketBy(buckets, key).sortBy(key).saveAsTable(tr)
-      body(spark.table(tl), spark.table(tr)).localCheckpoint()
+      val fork = left.sparkSession.newSession()
+      fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body(l.read(fork), r.read(fork)).localCheckpoint()
     } finally {
-      oldBc match {
-        case Some(v) => spark.conf.set(bcKey, v)
-        case None => spark.conf.unset(bcKey)
-      }
-      spark.sql(s"DROP TABLE IF EXISTS $tl")
-      spark.sql(s"DROP TABLE IF EXISTS $tr")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      l.close()
+      r.close()
     }
   }
 }

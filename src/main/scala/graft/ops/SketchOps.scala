@@ -31,6 +31,16 @@ object SketchOps {
     */
   val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
 
+  /** Raw-estimate numerator α·m²·2⁵³ as ONE shared double literal. The
+    * 2⁵³ scale lets the harmonic sum Σ 2^−m accumulate as the EXACT
+    * integer Σ 2^(53−m) (ρ ≤ 53 ⇒ every term ≥ 1, total < 2⁶¹), so
+    * summation ORDER — which Spark and DuckDB pick differently — cannot
+    * perturb `raw` at the .005 rounding boundaries of n_est; and because
+    * the scale is a power of two, α·m²·2⁵³ and the integer denominator
+    * reproduce the unscaled quotient bit-identically.
+    */
+  val HllRawNum: Double = HllAlpha * HllM * HllM * (1L << 53).toDouble
+
   /** ρ (rank) of the 52 hash bits above the register index: number of
     * leading zeros + 1. Computed integrally — 53 − bit_length(w), with
     * bit_length via the length of `bin(w)` (identical in Spark and DuckDB;
@@ -66,14 +76,17 @@ object SketchOps {
     * small-range branch applied exactly as the oracle does.
     */
   def hllEstimate(registers: DataFrame, groupCol: String): DataFrame = {
+    // harmonic sum as exact integers (see [[HllRawNum]]): Σ 2^(53−m),
+    // order-independent on any engine
     val agg = registers.groupBy(col(groupCol))
       .agg(
-        sum(pow(lit(2.0), -col("m"))).as("s_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")).as("s_int"),
         count(lit(1)).as("present"))
     // absent registers contribute 2^0 = 1 each to the harmonic sum; zeros
     // (for linear counting) equal the absent registers because ρ ≥ 1
     val zeros = lit(HllM.toLong) - col("present")
-    val raw = lit(HllAlpha * HllM * HllM) / (col("s_present") + zeros.cast("double"))
+    val raw = lit(HllRawNum) /
+      (col("s_int") + zeros * lit(1L << 53)).cast("double")
     val est = when(raw <= lit(2.5 * HllM) && zeros > 0,
       lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
       .otherwise(raw)
@@ -109,12 +122,12 @@ object SketchOps {
        |  FROM h GROUP BY 1, 2
        |), a AS (
        |  SELECT $groupCol,
-       |    SUM(pow(2.0, -m)) AS s_present,
+       |    CAST(SUM(1::BIGINT << CAST(53 - m AS INTEGER)) AS BIGINT) AS s_int,
        |    COUNT(*) AS present
        |  FROM r GROUP BY 1
        |), e AS (
        |  SELECT $groupCol,
-       |    ${HllAlpha * HllM * HllM} / (s_present + (${HllM} - present)) AS raw,
+       |    ${HllRawNum} / CAST(s_int + (${HllM} - present) * ${1L << 53} AS DOUBLE) AS raw,
        |    ${HllM} - present AS zeros
        |  FROM a)
        |SELECT e.$groupCol,

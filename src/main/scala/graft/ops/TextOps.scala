@@ -618,7 +618,9 @@ object TextOps {
   def dedupClusters(
       documents: DataFrame,
       maxBucket: Int = DefaultMaxBucket,
-      minBands: Int = 1): DataFrame = {
+      minBands: Int = 1,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     require(minBands >= 1 && minBands <= Bands, s"minBands=$minBands out of 1..$Bands")
     val spark = documents.sparkSession
     import spark.implicits._
@@ -628,7 +630,7 @@ object TextOps {
         bucketPairs(it.map(_._1).toArray.sorted, maxBucket)
       }.toDF("src", "dst")
       .distinct()
-    val cc = graft.pipeline.Canonical.connectedComponents(pairs)
+    val cc = graft.pipeline.Canonical.connectedComponents(pairs, checkpoint = checkpoint)
       .withColumnRenamed("id", "doc_id")
     documents.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")

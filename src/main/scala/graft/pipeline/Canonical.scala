@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * self-join, checkpointed frontiers").
   *
   * Each iteration: every vertex adopts the minimum label among itself and
-  * its neighbours; converges in O(diameter) rounds. `localCheckpoint`
-  * truncates lineage each round so plans stay O(1) instead of O(rounds);
-  * at cluster scale swap for reliable `checkpoint` on DFS.
+  * its neighbours; converges in O(diameter) rounds. Lineage is truncated
+  * each round so plans stay O(1) instead of O(rounds); the
+  * [[CheckpointPolicy]] decides HOW — executor-local blocks (default,
+  * fastest) or a reliable DFS checkpoint that survives executor loss at
+  * cluster scale.
   */
 object Canonical {
 
@@ -31,7 +33,9 @@ object Canonical {
     * with component = min vertex id in the component (only vertices that
     * appear in an edge are returned).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame, maxIter: Int = 50,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -40,9 +44,9 @@ object Canonical {
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct().cache()
 
-    var labels = sym.select($"src".as("id")).distinct()
-      .withColumn("component", $"id")
-      .localCheckpoint()
+    var labels = checkpoint.truncate(
+      sym.select($"src".as("id")).distinct()
+        .withColumn("component", $"id"))
 
     var iter = 0
     var converged = false
@@ -72,10 +76,10 @@ object Canonical {
           $"changed")
 
       val obs = new org.apache.spark.sql.Observation(s"cc.changed.$iter")
-      val next = jumped
-        .observe(obs, sum(when($"changed", 1L).otherwise(0L)).as("n_changed"))
-        .drop("changed")
-        .localCheckpoint() // eager: materializes and completes the observation
+      val next = checkpoint.truncate( // eager: materializes, completes the observation
+        jumped
+          .observe(obs, sum(when($"changed", 1L).otherwise(0L)).as("n_changed"))
+          .drop("changed"))
       labels = next
       converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       iter += 1
@@ -87,8 +91,10 @@ object Canonical {
   /** entity_iri → canonical_iri mapping (identity for singleton entities is
     * implicit; join with a left outer + coalesce at the use site).
     */
-  def canonicalMapping(dict: DataFrame): DataFrame =
-    connectedComponents(aliasEdges(dict))
+  def canonicalMapping(
+      dict: DataFrame,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame =
+    connectedComponents(aliasEdges(dict), checkpoint = checkpoint)
       .withColumnRenamed("id", "entity_iri")
       .withColumnRenamed("component", "canonical_iri")
 }

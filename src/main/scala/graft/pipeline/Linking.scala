@@ -84,6 +84,25 @@ object Linking {
     */
   val MaxAliasBandBucket = 1024
 
+  /** AUDIT surface for the [[block]] quarantine (no silent caps — the
+    * td09/td12 `*HotBands` discipline): alias band-buckets larger than the
+    * cap, with sizes. [[block]] evaluates it on the (small, broadcastable)
+    * dictionary side and WARNS when any bucket is quarantined; callers
+    * inspecting a recall regression read this table offline.
+    */
+  def aliasHotBands(
+      dict: Dataset[EntityAlias],
+      maxAliasBandBucket: Int = MaxAliasBandBucket): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    dict.flatMap(ea => bandKeys(ea.alias).map { case (b, h) => (b, h) })
+      .toDF("band_id", "band_hash")
+      .groupBy($"band_id", $"band_hash").agg(count(lit(1)).as("n_aliases"))
+      .filter($"n_aliases" > maxAliasBandBucket)
+  }
+
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Linking")
+
   /** Stage 1: blocking. `mentions` needs (mention_id, surface) columns.
     * Output: (mention_id, entity_iri) candidate pairs. */
   def block(
@@ -92,6 +111,16 @@ object Linking {
       maxAliasBandBucket: Int = MaxAliasBandBucket): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
+
+    // quarantine audit BEFORE the capped join plans: one cheap aggregate
+    // over the dictionary side (it broadcasts — tiny next to the mention
+    // table). A flooded alias universe is a data-quality event the
+    // operator must surface, not silently absorb.
+    val nHotBuckets = aliasHotBands(dict, maxAliasBandBucket).count()
+    if (nHotBuckets > 0)
+      logger.warn(s"Linking.block: quarantined $nHotBuckets alias band-bucket(s) " +
+        s"larger than $maxAliasBandBucket from the LSH band join " +
+        "(exact-match recall unaffected; see Linking.aliasHotBands)")
 
     // distinct surfaces only — the band fan-out runs once per unique string,
     // not once per occurrence (mentions of hot entities are heavily skewed).

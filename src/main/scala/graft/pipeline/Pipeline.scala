@@ -55,7 +55,8 @@ object Pipeline {
       nEntities: Int,
       out: String,
       stopAfter: Option[String] = None,
-      inputPages: Option[DataFrame] = None): Summary = {
+      inputPages: Option[DataFrame] = None,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Summary = {
     import spark.implicits._
 
     // snapshots are valid only for the SAME job: a different page count /
@@ -112,7 +113,7 @@ object Pipeline {
     mentionsSlim.unpersist(blocking = false)
 
     val canonical = stage("canonical") {
-      Canonical.canonicalMapping(dictDf)
+      Canonical.canonicalMapping(dictDf, checkpoint = checkpoint)
     }
 
     val linked = stage("linked") {
@@ -162,19 +163,25 @@ object Main {
     var master = s"local[${Runtime.getRuntime.availableProcessors()}]"
     var shuffle = 32
     var stopAfter: Option[String] = None
+    var checkpoint: CheckpointPolicy = CheckpointPolicy.Local
     args.sliding(2, 2).foreach {
-      case Array("--pages", v)      => nPages = v.toLong
-      case Array("--entities", v)   => nEntities = v.toInt
-      case Array("--out", v)        => out = v
-      case Array("--master", v)     => master = v
-      case Array("--shuffle", v)    => shuffle = v.toInt
-      case Array("--stop-after", v) => stopAfter = Some(v)
-      case other                    => sys.error(s"unknown args: ${other.mkString(" ")}")
+      case Array("--pages", v)          => nPages = v.toLong
+      case Array("--entities", v)       => nEntities = v.toInt
+      case Array("--out", v)            => out = v
+      case Array("--master", v)         => master = v
+      case Array("--shuffle", v)        => shuffle = v.toInt
+      case Array("--stop-after", v)     => stopAfter = Some(v)
+      // reliable DFS checkpointing for the iterative stages: at cluster
+      // scale point this at HDFS/S3 so connected-components rounds survive
+      // executor loss (default keeps executor-local blocks)
+      case Array("--checkpoint-dir", v) => checkpoint = CheckpointPolicy.Reliable(v)
+      case other                        => sys.error(s"unknown args: ${other.mkString(" ")}")
     }
     val spark = Pipeline.sparkSession(master, shuffle)
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val summary = Pipeline.run(spark, nPages, nEntities, out, stopAfter)
+      val summary = Pipeline.run(spark, nPages, nEntities, out, stopAfter,
+        checkpoint = checkpoint)
       println(s"[graft] stages: ${summary.stageRows.toSeq.sortBy(_._1).mkString(", ")}")
       println(s"[graft] graph rows: ${summary.graphRows}")
     } catch {

@@ -21,6 +21,13 @@ final class SnapshotStore(root: String, spark: SparkSession, config: String = ""
   require(!config.contains('"') && !config.contains('\\'),
     s"snapshot config must not need JSON escaping: $config")
 
+  /** Caller config plus the snapshot FORMAT version: a resume must not
+    * silently serve stage outputs committed by an older build whose ids
+    * or schemas differ (e.g. a mentionId hash change) — bumping
+    * [[SnapshotStore.FormatVersion]] invalidates every prior snapshot.
+    */
+  private val fullConfig = s"fmt=${SnapshotStore.FormatVersion};$config"
+
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def dir(stage: String) = new Path(root, stage)
@@ -33,7 +40,7 @@ final class SnapshotStore(root: String, spark: SparkSession, config: String = ""
     */
   def committed(stage: String): Boolean =
     fs.exists(new Path(dir(stage), "_SUCCESS")) && fs.exists(manifest(stage)) &&
-      manifestConfig(stage) == config
+      manifestConfig(stage) == fullConfig
 
   private def manifestConfig(stage: String): String = {
     val in = fs.open(manifest(stage))
@@ -48,7 +55,7 @@ final class SnapshotStore(root: String, spark: SparkSession, config: String = ""
 
   private def writeManifest(stage: String, rows: Long, wallMs: Long): Unit = {
     val json =
-      s"""{"stage":"$stage","rows":$rows,"wall_ms":$wallMs,"config":"$config",""" +
+      s"""{"stage":"$stage","rows":$rows,"wall_ms":$wallMs,"config":"$fullConfig",""" +
         s""""committed_at_ms":${System.currentTimeMillis()}}"""
     val out = fs.create(manifest(stage), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -83,4 +90,14 @@ final class SnapshotStore(root: String, spark: SparkSession, config: String = ""
   def stages(): Seq[String] =
     if (!fs.exists(new Path(root))) Seq.empty
     else fs.listStatus(new Path(root)).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+}
+
+object SnapshotStore {
+  /** Snapshot FORMAT version, folded into every manifest's config gate.
+    * Bump on any change that alters committed stage bytes for identical
+    * job config — id/hash functions (e.g. `Mentions.mentionId`), stage
+    * schemas, emission rules — so stale-format snapshots recompute
+    * instead of silently serving.
+    */
+  val FormatVersion = 2
 }

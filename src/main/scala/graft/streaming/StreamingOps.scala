@@ -254,7 +254,9 @@ object StreamingOps {
     * running totals with TYPED state primitives — a ValueState event
     * counter plus a MapState of distinct event types — instead of one
     * opaque case-class blob (the [[sessionize]]-era API). Requires the
-    * RocksDB state store provider, set per-query and restored after; at
+    * RocksDB state store provider — set on a FORKED session (`newSession`
+    * shares the SparkContext but isolates SQL conf), so queries running
+    * concurrently on the caller's session never inherit the override; at
     * 100 TB/day that provider is also what keeps per-executor state on
     * disk with changelog checkpointing instead of on-heap. Update mode
     * emits one row per touched key per batch; the bounded single-batch
@@ -262,40 +264,34 @@ object StreamingOps {
     * oracle computes.
     */
   def userStatsTws(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"graft_tws_${counter.incrementAndGet()}"
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val oldProvider = spark.conf.getOption(providerKey)
-
-    spark.conf.set(providerKey,
+    val fork = spark.newSession()
+    import fork.implicits._
+    fork.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val events = boundedStream(spark, sfDir, "events.parquet")
-        .select(col("user_id"), col("event_type"))
-        .as[(Long, String)]
 
-      val stats = events.groupByKey(_._1)
-        .transformWithState(new UserStatsProcessor(),
-          TimeMode.None(), OutputMode.Update())
+    val events = boundedStream(fork, sfDir, "events.parquet")
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
 
-      val q = stats.toDF("user_id", "n_events", "n_types")
-        .writeStream.outputMode("update").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
+    val stats = events.groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor(),
+        TimeMode.None(), OutputMode.Update())
 
-      spark.table(name)
-        // update-mode memory sink appends per-batch rows; counters only
-        // grow, so max-per-key == latest (same repair as eventsWatermarked)
-        .groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n_events"), max(col("n_types")).as("n_types"))
-        .localCheckpoint()
-    } finally oldProvider match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
-    }
+    val q = stats.toDF("user_id", "n_events", "n_types")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // the memory-sink temp view is registered in the forked session
+    fork.table(name)
+      // update-mode memory sink appends per-batch rows; counters only
+      // grow, so max-per-key == latest (same repair as eventsWatermarked)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("n_types")).as("n_types"))
+      .localCheckpoint()
   }
 
   /** INCREMENTAL KG construction: the conformance-tested Turtle parser

@@ -602,6 +602,60 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.catalog.listTables().collect().forall(!_.name.startsWith("graft_bkt_")))
   }
 
+  test("bucketize handle: ONE write serves TWO joins, both exchange-free; caller conf untouched") {
+    val s = spark
+    import s.implicits._
+    val l = (1L to 100L).map(i => (i, s"s${i % 4}")).toDF("k", "seg")
+    val r = (1L to 300L).map(i => (i % 100 + 1, i.toDouble)).toDF("k", "v")
+    val hl = RelationalOps.bucketize(l, "k", buckets = 4)
+    val hr = RelationalOps.bucketize(r, "k", buckets = 4)
+    try {
+      val fork = spark.newSession()
+      fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j1 = hl.read(fork).join(hr.read(fork), Seq("k"))
+      val j2 = hr.read(fork).join(hl.read(fork), Seq("k")).filter(col("v") > 100.0)
+      Seq(j1, j2).foreach { j =>
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"), p.take(600))
+        assert(!p.contains("Exchange"), "bucketed join shuffled:\n" + p.take(800))
+      }
+      assert(j1.count() == 300L && j2.count() == 200L)
+      // the forked broadcast override must not leak into the caller session
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+    } finally {
+      hl.close()
+      hr.close()
+    }
+    assert(spark.catalog.listTables().collect().forall(!_.name.startsWith("graft_bkt_")))
+  }
+
+  test("iterative ops under Reliable checkpointing equal the Local default") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_ops_").toString
+    val rel = graft.pipeline.CheckpointPolicy.Reliable(dir)
+    try {
+      val d = docs((0 to 40).map(i => (i.toLong, s"text $i " * 3, "en", "s", 0L)): _*)
+      val edges = GraphAnalytics.syntheticEdges(d)
+      val nodes = d.select(col("doc_id").as("id"))
+      val src = d.agg(org.apache.spark.sql.functions.min(col("doc_id")).as("id"))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.toString).toSet
+      assert(rows(GraphAnalytics.bfsHops(edges, src, checkpoint = rel)) ==
+        rows(GraphAnalytics.bfsHops(edges, src)))
+      assert(rows(GraphAnalytics.pageRank(edges, nodes, 3, checkpoint = rel)) ==
+        rows(GraphAnalytics.pageRank(edges, nodes, 3)))
+      assert(rows(TextOps.dedupClusters(d, checkpoint = rel)) ==
+        rows(TextOps.dedupClusters(d)))
+      val vecs = (0 until 40).map { i =>
+        (i.toLong, Array.tabulate(8)(dd => (((i * 13 + dd * 29) % 17) - 8) / 10.0f))
+      }.toDF("vec_id", "embedding")
+      assert(rows(EmbeddingOps.kmeansRefine(vecs, cells = 4, dims = 8, checkpoint = rel)) ==
+        rows(EmbeddingOps.kmeansRefine(vecs, cells = 4, dims = 8)))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("sessionWindows: an event at exactly start+gap MERGES; gap+1 splits") {
     val s = spark
     import s.implicits._

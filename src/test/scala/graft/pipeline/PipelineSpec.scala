@@ -72,6 +72,38 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("CheckpointPolicy.Reliable: CC equals Local, files on disk, survives total block loss") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ckpt_").toString
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 1L))
+        .toDF("src", "dst")
+      val local = Canonical.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      val reliable = Canonical
+        .connectedComponents(edges, checkpoint = CheckpointPolicy.Reliable(dir))
+      val reliableRows = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(reliableRows == local, s"reliable $reliableRows != local $local")
+      // every round's state really is files under the checkpoint dir
+      val files = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(dir), null, true)
+      assert(!files.isEmpty, s"no checkpoint files written under $dir")
+
+      // durability: wipe EVERY cached block (the local-mode stand-in for
+      // losing all executors mid-job). The reliable result recomputes from
+      // the DFS files; the locally-checkpointed twin has truncated lineage
+      // AND lost blocks, so it can only fail — the exact 100-TB failure
+      // mode Reliable exists to close.
+      val localDf = CheckpointPolicy.Local.truncate(Seq(1L, 2L, 3L).toDF("x"))
+      val reliableDf = CheckpointPolicy.Reliable(dir).truncate(Seq(4L, 5L, 6L, 7L).toDF("x"))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      assert(reliableDf.count() == 4L)
+      assert(reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet == local)
+      intercept[Exception] { localDf.count() }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("mention detection matches the single-threaded oracle exactly (P/R = 1.0)") {
     import spark.implicits._
     val pages = PageGen.pages(spark, NPages, NEntities)
@@ -108,6 +140,28 @@ class PipelineSpec extends AnyFunSuite {
           s"missing candidate ($m, $e)"))
       }
     }
+  }
+
+  test("flooded alias universe: quarantine is AUDITED and exact recall stays 1.0") {
+    import spark.implicits._
+    // 1500 entities share ONE alias string → each band's bucket holds 1500
+    // aliases > MaxAliasBandBucket → quarantined from the band join
+    val flood = (0 until 1500).map(k =>
+      EntityAlias(s"http://kg.example/flood/$k", "Flood Corp", 0.5))
+    val normal = Seq(EntityAlias("http://kg.example/ok/1", "Acme Widgets", 1.0))
+    val dict = (flood ++ normal).toDS()
+
+    val audit = Linking.aliasHotBands(dict).collect()
+    assert(audit.nonEmpty, "no audit rows for a flooded alias universe")
+    assert(audit.forall(_.getLong(2) > Linking.MaxAliasBandBucket))
+
+    // exact-match union: a mention with the flooded surface still gets
+    // EVERY candidate; the unflooded alias is untouched
+    val mentions = Seq((1L, "Flood Corp"), (2L, "Acme Widgets")).toDF("mention_id", "surface")
+    val cands = Linking.block(mentions, dict).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(cands.filter(_._1 == 1L).map(_._2).toSet == flood.map(_.entity_iri).toSet)
+    assert(cands.filter(_._1 == 2L).map(_._2).toSet == Set("http://kg.example/ok/1"))
   }
 
   test("linking resolves shared-alias mentions to the context-matching entity") {
