@@ -196,6 +196,12 @@ object SparkEntry {
     // ValueState/MapState primitives on the RocksDB state store
     "q33_transform_with_state" -> ((s, d) => StreamingOps.userStatsTws(s, d)),
 
+    // streaming RESTART-RESUME: a checkpointed file-sink query stopped
+    // after delivery 1 restarts against re-delivered rows — offset log +
+    // recovered dedup state + sink commit log give exactly-once output
+    // equal to the batch answer
+    "q37_stream_restart" -> ((s, d) => StreamingOps.restartResume(s, d)),
+
     // semi-structured schema-on-read: typed from_json over the props JSON
     // column, integer aggregation per type (sums stay exact longs)
     "q36_json_extract" -> ((s, d) =>
@@ -212,6 +218,15 @@ object SparkEntry {
     // reproduces (value-checked sketch, not shape-checked)
     "q35_hll_distinct" -> ((s, d) =>
       graft.ops.SketchOps.hllDistinct(t(s, d, "events"), "event_type", "user_id")),
+
+    // DDSketch-style integer log-bucket quantile sketch next to q20's
+    // exact percentiles: bounded mergeable state per group, the ESTIMATE
+    // itself cross-engine value-checked (quantities scaled to exact cents)
+    "q38_quantile_sketch" -> ((s, d) => {
+      val sk = graft.ops.SketchOps.quantileSketch(t(s, d, "lineitem"),
+        "l_returnflag", expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      graft.ops.SketchOps.qsEstimate(sk, "l_returnflag", Seq(50, 95))
+    }),
 
     // AS-OF join (composed, single-shuffle): each click joined to the
     // user's most recent prior-or-equal purchase; DuckDB's native ASOF
@@ -522,6 +537,37 @@ object SparkEntry {
     // SPARQL-style BGP over the constructed graph: two triple patterns
     // sharing ?s, numeric FILTER on a typed literal
     "kg18_bgp_star" -> ((s, d) => GraphOps.bgpStar(t(s, d, "documents"))),
+
+    // vocabulary-interned triples (reference build_triples_with,
+    // src/build.rs:75-91): degrees over the 8-byte-keyed edge table —
+    // every join/shuffle carries longs — with the dict joined back
+    "kg20_interned_degree" -> ((s, d) => {
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      val (interned, dict) = GraphOps.internTriples(tri)
+      val edges = interned.select(col("sid").as("src"), col("oid").as("dst"))
+      GraphAnalytics.degrees(edges)
+        .join(dict, col("id") === col("tid"))
+        .select(col("tid"), col("term"), col("degree"))
+    }),
+
+    // n-pattern star BGP with SKETCH-DRIVEN join order: the predicate
+    // frequency sketch ranks the two object-bound patterns first (their
+    // estimated cardinality is decimated), then the binding patterns join
+    // into the shrunken subject set
+    "kg21_bgp_n" -> ((s, d) => {
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(tri)
+      GraphOps.bgp(tri, Seq(
+        GraphOps.TriplePattern(s"${GraphOps.PropPrefix}lang", obj = Some("\"en\"")),
+        GraphOps.TriplePattern(s"${GraphOps.PropPrefix}source", obj = Some("\"src1\"")),
+        GraphOps.TriplePattern(s"${GraphOps.PropPrefix}nchars", bind = Some("nchars_lex")),
+        GraphOps.TriplePattern(s"${GraphOps.PropPrefix}label", bind = Some("label"))),
+        counts)
+        .select(col("subj"),
+          regexp_extract(col("nchars_lex"), "^\"(\\d+)\"", 1).cast("long").as("n_chars"),
+          col("label"))
+        .filter(col("n_chars") >= 200)
+    }),
 
     // graph → table round-trip: one wide row per entity via explicit-values
     // pivot over its triples
@@ -1077,7 +1123,40 @@ object SparkEntry {
        |SELECT doc_id, subj, '${GraphOps.PropPrefix}nchars' AS pred,
        |  '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj FROM d""".stripMargin
 
+  /** DuckDB twin of kg20: undirected distinct (subj, obj) degree per term
+    * over the kg01-derived triples, term ids re-derived with the same
+    * md5-prefix interning. Canonicalizing pairs by STRING order instead of
+    * tid order yields the same unordered-pair set, so degrees agree.
+    */
+  private val kg20Oracle: String =
+    s"""WITH tr AS (
+       |  SELECT subj, obj FROM (
+       |$kg01Oracle
+       |  )
+       |), e AS (
+       |  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+       |  FROM tr WHERE subj <> obj
+       |), ends AS (
+       |  SELECT u AS term FROM e UNION ALL SELECT v AS term FROM e
+       |), deg AS (
+       |  SELECT term, COUNT(*) AS degree FROM ends GROUP BY 1
+       |)
+       |SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS tid, term,
+       |  CAST(degree AS BIGINT) AS degree
+       |FROM deg""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "kg20_interned_degree" -> kg20Oracle,
+
+    // the BGP is semantically a conjunctive filter on the doc table — the
+    // oracle derives it from documents directly (independent path)
+    "kg21_bgp_n" ->
+      s"""SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  '"doc ' || doc_id || '"@' || lang AS label
+         |FROM documents
+         |WHERE lang = 'en' AND source = 'src1' AND n_chars >= 200""".stripMargin,
+
     "kg10_parse_spans" -> spanOracle,
     "q01_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1580,6 +1659,14 @@ object SparkEntry {
 
     "q35_hll_distinct" ->
       graft.ops.SketchOps.hllDistinctSql("events", "event_type", "user_id"),
+
+    "q38_quantile_sketch" ->
+      graft.ops.SketchOps.quantileSketchSql("lineitem", "l_returnflag",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)", Seq(50, 95)),
+
+    // exactly-once across the restart ⇒ the stream equals the batch table
+    "q37_stream_restart" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
 
     "q36_json_extract" ->
       """SELECT event_type,

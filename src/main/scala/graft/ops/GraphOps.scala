@@ -291,6 +291,91 @@ object GraphOps {
       .select(col("subj"), col("n_chars"))
   }
 
+  /** Vocabulary INTERNING (the reference's `build_triples_with(vocabulary)`
+    * surface, `src/build.rs:75-91`, distributed): dictionary-encode every
+    * term of a (doc_id, subj, pred, obj) triple table to a 60-bit md5 id,
+    * returning (interned(doc_id, sid, pid, oid), dict(tid, term)). Every
+    * downstream join/shuffle/aggregation then carries 8-byte keys instead
+    * of full IRI/literal strings — the shuffle-width win that matters for
+    * graph analytics at 100 TB (kg12–kg15 join on whole IRIs otherwise).
+    * The md5-prefix id is cross-engine (the DuckDB oracle re-derives it),
+    * deterministic, and auditable: a collision is visible as two dict rows
+    * sharing a tid (≈0 expected at 2^60 over a web vocabulary). The caller
+    * owns materialization of `triples` (persist/snapshot) — both outputs
+    * plan over it, and the dict derivation is the one unavoidable distinct
+    * over the term vocabulary.
+    */
+  def internTriples(triples: DataFrame): (DataFrame, DataFrame) = {
+    import graft.ops.TextOps.md5Hash60Col
+    val interned = triples.select(
+      col("doc_id"),
+      md5Hash60Col(col("subj")).as("sid"),
+      md5Hash60Col(col("pred")).as("pid"),
+      md5Hash60Col(col("obj")).as("oid"))
+    val dict = triples
+      .select(explode(array(col("subj"), col("pred"), col("obj"))).as("term"))
+      .distinct()
+      .select(md5Hash60Col(col("term")).as("tid"), col("term"))
+    (interned, dict)
+  }
+
+  /** One triple pattern of a star BGP (all patterns share the subject
+    * variable ?s): `pred` is always bound; `obj` is either a constant
+    * (selective — N-Triples term syntax) or a variable projected under
+    * `bind`.
+    */
+  final case class TriplePattern(
+      pred: String, obj: Option[String] = None, bind: Option[String] = None)
+
+  /** Sketch-driven join order for [[bgp]]: ascending estimated pattern
+    * cardinality, so the left-deep join starts from the most selective
+    * pattern and intermediate results stay minimal. The estimate is the
+    * predicate count from [[graft.pipeline.Materialize.sketchPredCounts]]
+    * (unknown predicates rank last), decimated ×10 for object-bound
+    * patterns (an equality on obj selects a fraction of the predicate's
+    * rows); ties break on pred for determinism.
+    */
+  def patternOrder(
+      patterns: Seq[TriplePattern], predCounts: Map[String, Long]): Seq[TriplePattern] =
+    patterns.sortBy { p =>
+      val n = predCounts.getOrElse(p.pred, Long.MaxValue / 16)
+      (if (p.obj.isDefined) n / 10 else n, p.pred)
+    }
+
+  /** Generalized n-pattern star BGP — [[bgpStar]] beyond two patterns,
+    * with the join order picked from the predicate-count sketch
+    * ([[patternOrder]]). `patternSource(pred)` supplies each pattern's
+    * triple rows: on a raw triple DataFrame that is a pushed-down pred
+    * filter; on a [[graft.pipeline.Materialize]] graph table pass
+    * `Materialize.readPred(...)` so each pattern reads ONLY its
+    * predicate's pred_hash partitions (PartitionFilters — the property
+    * that makes n-pattern BGPs cheap at 100 TB).
+    */
+  def bgp(
+      patternSource: String => DataFrame,
+      patterns: Seq[TriplePattern],
+      predCounts: Map[String, Long]): DataFrame = {
+    require(patterns.nonEmpty, "bgp needs at least one pattern")
+    val binds = patterns.flatMap(_.bind)
+    require(binds.distinct.size == binds.size, s"duplicate binds: $binds")
+    val parts = patternOrder(patterns, predCounts).map { p =>
+      val base = patternSource(p.pred).filter(col("pred") === p.pred)
+      val filtered = p.obj.map(o => base.filter(col("obj") === o)).getOrElse(base)
+      p.bind match {
+        case Some(v) => filtered.select(col("subj"), col("obj").as(v))
+        case None    => filtered.select(col("subj"))
+      }
+    }
+    parts.reduce((acc, next) => acc.join(next, Seq("subj")))
+  }
+
+  /** [[bgp]] over an in-plan triple DataFrame. */
+  def bgp(
+      triples: DataFrame,
+      patterns: Seq[TriplePattern],
+      predCounts: Map[String, Long]): DataFrame =
+    bgp((_: String) => triples, patterns, predCounts)
+
   /** Inverse of triple emission: re-assemble one wide row per entity from
     * its triples (graph → table round-trip) with an explicit-values pivot
     * — one shuffle on subj, no extra distinct-values pass, deterministic

@@ -105,6 +105,96 @@ object SketchOps {
       .join(exact, Seq(groupCol))
   }
 
+  // ---------------------------------------------- quantile sketch (q38)
+
+  /** DDSketch-style log-bucket QUANTILE sketch (the bucket-indexed family
+    * of Masson, Lee & Khanna, "DDSketch", VLDB 2019) with the float
+    * `log_γ(x)` index replaced by PURE INTEGER arithmetic so both engines
+    * bucket identically: for a positive integer v, the bucket is v itself
+    * below 32 (exact), else `bitlen(v)·16 + (the 4 bits after the leading
+    * bit)` — a base-2^(1/16) geometric grid (γ ≈ 1.044, ≲ 4.4% relative
+    * bucket width). Why it matters at 100 TB: exact percentiles
+    * (`percentile`, q20) buffer every value per group; this state is
+    * ≤ 16·63 + 32 tiny rows per group at ANY cardinality, fully
+    * partial-aggregable map-side, and MERGEABLE (sum cnt, min rep) so
+    * per-partition/per-day sketches roll up without re-reading data.
+    */
+  private def qsBucketSqlExpr(v: String): String =
+    s"CASE WHEN $v <= 31 THEN $v ELSE CAST(length(bin($v)) AS BIGINT) * 16 " +
+      s"+ (shiftright($v, length(bin($v)) - 5) & 15) END"
+
+  /** Sketch state (group, bucket, cnt, rep = min v): `valueCol` must
+    * evaluate to a positive BIGINT (scale decimals to integer units
+    * first); non-positive values are excluded (log-bucket domain), a rule
+    * the generated oracle mirrors.
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: Column): DataFrame =
+    df.select(col(groupCol), valueCol.as("v"))
+      .filter(col("v") >= 1L)
+      .select(col(groupCol), expr(qsBucketSqlExpr("v")).as("bucket"), col("v"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("rep"))
+
+  /** Merge sketch tables (per-day roll-up): sum cnt, min rep per bucket. */
+  def qsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(sketches.head.columns.take(2).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), min(col("rep")).as("rep"))
+
+  /** Percent-rank estimates per group from a sketch: rank = ⌈q%·n/100⌉ in
+    * exact integer arithmetic, estimate = rep of the FIRST bucket whose
+    * cumulative count reaches the rank. Buckets are monotone in v (all
+    * values of a lower bucket are smaller than all of a higher one), so
+    * `min(rep | cum ≥ rank)` IS that first bucket's rep — an actual data
+    * value, deterministic cross-engine.
+    */
+  def qsEstimate(sketch: DataFrame, groupCol: String, qPcts: Seq[Int]): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 100), s"bad qPcts: $qPcts")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+    val ests = qPcts.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("rep"))).as(s"p${p}_est")
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_vals"), ests: _*)
+  }
+
+  /** DuckDB twin of sketch + estimate over `rel` — bucket rule, rank
+    * arithmetic and first-bucket selection mirrored step for step (window
+    * cumsum ordered by bucket, integer ceil via `// 100`).
+    */
+  def quantileSketchSql(
+      rel: String, groupCol: String, valueSql: String, qPcts: Seq[Int]): String = {
+    val ests = qPcts.map(p =>
+      s"CAST(MIN(CASE WHEN cum >= (n * $p + 99) // 100 THEN rep END) AS BIGINT) AS p${p}_est")
+      .mkString(",\n  ")
+    s"""WITH v AS (
+       |  SELECT $groupCol, $valueSql AS v FROM $rel
+       |), b AS (
+       |  SELECT $groupCol,
+       |    CASE WHEN v <= 31 THEN v
+       |         ELSE CAST(len(bin(v)) AS BIGINT) * 16 + ((v >> (len(bin(v)) - 5)) & 15) END AS bucket,
+       |    v
+       |  FROM v WHERE v >= 1
+       |), sk AS (
+       |  SELECT $groupCol, bucket, COUNT(*) AS cnt, MIN(v) AS rep
+       |  FROM b GROUP BY 1, 2
+       |), c AS (
+       |  SELECT $groupCol, bucket, cnt, rep,
+       |    SUM(cnt) OVER (PARTITION BY $groupCol ORDER BY bucket ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY $groupCol) AS n
+       |  FROM sk
+       |)
+       |SELECT $groupCol, CAST(MAX(n) AS BIGINT) AS n_vals,
+       |  $ests
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[hllDistinct]] over a table/CTE named `rel` — every
     * constant and step mirrored (same salted md5 hash, bucket %, ρ via
     * `bin` length, inlined α·m², linear-counting branch), so the two

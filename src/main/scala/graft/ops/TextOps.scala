@@ -265,14 +265,22 @@ object TextOps {
   /** (doc_id, lang_pred, top_score): argmax over profile hit counts,
     * lexicographic tiebreak.
     */
-  def langId(documents: DataFrame): DataFrame = {
-    val toks = langTokens(col("text"))
-    // argmax with lexicographic tiebreak: ascending sort on (-score, lang)
+  /** argmax struct (neg_score, lang) over the profile hit counts, with
+    * lexicographic tiebreak (ascending sort on (-score, lang)) — the ONE
+    * definition shared by [[langId]] and the fused single-scan projection
+    * in [[curate]].
+    */
+  private def langBest(text: Column): Column = {
+    val toks = langTokens(text)
     val scores = LangProfiles.map { case (l, markers) =>
       val score = size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
       struct((score * -1).as("neg_score"), lit(l).as("lang"))
     }
-    val best = sort_array(array(scores: _*), asc = true).getItem(0)
+    sort_array(array(scores: _*), asc = true).getItem(0)
+  }
+
+  def langId(documents: DataFrame): DataFrame = {
+    val best = langBest(col("text"))
     documents.select(
       col("doc_id"),
       best.getField("lang").as("lang_pred"),
@@ -646,20 +654,33 @@ object TextOps {
     * own oracle re-composes the same three CTEs.
     */
   def curate(documents: DataFrame, minTokens: Long = 40L): DataFrame = {
-    val quality = qualityScores(documents).select(col("doc_id"), col("n_tokens"))
-    val lang = langId(documents).select(col("doc_id"), col("lang_pred"))
-    // templated web corpora chain transitively on single-band agreement —
-    // curation dedups on >= 2 of 4 bands (effective Jaccard much higher)
-    val reps = dedupClusters(documents, minBands = 2)
-    documents.select(col("doc_id"))
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
-      .join(reps, "doc_id")
-      .filter(col("doc_id") === col("cluster_rep") && col("n_tokens") >= minTokens)
-      .groupBy(col("lang_pred"),
-        when(col("n_tokens") >= 70, lit("long")).otherwise(lit("std")).as("tier"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens").cast("long")).as("sum_tokens"))
+    // ONE scan of the corpus. Round 3 planned FOUR (quality, lang-id, the
+    // dedup signature pass, and the join spine each re-read the input —
+    // three extra full passes at 100 TB): project (doc_id, text) once,
+    // persist it, fuse quality + lang-id into a single projection over the
+    // cached blocks, and let dedupClusters' signature pass and the final
+    // spine read the same cache.
+    val proj = documents.select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perDoc = proj.select(
+        col("doc_id"),
+        size(tokensCol(col("text"))).as("n_tokens"),
+        langBest(col("text")).getField("lang").as("lang_pred"))
+      // templated web corpora chain transitively on single-band agreement —
+      // curation dedups on >= 2 of 4 bands (effective Jaccard much higher)
+      val reps = dedupClusters(proj, minBands = 2)
+      perDoc
+        .join(reps, "doc_id")
+        .filter(col("doc_id") === col("cluster_rep") && col("n_tokens") >= minTokens)
+        .groupBy(col("lang_pred"),
+          when(col("n_tokens") >= 70, lit("long")).otherwise(lit("std")).as("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"))
+        // a handful of (lang, tier) rows — materialize before the cache the
+        // lazy plan still references is released
+        .localCheckpoint()
+    } finally proj.unpersist()
   }
 
   /** Deterministic train/val/test split by salted content-free hash of the

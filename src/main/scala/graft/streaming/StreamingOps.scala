@@ -294,6 +294,68 @@ object StreamingOps {
       .localCheckpoint()
   }
 
+  /** STREAMING RESTART-RESUME (q37) — the kill-and-restart contract every
+    * other streaming op here (bounded source, memory sink, synchronous
+    * drain) deliberately leaves untested. A CHECKPOINTED query with a
+    * parquet FILE sink drains delivery 1 (the whole events table) and
+    * stops; delivery 2 — re-deliveries of the newest rows, inside the
+    * watermark — lands in the source directory; the query RESTARTS with
+    * the same checkpointLocation. Resume is then three recoveries at once:
+    * the offset log skips delivery 1's files, the recovered
+    * `dropDuplicatesWithinWatermark` state absorbs the re-delivered ids
+    * (nothing else can — they are not late, and run 2 never saw run 1's
+    * rows), and the sink's commit log keeps the output exactly-once. The
+    * final per-type counts therefore equal the plain batch answer over
+    * the original table; OpsSpec additionally pins `numInputRows` of run 2
+    * to the re-delivery count alone (offset-resume, not reprocessing).
+    */
+  def restartResume(spark: SparkSession, sfDir: String): DataFrame =
+    restartResumeWithStats(spark, sfDir)._1
+
+  private[graft] def restartResumeWithStats(
+      spark: SparkSession, sfDir: String): (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q37_").toString
+    try {
+      val (in, out, chk) = (s"$dir/in", s"$dir/out", s"$dir/chk")
+      ev.write.mode("append").parquet(in) // delivery 1: the full table
+
+      def runOnce(): Long = {
+        val stream = spark.readStream.schema(ev.schema).parquet(in)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "30 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+        val q = stream.writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.map(_.numInputRows).sum
+      }
+
+      val run1Rows = runOnce() // "crash" = clean stop after delivery 1
+
+      // delivery 2: re-deliver every row of the trailing 20 minutes —
+      // within the recovered 30-minute watermark, so ONLY recovered dedup
+      // state can drop them (at least the max-ts row always qualifies)
+      val maxTs = ev.agg(max(col("ts").cast("timestamp"))).collect()(0).getTimestamp(0)
+      ev.filter(col("ts").cast("timestamp") >= lit(maxTs) - expr("INTERVAL 20 MINUTES"))
+        .write.mode("append").parquet(in)
+
+      val run2Rows = runOnce() // restart from the same checkpoint
+
+      // the parquet read honors the sink's _spark_metadata commit log:
+      // only committed files count (exactly-once end to end)
+      val result = spark.read.parquet(out)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // eager — the scratch dir can be deleted after
+      (result, run1Rows, run2Rows)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   /** INCREMENTAL KG construction: the conformance-tested Turtle parser
     * running under Structured Streaming. Documents arrive as a stream,
     * [[graft.ops.GraphOps.parseTurtle]]'s stateless typed mapPartitions

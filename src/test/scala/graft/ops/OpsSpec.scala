@@ -656,6 +656,98 @@ class OpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("bgp: sketch order ranks selective patterns first; materialized patterns prune pred_hash") {
+    val s = spark
+    import s.implicits._
+    import GraphOps.TriplePattern
+    val counts = Map("<p:rare>" -> 10L, "<p:hot>" -> 1000000L, "<p:mid>" -> 500L)
+    val ordered = GraphOps.patternOrder(Seq(
+      TriplePattern("<p:hot>"), TriplePattern("<p:mid>"),
+      TriplePattern("<p:rare>"), TriplePattern("<p:hot>", obj = Some("\"x\""))), counts)
+    assert(ordered.map(p => (p.pred, p.obj.isDefined)) ==
+      Seq(("<p:rare>", false), ("<p:mid>", false), ("<p:hot>", true), ("<p:hot>", false)),
+      ordered.toString)
+
+    val ts = new java.sql.Timestamp(0L)
+    val triples = Seq(
+      graft.pipeline.TripleRow("<s1>", "<p:a>", "\"x\"", "u", ts),
+      graft.pipeline.TripleRow("<s2>", "<p:a>", "\"y\"", "u", ts),
+      graft.pipeline.TripleRow("<s1>", "<p:b>", "\"v1\"", "u", ts),
+      graft.pipeline.TripleRow("<s2>", "<p:b>", "\"v2\"", "u", ts),
+      graft.pipeline.TripleRow("<s3>", "<p:b>", "\"v3\"", "u", ts)).toDS()
+    val out = java.nio.file.Files.createTempDirectory("graft_bgp_").toString
+    try {
+      graft.pipeline.Materialize.write(triples, out)
+      val res = GraphOps.bgp(
+        (pred: String) => graft.pipeline.Materialize.readPred(spark, out, pred),
+        Seq(TriplePattern("<p:a>", obj = Some("\"x\"")),
+          TriplePattern("<p:b>", bind = Some("v"))),
+        Map("<p:a>" -> 2L, "<p:b>" -> 3L))
+      val plan = res.queryExecution.executedPlan.toString
+      val pruned = "PartitionFilters: \\[[^\\]]*pred_hash".r.findAllIn(plan).size
+      assert(pruned == 2, s"expected both pattern scans partition-pruned:\n${plan.take(1500)}")
+      assert(res.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+        Set(("<s1>", "\"v1\"")))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("internTriples: 8-byte keys match the md5-prefix spec; dict round-trips terms") {
+    val s = spark
+    import s.implicits._
+    val tri = Seq((1L, "<s>", "<p>", "\"o\"")).toDF("doc_id", "subj", "pred", "obj")
+    val (interned, dict) = GraphOps.internTriples(tri)
+    assert(interned.schema.fields.drop(1)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType))
+    val d = dict.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(d == Map(
+      "<s>" -> TextOps.md5Hash60("<s>"),
+      "<p>" -> TextOps.md5Hash60("<p>"),
+      "\"o\"" -> TextOps.md5Hash60("\"o\"")))
+    val row = interned.collect()(0)
+    assert(row.getLong(1) == TextOps.md5Hash60("<s>") &&
+      row.getLong(2) == TextOps.md5Hash60("<p>") &&
+      row.getLong(3) == TextOps.md5Hash60("\"o\""))
+  }
+
+  test("restartResume: run 2 reads ONLY the re-delivery; recovered state absorbs it exactly-once") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1700000000000000L // µs
+    val min = 60L * 1000000L
+    // 6 rows over 35 minutes; the trailing-20-minute re-delivery window
+    // holds exactly the 4 rows at t0+25m and t0+35m
+    val rows = Seq(
+      (1L, t0, 1L, "click", 0.0, ""),
+      (2L, t0, 2L, "view", 0.0, ""),
+      (3L, t0 + 25 * min, 1L, "click", 0.0, ""),
+      (4L, t0 + 25 * min, 3L, "view", 0.0, ""),
+      (5L, t0 + 35 * min, 2L, "click", 0.0, ""),
+      (6L, t0 + 35 * min, 3L, "purchase", 0.0, ""))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q37t_").toString
+    try {
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("ts_us")))
+        .drop("ts_us")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+      val part = new java.io.File(s"$dir/stage").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/stage"))
+
+      val (res, run1, run2) =
+        graft.streaming.StreamingOps.restartResumeWithStats(spark, dir)
+      assert(run1 == 6L, s"run1 read $run1 rows")
+      // offset-log resume: delivery 1's files are NOT reprocessed — run 2's
+      // input is exactly the 4 re-delivered rows
+      assert(run2 == 4L, s"run2 read $run2 rows — offset log did not skip delivery 1")
+      // recovered dedup state absorbed every re-delivery → batch answer
+      val got = res.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("click" -> 3L, "view" -> 2L, "purchase" -> 1L), got.toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("sessionWindows: an event at exactly start+gap MERGES; gap+1 splits") {
     val s = spark
     import s.implicits._
@@ -742,6 +834,30 @@ class OpsSpec extends AnyFunSuite {
       SketchOps.hllRegisters(a.union(b), "g", "v"), "g")
       .collect().head.getDouble(1)
     assert(merged == direct, s"merge broke the sketch algebra: $merged vs $direct")
+  }
+
+  test("quantile sketch: estimates within the ~4.4% bucket width; merge == direct") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 1000L).map(v => ("g", v))
+    val df = rows.toDF("g", "v")
+    val sk = SketchOps.quantileSketch(df, "g", col("v"))
+    val est = SketchOps.qsEstimate(sk, "g", Seq(50, 95)).collect()(0)
+    assert(est.getLong(1) == 1000L)
+    val (p50, p95) = (est.getLong(2), est.getLong(3))
+    assert(math.abs(p50 - 500.0) / 500.0 <= 0.05, s"p50_est=$p50")
+    assert(math.abs(p95 - 950.0) / 950.0 <= 0.05, s"p95_est=$p95")
+    // merge law: sketch(A) ⊕ sketch(B) == sketch(A ∪ B)
+    val (a, b) = (rows.take(600).toDF("g", "v"), rows.drop(600).toDF("g", "v"))
+    val merged = SketchOps.qsMerge(
+      SketchOps.quantileSketch(a, "g", col("v")),
+      SketchOps.quantileSketch(b, "g", col("v")))
+    assert(merged.collect().map(_.toString).sorted.sameElements(
+      sk.collect().map(_.toString).sorted))
+    // non-positive values are excluded on both engines by contract
+    val withZero = (Seq(("g", 0L), ("g", -5L)) ++ rows).toDF("g", "v")
+    assert(SketchOps.qsEstimate(SketchOps.quantileSketch(withZero, "g", col("v")), "g", Seq(50))
+      .collect()(0).getLong(1) == 1000L)
   }
 
   test("hllDistinct: estimate within 3 standard errors on known cardinalities") {
