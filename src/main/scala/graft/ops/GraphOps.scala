@@ -358,6 +358,8 @@ object GraphOps {
     require(patterns.nonEmpty, "bgp needs at least one pattern")
     val binds = patterns.flatMap(_.bind)
     require(binds.distinct.size == binds.size, s"duplicate binds: $binds")
+    require(!binds.exists(Set("subj", "pred", "obj")),
+      s"bind names collide with triple columns: $binds")
     val parts = patternOrder(patterns, predCounts).map { p =>
       val base = patternSource(p.pred).filter(col("pred") === p.pred)
       val filtered = p.obj.map(o => base.filter(col("obj") === o)).getOrElse(base)

@@ -128,12 +128,18 @@ object SketchOps {
     * first); non-positive values are excluded (log-bucket domain), a rule
     * the generated oracle mirrors.
     */
-  def quantileSketch(df: DataFrame, groupCol: String, valueCol: Column): DataFrame =
+  /** Column names the quantile-sketch surfaces reserve internally. */
+  private val QsReserved = Set("v", "bucket", "cnt", "rep", "cum", "n")
+
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    require(!QsReserved.contains(groupCol),
+      s"groupCol `$groupCol` collides with quantileSketch internals ($QsReserved)")
     df.select(col(groupCol), valueCol.as("v"))
       .filter(col("v") >= 1L)
       .select(col(groupCol), expr(qsBucketSqlExpr("v")).as("bucket"), col("v"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("rep"))
+  }
 
   /** Merge sketch tables (per-day roll-up): sum cnt, min rep per bucket. */
   def qsMerge(sketches: DataFrame*): DataFrame =
@@ -150,6 +156,8 @@ object SketchOps {
     */
   def qsEstimate(sketch: DataFrame, groupCol: String, qPcts: Seq[Int]): DataFrame = {
     require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 100), s"bad qPcts: $qPcts")
+    require(!QsReserved.contains(groupCol),
+      s"groupCol `$groupCol` collides with qsEstimate internals ($QsReserved)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
