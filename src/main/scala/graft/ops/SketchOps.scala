@@ -123,14 +123,14 @@ object SketchOps {
     s"CASE WHEN $v <= 31 THEN $v ELSE CAST(length(bin($v)) AS BIGINT) * 16 " +
       s"+ (shiftright($v, length(bin($v)) - 5) & 15) END"
 
+  /** Column names the quantile-sketch surfaces reserve internally. */
+  private val QsReserved = Set("v", "bucket", "cnt", "rep", "cum", "n")
+
   /** Sketch state (group, bucket, cnt, rep = min v): `valueCol` must
     * evaluate to a positive BIGINT (scale decimals to integer units
     * first); non-positive values are excluded (log-bucket domain), a rule
     * the generated oracle mirrors.
     */
-  /** Column names the quantile-sketch surfaces reserve internally. */
-  private val QsReserved = Set("v", "bucket", "cnt", "rep", "cum", "n")
-
   def quantileSketch(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
     require(!QsReserved.contains(groupCol),
       s"groupCol `$groupCol` collides with quantileSketch internals ($QsReserved)")
