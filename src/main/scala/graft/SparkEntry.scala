@@ -228,6 +228,15 @@ object SparkEntry {
       graft.ops.SketchOps.qsEstimate(sk, "l_returnflag", Seq(50, 95))
     }),
 
+    // count-min frequency sketch (third of the sketch trio): per-user
+    // event-count estimates over depth×width exact-integer cells, min
+    // over rows, next to the exact counts — estimates value-checked
+    "q39_countmin" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.ops.SketchOps.cmFrequencies(ev, "user_id",
+        ev.filter(col("user_id") % 20 === 0).select(col("user_id")).distinct())
+    }),
+
     // AS-OF join (composed, single-shuffle): each click joined to the
     // user's most recent prior-or-equal purchase; DuckDB's native ASOF
     // JOIN is the oracle
@@ -548,6 +557,29 @@ object SparkEntry {
       GraphAnalytics.degrees(edges)
         .join(dict, col("id") === col("tid"))
         .select(col("tid"), col("term"), col("degree"))
+    }),
+
+    // incremental graph maintenance: base graph from the even docs, the
+    // odd docs arrive as a DELTA merged via dynamic partition overwrite
+    // (only touched pred_hash partitions rewrite — OpsSpec pins the
+    // untouched-partition bytes); final graph == the full-corpus build
+    "kg22_delta_merge" -> ((s, d) => {
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      def rows(df: DataFrame) = df.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg22_").toString
+      try {
+        graft.pipeline.Materialize.write(rows(tri.filter(col("doc_id") % 2 === 0)), dir)
+        graft.pipeline.Materialize.mergeDelta(s, dir,
+          rows(tri.filter(col("doc_id") % 2 =!= 0)))
+        graft.pipeline.Materialize.read(s, dir)
+          .select(col("subj"), col("pred"), col("obj"))
+          .localCheckpoint() // eager — the scratch graph dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
     // n-pattern star BGP with SKETCH-DRIVEN join order: the predicate
@@ -1148,6 +1180,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "kg20_interned_degree" -> kg20Oracle,
 
+    // merge(base(even), delta(odd)) must equal the full-corpus build
+    "kg22_delta_merge" ->
+      s"""SELECT subj, pred, obj FROM (
+         |$kg01Oracle
+         |)""".stripMargin,
+
     // the BGP is semantically a conjunctive filter on the doc table — the
     // oracle derives it from documents directly (independent path)
     "kg21_bgp_n" ->
@@ -1663,6 +1701,9 @@ object SparkEntry {
     "q38_quantile_sketch" ->
       graft.ops.SketchOps.quantileSketchSql("lineitem", "l_returnflag",
         "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)", Seq(50, 95)),
+
+    "q39_countmin" ->
+      graft.ops.SketchOps.cmFrequenciesSql("events", "user_id", "user_id % 20 = 0"),
 
     // exactly-once across the restart ⇒ the stream equals the batch table
     "q37_stream_restart" ->

@@ -203,6 +203,109 @@ object SketchOps {
        |FROM c GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------- count-min sketch (q39)
+
+  /** COUNT-MIN frequency sketch (Cormode & Muthukrishnan 2005) — third of
+    * the sketch trio (HLL: distinct, DDSketch: quantiles, CM: per-key
+    * frequency). Depth × width salted-md5 cells; every cell count is an
+    * EXACT integer sum, so unlike sampling-based frequency estimators the
+    * whole construction is cross-engine deterministic and the DuckDB
+    * oracle reproduces the ESTIMATES themselves. State is depth·width
+    * cells per sketch at ANY key cardinality, partial-aggregable map-side
+    * and mergeable by cell-wise sum; estimates only ever OVER-count
+    * (min over rows bounds collision inflation).
+    */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  private def cmCell(keyCol: Column, row: Int): Column =
+    TextOps.md5Hash60Col(concat(lit(s"cm$row:"), keyCol.cast("string"))) % CmWidth
+
+  /** Sketch cells (row, cell, cnt). The depth-way explode multiplies rows
+    * ×[[CmDepth]] BEFORE the aggregate, but map-side combine collapses
+    * each task's contribution to ≤ depth·width rows — the exchange is
+    * O(tasks·depth·width), independent of data volume.
+    */
+  private val CmReserved = Set("rc", "row", "cell", "cnt", "n_est", "n_exact")
+
+  def cmSketch(df: DataFrame, keyCol: String): DataFrame = {
+    require(!CmReserved.contains(keyCol),
+      s"keyCol `$keyCol` collides with count-min internals ($CmReserved)")
+    val cells = (0 until CmDepth).map(r =>
+      struct(lit(r.toLong).as("row"), cmCell(col(keyCol), r).as("cell")))
+    df.select(explode(array(cells: _*)).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketch cell tables (per-day roll-up): cell-wise sum. */
+  def cmMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("row"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate frequencies for `keys` (a DataFrame with `keyCol`):
+    * min over the depth rows of each key's cell count (absent cell = 0).
+    * The keys side fans out ×depth and joins the (tiny) cell table —
+    * broadcast-sized by construction.
+    */
+  def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
+    require(!CmReserved.contains(keyCol),
+      s"keyCol `$keyCol` collides with count-min internals ($CmReserved)")
+    val cells = (0 until CmDepth).map(r =>
+      struct(lit(r.toLong).as("row"), cmCell(col(keyCol), r).as("cell")))
+    keys.select(col(keyCol), explode(array(cells: _*)).as("rc"))
+      .select(col(keyCol), col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
+  /** CM heavy-hitter check over `df`: estimates for a deterministic
+    * candidate key subset next to the exact counts (the CM ≥ exact
+    * over-count contract is part of the checked output).
+    */
+  def cmFrequencies(df: DataFrame, keyCol: String, keys: DataFrame): DataFrame = {
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
+    cmEstimate(cmSketch(df, keyCol), keys, keyCol)
+      .join(exact, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_est"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
+  /** DuckDB twin of [[cmFrequencies]] over `rel` — same salted md5 cells,
+    * exact integer cell sums, min-over-rows estimate with absent cells
+    * as 0. `keysWhere` selects the candidate keys from `rel`.
+    */
+  def cmFrequenciesSql(
+      rel: String, keyCol: String, keysWhere: String): String =
+    s"""WITH rows AS (
+       |  SELECT r AS row FROM generate_series(0, ${CmDepth - 1}) t(r)
+       |), cells AS (
+       |  SELECT rows.row,
+       |    ('0x' || substr(md5('cm' || rows.row || ':' || CAST($keyCol AS VARCHAR)), 1, 15))::BIGINT
+       |      % $CmWidth AS cell,
+       |    COUNT(*) AS cnt
+       |  FROM $rel, rows GROUP BY 1, 2
+       |), keys AS (
+       |  SELECT DISTINCT $keyCol FROM $rel WHERE $keysWhere
+       |), kc AS (
+       |  SELECT k.$keyCol, rows.row,
+       |    ('0x' || substr(md5('cm' || rows.row || ':' || CAST(k.$keyCol AS VARCHAR)), 1, 15))::BIGINT
+       |      % $CmWidth AS cell
+       |  FROM keys k, rows
+       |), est AS (
+       |  SELECT kc.$keyCol, CAST(MIN(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+       |  FROM kc LEFT JOIN cells c ON c.row = kc.row AND c.cell = kc.cell
+       |  GROUP BY 1
+       |)
+       |SELECT e.$keyCol, e.n_est,
+       |  CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact
+       |FROM est e LEFT JOIN (
+       |  SELECT $keyCol, COUNT(*) AS n_exact FROM $rel GROUP BY 1) x
+       |  ON x.$keyCol = e.$keyCol""".stripMargin
+
   /** DuckDB twin of [[hllDistinct]] over a table/CTE named `rel` — every
     * constant and step mirrored (same salted md5 hash, bucket %, ρ via
     * `bin` length, inlined α·m², linear-counting branch), so the two

@@ -146,6 +146,46 @@ object Materialize {
   def read(spark: org.apache.spark.sql.SparkSession, out: String): DataFrame =
     spark.read.parquet(out)
 
+  /** DELTA-MERGE a batch of new triples into an existing graph table by
+    * rewriting ONLY the `pred_hash` partitions the delta touches (dynamic
+    * partition overwrite) — the incremental-update path at 100 TB, where a
+    * daily crawl delta is ≪ the graph and a full rewrite is the thing to
+    * avoid. Steps: (1) the touched partition set — bounded by
+    * `predBuckets`, never by data — prunes the existing-side read to those
+    * partitions (PartitionFilters); (2) existing ∪ delta goes through the
+    * same one-exchange [[saltedDeduped]] as a full write, so merged
+    * duplicates collapse with the same deterministic min-provenance rule;
+    * (3) the result is materialized through `checkpoint` BEFORE the write
+    * (Spark refuses to overwrite a path it is still reading from; at
+    * cluster scale pass [[CheckpointPolicy.Reliable]] so the staged merge
+    * lives on DFS, or swap this class for a real table format — Iceberg/
+    * Delta snapshots are exactly this operation) and written with
+    * per-write `partitionOverwriteMode=dynamic` (no session conf
+    * mutation): untouched partitions are never listed, read, or replaced
+    * (OpsSpec pins byte-identical untouched partition files).
+    */
+  def mergeDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      delta: Dataset[TripleRow],
+      predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Unit = {
+    val deltaDf = delta.toDF()
+    val touched = withPredHash(deltaDf, predBuckets)
+      .select(col("pred_hash")).distinct()
+      .collect().map(_.getLong(0))
+    val existing = read(spark, out)
+      .filter(col("pred_hash").isin(touched: _*))
+      .select(col("subj"), col("pred"), col("obj"), col("src_url"), col("warc_ts"))
+    val merged = checkpoint.truncate(
+      saltedDeduped(existing.unionByName(deltaDf), predBuckets, Map.empty, salt))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pred_hash")
+      .parquet(out)
+  }
+
   /** Single-predicate read that EXPLOITS the layout: the `pred_hash`
     * equality folds to a constant and prunes the scan to 1/predBuckets of
     * the partition directories (PartitionFilters in the plan), then the

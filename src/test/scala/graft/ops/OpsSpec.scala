@@ -860,6 +860,32 @@ class OpsSpec extends AnyFunSuite {
       .collect()(0).getLong(1) == 1000L)
   }
 
+  test("count-min: never under-counts, mostly exact at low load; merge == direct") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 100L).flatMap(k => Seq.fill((k % 5).toInt + 1)(k))
+    val df = rows.toDF("k")
+    val keys = (1L to 100L).toDF("k")
+    val freqs = SketchOps.cmFrequencies(df, "k", keys).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(freqs.length == 100)
+    // CM contract: estimate >= exact, always
+    freqs.foreach { case (k, est, exact) =>
+      assert(est >= exact, s"under-count for $k: $est < $exact")
+      assert(exact == (k % 5) + 1)
+    }
+    // at 100 keys over 4×256 cells, P(all 4 rows collide) ≈ 1% per key —
+    // nearly every estimate should be exact
+    val exactHits = freqs.count { case (_, est, exact) => est == exact }
+    assert(exactHits >= 90, s"only $exactHits/100 exact")
+    // merge law: cell-wise sum of split sketches == sketch of the union
+    val merged = SketchOps.cmMerge(
+      SketchOps.cmSketch(df.filter(col("k") <= 50), "k"),
+      SketchOps.cmSketch(df.filter(col("k") > 50), "k"))
+    assert(merged.collect().map(_.toString).sorted.sameElements(
+      SketchOps.cmSketch(df, "k").collect().map(_.toString).sorted))
+  }
+
   test("hllDistinct: estimate within 3 standard errors on known cardinalities") {
     val s = spark
     import s.implicits._

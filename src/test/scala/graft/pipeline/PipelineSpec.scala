@@ -325,6 +325,50 @@ class PipelineSpec extends AnyFunSuite {
         s"(partitions: ${perPartition.mkString(",")})")
   }
 
+  test("mergeDelta: only touched pred_hash partitions rewrite; merge equals full rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val ts = new java.sql.Timestamp(0L)
+    def ph(p: String): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(p)), lit(Materialize.DefaultPredBuckets)))
+      .collect()(0).getLong(0)
+    val cands = Seq("<p:a>", "<p:b>", "<p:c>", "<p:d>")
+    val p1 = cands.head
+    val p2 = cands.find(c => ph(c) != ph(p1)).get
+
+    val out = Files.createTempDirectory("graft_merge_").toString
+    try {
+      Materialize.write(Seq(
+        TripleRow("<s1>", p1, "\"a\"", "u1", ts),
+        TripleRow("<s2>", p2, "\"b\"", "u1", ts)).toDS(), out)
+      def partFiles(p: String): Set[(String, Long)] = {
+        val d = new java.io.File(s"$out/pred_hash=${ph(p)}")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified)).toSet
+      }
+      val untouchedBefore = partFiles(p1)
+      val touchedBefore = partFiles(p2)
+
+      // delta: one new triple + one duplicate (s,p,o) with BETTER (min)
+      // provenance — both in p2's partition only
+      Materialize.mergeDelta(spark, out, Seq(
+        TripleRow("<s3>", p2, "\"c\"", "u2", ts),
+        TripleRow("<s2>", p2, "\"b\"", "u0", ts)).toDS())
+
+      assert(partFiles(p1) == untouchedBefore,
+        "dynamic overwrite rewrote an untouched partition")
+      assert(partFiles(p2) != touchedBefore, "touched partition not rewritten")
+      val got = Materialize.read(spark, s"$out/")
+        .select("subj", "pred", "obj", "src_url").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(got == Set(
+        ("<s1>", p1, "\"a\"", "u1"),
+        ("<s2>", p2, "\"b\"", "u0"), // dedup kept the min provenance
+        ("<s3>", p2, "\"c\"", "u2")))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("readTurtleDir parses the 29-fixture corpus through Spark, zero rejects") {
     val dir = "src/test/resources/turtle/positive"
     val (triples, rejects) = graft.ops.GraphOps.readTurtleDir(spark, dir)
