@@ -398,6 +398,15 @@ object SparkEntry {
     // stable, content-free train/val/test assignment (salted id hash)
     "td16_split" -> ((s, d) => TextOps.assignSplit(t(s, d, "documents"))),
 
+    // PII-style redaction scan over planted emails/urls: counts + the
+    // redacted text's md5 (the replacement itself is value-checked)
+    "td19_redaction" -> ((s, d) =>
+      TextOps.redactionScan(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact doc"), col("doc_id").cast("string"),
+            lit("@example.com via https://ex.org/p/"),
+            col("doc_id").cast("string")).as("text")))),
+
     // reproducible per-language downsample: k smallest salted hashes
     "td17_stratified_sample" -> ((s, d) =>
       TextOps.stratifiedSample(t(s, d, "documents"), perStratum = 40)),
@@ -542,6 +551,18 @@ object SparkEntry {
         docs.select(col("doc_id").as("id")), iterations = 3)
         .select(col("id").as("doc_id"), col("rank"))
     }),
+
+    // SPARQL property-path p+ bounded to 3 hops: directed transitive
+    // closure by frontier iteration, min path length per reached pair
+    "kg24_path_closure" -> ((s, d) =>
+      GraphAnalytics.pathClosure(
+        GraphAnalytics.syntheticEdges(t(s, d, "documents")), maxHops = 3)),
+
+    // streaming→graph capstone: three corpus deliveries land as
+    // micro-batches, each parsed and DELTA-MERGED into the materialized
+    // graph (dynamic partition overwrite per batch); final graph == the
+    // batch build
+    "kg23_stream_graph_merge" -> ((s, d) => StreamingOps.streamingGraphMerge(s, d)),
 
     // SPARQL-style BGP over the constructed graph: two triple patterns
     // sharing ?s, numeric FILTER on a typed literal
@@ -1185,6 +1206,36 @@ object SparkEntry {
       s"""SELECT subj, pred, obj FROM (
          |$kg01Oracle
          |)""".stripMargin,
+
+    // incremental (3-delivery) streaming merge must ALSO equal it
+    "kg23_stream_graph_merge" ->
+      s"""SELECT subj, pred, obj FROM (
+         |$kg01Oracle
+         |)""".stripMargin,
+
+    // bounded-depth closure with min path length: recursive CTE twin
+    "kg24_path_closure" ->
+      s"""WITH RECURSIVE $graphEdgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |p(src, dst, hops) AS (
+         |  SELECT src, dst, 1 FROM e
+         |  UNION ALL
+         |  SELECT p.src, e.dst, p.hops + 1 FROM p JOIN e ON e.src = p.dst
+         |  WHERE p.hops < 3)
+         |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
+         |FROM p WHERE src <> dst GROUP BY 1, 2""".stripMargin,
+
+    "td19_redaction" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact doc' || doc_id || '@example.com via https://ex.org/p/' || doc_id AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^ \t\n\f\r]+')) AS BIGINT) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ \t\n\f\r]+', '<URL>', 'g')) AS redacted_md5
+        |FROM p""".stripMargin,
 
     // the BGP is semantically a conjunctive filter on the doc table — the
     // oracle derives it from documents directly (independent path)

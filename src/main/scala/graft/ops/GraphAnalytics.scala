@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *     explodes at the hubs exactly where a web KG is skewed);
   *   - BFS: frontier-based iteration — per round, only the newly-reached
   *     frontier joins the adjacency (not the whole dist table), lineage is
-  *     truncated with localCheckpoint like [[graft.pipeline.Canonical]];
+  *     truncated per round through the [[graft.pipeline.CheckpointPolicy]]
+  *     like [[graft.pipeline.Canonical]];
   *   - PageRank: fixed-iteration power method; contributions are one
   *     shuffle per iteration (join on src + groupBy dst, both partial-agg),
   *     rank state is one row per node.
@@ -166,6 +167,47 @@ object GraphAnalytics {
       }
       settled.reduce(_ union _)
     } finally adj.unpersist()
+  }
+
+  /** Bounded DIRECTED transitive closure — the SPARQL property-path `p+`
+    * (up to `maxHops`) as an iterative frontier join: (src, dst, hops)
+    * with hops = the MINIMUM path length ≤ maxHops. Each round extends
+    * only last round's frontier by one edge hop, anti-joins pairs already
+    * reached (so shorter paths win and revisits never re-expand — the
+    * property that keeps rounds linear in NEW pairs even through
+    * diamonds/cycles), and truncates lineage through the
+    * [[graft.pipeline.CheckpointPolicy]]. maxHops bounds both work and
+    * output (an unbounded `p+` over a web KG is a full closure — callers
+    * opt into depth explicitly).
+    */
+  def pathClosure(
+      edges: DataFrame, maxHops: Int,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"maxHops=$maxHops out of 1..16")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    try {
+      // acc stays a LAZY union of per-round checkpointed frontiers (the
+      // bfsHops discipline): each round materializes only its NEW pairs,
+      // never the growing accumulator
+      var acc = checkpoint.truncate(e.withColumn("hops", lit(1L)))
+      var frontier = acc
+      for (h <- 2 to maxHops) {
+        val step = frontier
+          .join(e.select(col("src").as("_m"), col("dst").as("_d")),
+            frontier("dst") === col("_m"))
+          .select(col("src"), col("_d").as("dst"), lit(h.toLong).as("hops"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val fresh = checkpoint.truncate(
+          step.join(acc.select(col("src").as("_s"), col("dst").as("_t")),
+            step("src") === col("_s") && step("dst") === col("_t"), "left_anti"))
+        acc = acc.unionByName(fresh)
+        frontier = fresh
+      }
+      acc
+    } finally e.unpersist()
   }
 
   /** Fixed-iteration PageRank (damping 0.85) over the DIRECTED edge set:

@@ -738,6 +738,33 @@ object TextOps {
       s"transform(sequence(1, greatest(length(substring(text, 1, $prefixLen)) - ${ShingleLen - 1}, 1)), " +
         s"i -> substring(substring(text, 1, $prefixLen), i, $ShingleLen))")))
 
+  /** PII-style REDACTION scan — the scrubbing step every training-data
+    * pipeline runs before tokenization: count and replace email and URL
+    * spans, emitting the redacted text's md5 (a value-exact check that the
+    * REPLACEMENT itself, not just the counts, agrees cross-engine).
+    * Patterns are chosen to evaluate identically under Java regex (Spark)
+    * and RE2 (the DuckDB oracle): explicit character classes only — the
+    * separator set is the shared [[TokenSepChars]] class, never `\s` — no
+    * lookaround, no top-level alternation (greedy class+quantifier
+    * concatenations match leftmost-longest under both backtracking and
+    * NFA engines). Emails are redacted BEFORE urls; both engines apply
+    * the same order, so even an email inside a URL authority resolves
+    * identically. Pure codegen'd built-ins, zero shuffle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ \\t\\n\\f\\r]+"
+
+  def redactionScan(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlPattern), lit(0)))
+        .cast("long").as("n_urls"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>")).as("redacted_md5"))
+
   def contamination(documents: DataFrame, prefixLen: Int = 120): DataFrame = {
     val sh = documents
       .select(col("doc_id"), prefixShingles(prefixLen).as("shingle"))

@@ -377,6 +377,56 @@ object StreamingOps {
     spark.table(name).localCheckpoint()
   }
 
+  /** STREAMING → MATERIALIZED GRAPH, incrementally (kg23): the end-to-end
+    * "KG grows as the crawl lands" composition. The corpus arrives as
+    * three deliveries; `foreachBatch` parses each micro-batch with the
+    * conformance parser and MERGES its triples into the graph table via
+    * [[graft.pipeline.Materialize.mergeDelta]] — per batch, only the
+    * pred_hash partitions that batch touches are rewritten (dynamic
+    * partition overwrite), the same dedup/min-provenance rule as a full
+    * build. The checkpointed source makes each delivery process
+    * exactly-once, and because merge is independent of the batch split,
+    * the final graph equals the full-corpus build (the kg01 oracle).
+    */
+  def streamingGraphMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kg23_").toString
+    try {
+      val (in, graph, chk) = (s"$dir/in", s"$dir/graph", s"$dir/chk")
+      // three deliveries, written as separate file batches
+      (0 until 3).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val toRows = (batch: DataFrame) =>
+        graft.ops.GraphOps.parseTurtle(batch).select(
+          col("subj"), col("pred"), col("obj"),
+          concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+          lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+          .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1") // one delivery per micro-batch
+        .parquet(in)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (batch.isEmpty) ()
+          else if (!new java.io.File(s"$graph/_SUCCESS").exists())
+            graft.pipeline.Materialize.write(toRows(batch), graph)
+          else
+            graft.pipeline.Materialize.mergeDelta(spark, graph, toRows(batch))
+        }
+        .start()
+      q.awaitTermination()
+      graft.pipeline.Materialize.read(spark, graph)
+        .select(col("subj"), col("pred"), col("obj"))
+        .localCheckpoint() // eager — the scratch dirs are deleted below
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
   /** Custom stateful streaming: per-user sessionization via

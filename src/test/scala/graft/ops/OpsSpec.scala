@@ -860,6 +860,34 @@ class OpsSpec extends AnyFunSuite {
       .collect()(0).getLong(1) == 1000L)
   }
 
+  test("pathClosure: min hops through diamonds and cycles; depth bound respected") {
+    val s = spark
+    import s.implicits._
+    // diamond 1→{2,3}→4 plus a DIRECT 1→4 edge; 2-cycle 5⇄6
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 4L), (5L, 6L), (6L, 5L))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.pathClosure(e, maxHops = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 4L)) == 1L, s"direct edge must beat the 2-hop diamond: $got")
+    assert(got((1L, 2L)) == 1L && got((2L, 4L)) == 1L)
+    assert(got((5L, 6L)) == 1L && got((6L, 5L)) == 1L)
+    assert(!got.contains((5L, 5L)) && !got.contains((6L, 6L)), "self-pairs excluded")
+    // chain at maxHops=2: 7→9 reached, 7→10 out of bound
+    val chain = Seq((7L, 8L), (8L, 9L), (9L, 10L), (10L, 11L)).toDF("src", "dst")
+    val c = GraphAnalytics.pathClosure(chain, maxHops = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(c((7L, 9L)) == 2L && !c.contains((7L, 10L)), c.toString)
+  }
+
+  test("redactionScan: counts on the original text; email-inside-URL redacts deterministically") {
+    val d = docs((1L, "mail a.b@x.co or see https://u@h.io/path now", "en", "s", 0L))
+    val r = TextOps.redactionScan(d).collect()(0)
+    assert(r.getLong(1) == 2L, s"n_emails=${r.getLong(1)}") // a.b@x.co and u@h.io
+    assert(r.getLong(2) == 1L, s"n_urls=${r.getLong(2)}")
+    // emails first, then urls: the URL's redacted authority collapses into <URL>
+    assert(r.getString(3) == TextOps.md5Hex("mail <EMAIL> or see <URL> now"))
+  }
+
   test("count-min: never under-counts, mostly exact at low load; merge == direct") {
     val s = spark
     import s.implicits._
