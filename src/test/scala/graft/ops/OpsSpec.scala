@@ -398,6 +398,37 @@ class OpsSpec extends AnyFunSuite {
     audit(RelationalOps.asofJoin(left, right, "k", "ts", tsBucket = Some(100L)), 6, "q30")
   }
 
+  test("round-4 op plan shapes: bounded exchanges, no nested-loop joins") {
+    val s = spark
+    import s.implicits._
+    def audit(df: org.apache.spark.sql.DataFrame, maxExchanges: Int, label: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$label plans a nested-loop join:\n${plan.take(1500)}")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= maxExchanges,
+        s"$label: expected <= $maxExchanges exchanges, got $exchanges:\n${plan.take(1500)}")
+    }
+
+    val vals = Seq(("A", 100L), ("A", 200L), ("B", 300L)).toDF("g", "cents")
+    // sketch build = ONE partial-aggregated exchange on (g, bucket)
+    audit(SketchOps.quantileSketch(vals, "g", col("cents")), 1, "q38 sketch")
+    // + the per-group window and the final per-group aggregate
+    audit(SketchOps.qsEstimate(
+      SketchOps.quantileSketch(vals, "g", col("cents")), "g", Seq(50, 95)), 4, "q38 estimate")
+
+    val ks = Seq(1L, 2L, 2L, 3L).toDF("k")
+    // cells groupBy + estimate broadcast-join/groupBy + exact groupBy + join
+    audit(SketchOps.cmFrequencies(ks, "k", ks.distinct()), 8, "q39")
+
+    // interned degrees: every join key in the edge pipeline is 8-byte
+    val tri = Seq((1L, "<s>", "<p>", "\"o\"")).toDF("doc_id", "subj", "pred", "obj")
+    val (interned, dict) = GraphOps.internTriples(tri)
+    val deg = GraphAnalytics.degrees(interned.select(col("sid").as("src"), col("oid").as("dst")))
+      .join(dict, col("id") === col("tid"))
+    audit(deg, 8, "kg20")
+  }
+
   test("asofJoin: inclusive most-recent match, null before first right row") {
     val s = spark
     import s.implicits._
