@@ -919,6 +919,57 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getString(3) == TextOps.md5Hex("mail <EMAIL> or see <URL> now"))
   }
 
+  test("pathClosure matches a driver-side BFS closure on seeded random digraphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 6
+      val maxHops = 4
+      val edges = (1 to n * 2)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val got = GraphAnalytics.pathClosure(edges.toDF("src", "dst"), maxHops)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // oracle: per-source BFS to depth maxHops (shortest paths never
+      // revisit the source, so seeding `seen` with it is exact)
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      edges.map(_._1).distinct.foreach { src =>
+        val seen = scala.collection.mutable.Set(src)
+        var frontier = Set(src)
+        for (h <- 1 to maxHops) {
+          frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty)) -- seen
+          frontier.foreach { v => expected((src, v)) = h.toLong }
+          seen ++= frontier
+        }
+      }
+      assert(got == expected.toMap, s"trial $trial (n=$n): closure mismatch")
+    }
+  }
+
+  test("quantile sketch: same-bucket error bound holds on seeded random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // mixed magnitudes: exact small values + three binade ranges
+    val vals = Seq.fill(500)(rnd.nextInt(30) + 1L) ++
+      Seq.fill(500)(rnd.nextInt(1000) + 100L) ++
+      Seq.fill(200)((rnd.nextInt(1000000) + 1000L))
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val est = SketchOps.qsEstimate(
+      SketchOps.quantileSketch(df, "g", col("v")), "g", Seq(50, 95)).collect()(0)
+    val sorted = vals.sorted
+    def exactQ(p: Int): Long = sorted((vals.size * p + 99) / 100 - 1)
+    Seq(50 -> est.getLong(2), 95 -> est.getLong(3)).foreach { case (p, e) =>
+      val x = exactQ(p)
+      // estimate = MIN of the bucket containing the rank-th value: never
+      // above it, within one bucket width (1/16 of the binade) below
+      assert(e <= x, s"p$p: est $e above exact $x")
+      assert(e.toDouble >= x * (1.0 - 1.0 / 16) - 1, s"p$p: est $e too far below $x")
+    }
+  }
+
   test("count-min: never under-counts, mostly exact at low load; merge == direct") {
     val s = spark
     import s.implicits._
