@@ -193,7 +193,9 @@ object GraphAnalytics {
       // never the growing accumulator
       var acc = checkpoint.truncate(e.withColumn("hops", lit(1L)))
       var frontier = acc
-      for (h <- 2 to maxHops) {
+      var h = 2
+      var saturated = false
+      while (h <= maxHops && !saturated) {
         val step = frontier
           .join(e.select(col("src").as("_m"), col("dst").as("_d")),
             frontier("dst") === col("_m"))
@@ -203,8 +205,12 @@ object GraphAnalytics {
         val fresh = checkpoint.truncate(
           step.join(acc.select(col("src").as("_s"), col("dst").as("_t")),
             step("src") === col("_s") && step("dst") === col("_t"), "left_anti"))
-        acc = acc.unionByName(fresh)
-        frontier = fresh
+        if (fresh.isEmpty) saturated = true // closure done before the bound
+        else {
+          acc = acc.unionByName(fresh)
+          frontier = fresh
+        }
+        h += 1
       }
       acc
     } finally e.unpersist()

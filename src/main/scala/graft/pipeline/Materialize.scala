@@ -162,7 +162,14 @@ object Materialize {
     * Delta snapshots are exactly this operation) and written with
     * per-write `partitionOverwriteMode=dynamic` (no session conf
     * mutation): untouched partitions are never listed, read, or replaced
-    * (OpsSpec pins byte-identical untouched partition files).
+    * (PipelineSpec pins byte-identical untouched partition files).
+    * Operational caveats at cluster scale: run dynamic overwrite under
+    * the DEFAULT (v1) file output committer — the v2 committer's
+    * task-commit renames interact badly with overwrite staging on task
+    * retry — and note that Local-policy staging blocks are reclaimed by
+    * the ContextCleaner when the batch's Dataset is collected; a long
+    * foreachBatch merge loop should pass `Reliable(dir)` and prune the
+    * dir on its own schedule.
     */
   def mergeDelta(
       spark: org.apache.spark.sql.SparkSession,

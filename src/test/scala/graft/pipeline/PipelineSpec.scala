@@ -104,6 +104,24 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("full pipeline under Reliable checkpointing produces the identical graph") {
+    val outL = Files.createTempDirectory("graft_ckpt_pl_l").toString
+    val outR = Files.createTempDirectory("graft_ckpt_pl_r").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_pl_dfs").toString
+    try {
+      val sL = Pipeline.run(spark, 100L, NEntities, outL)
+      val sR = Pipeline.run(spark, 100L, NEntities, outR,
+        checkpoint = CheckpointPolicy.Reliable(ckpt))
+      assert(sL.graphRows == sR.graphRows)
+      val gL = Materialize.read(spark, s"$outL/graph").select("subj", "pred", "obj")
+        .collect().map(_.toString).sorted
+      val gR = Materialize.read(spark, s"$outR/graph").select("subj", "pred", "obj")
+        .collect().map(_.toString).sorted
+      assert(gL.sameElements(gR), "reliable-checkpoint run differs from local-checkpoint run")
+    } finally Seq(outL, outR, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   test("mention detection matches the single-threaded oracle exactly (P/R = 1.0)") {
     import spark.implicits._
     val pages = PageGen.pages(spark, NPages, NEntities)
