@@ -384,9 +384,13 @@ object StreamingOps {
     * [[graft.pipeline.Materialize.mergeDelta]] — per batch, only the
     * pred_hash partitions that batch touches are rewritten (dynamic
     * partition overwrite), the same dedup/min-provenance rule as a full
-    * build. The checkpointed source makes each delivery process
-    * exactly-once, and because merge is independent of the batch split,
-    * the final graph equals the full-corpus build (the kg01 oracle).
+    * build. The checkpointed source replays at-least-once (a crash
+    * between the merge and the offset commit re-runs the batch), and the
+    * merge is IDEMPOTENT (dedup on (s,p,o) with deterministic min
+    * provenance — PipelineSpec pins re-merge == no-op), so the
+    * composition is effectively exactly-once; because merge is also
+    * independent of the batch split, the final graph equals the
+    * full-corpus build (the kg01 oracle).
     */
   def streamingGraphMerge(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger

@@ -383,6 +383,18 @@ class PipelineSpec extends AnyFunSuite {
         ("<s1>", p1, "\"a\"", "u1"),
         ("<s2>", p2, "\"b\"", "u0"), // dedup kept the min provenance
         ("<s3>", p2, "\"c\"", "u2")))
+
+      // IDEMPOTENCE: re-merging the same delta leaves the graph unchanged —
+      // the property that makes an at-least-once foreachBatch delivery
+      // (crash between merge and offset commit → batch re-runs)
+      // effectively exactly-once for the streaming merge (kg23)
+      Materialize.mergeDelta(spark, out, Seq(
+        TripleRow("<s3>", p2, "\"c\"", "u2", ts),
+        TripleRow("<s2>", p2, "\"b\"", "u0", ts)).toDS())
+      val got2 = Materialize.read(spark, s"$out/")
+        .select("subj", "pred", "obj", "src_url").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(got2 == got, "re-merge of an already-applied delta changed the graph")
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
