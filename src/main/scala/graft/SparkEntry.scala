@@ -228,6 +228,25 @@ object SparkEntry {
       graft.ops.SketchOps.qsEstimate(sk, "l_returnflag", Seq(50, 95))
     }),
 
+    // BLOOM pre-join filter: a distinct-index membership filter from the
+    // small build side drops non-matching probe rows with ZERO exchange
+    // (broadcast joins only) before any shuffle join; false positives are
+    // counted in the output, never hidden — the whole construction is
+    // deterministic, so the oracle reproduces pass/fp sets exactly
+    "q40_bloom_prejoin" -> ((s, d) => {
+      val build = t(s, d, "part").filter(col("p_size") < 10).select(col("p_partkey"))
+      val probe = t(s, d, "lineitem").select(col("l_partkey"), col("l_returnflag"))
+      val passed = graft.ops.SketchOps.bloomFilterProbe(
+        probe, "l_partkey", graft.ops.SketchOps.bloomBuild(build, "p_partkey"))
+      passed
+        .join(broadcast(build.withColumn("_hit", lit(1))),
+          col("l_partkey") === col("p_partkey"), "left")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_pass"),
+          sum(when(col("_hit").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+    }),
+
     // count-min frequency sketch (third of the sketch trio): per-user
     // event-count estimates over depth×width exact-integer cells, min
     // over rows, next to the exact counts — estimates value-checked
@@ -397,6 +416,10 @@ object SparkEntry {
 
     // stable, content-free train/val/test assignment (salted id hash)
     "td16_split" -> ((s, d) => TextOps.assignSplit(t(s, d, "documents"))),
+
+    // Gopher/C4-family repetition quality score: fraction of repeated
+    // word 2-grams per doc (templated/degenerate text scores high)
+    "td20_repetition" -> ((s, d) => TextOps.repetitionScores(t(s, d, "documents"))),
 
     // PII-style redaction scan over planted emails/urls: counts + the
     // redacted text's md5 (the replacement itself is value-checked)
@@ -601,6 +624,30 @@ object SparkEntry {
           .localCheckpoint() // eager — the scratch graph dir is deleted below
       } finally
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
+    // SHACL-lite validation: per-property cardinality/datatype/enum rules
+    // over the constructed graph, one violation row per breach; four
+    // corruption classes planted by doc-id arithmetic so every rule fires
+    "kg25_validate" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      val corrupted = tri
+        .filter(!(col("doc_id") % 37 === 0 && col("pred") === s"${P}source"))
+        .withColumn("obj",
+          when(col("doc_id") % 37 === 0 && col("pred") === s"${P}lang", lit("\"xx\""))
+            .when(col("doc_id") % 43 === 0 && col("pred") === s"${P}nchars",
+              lit("\"NaN\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+            .otherwise(col("obj")))
+        .unionByName(
+          tri.filter(col("doc_id") % 41 === 0 && col("pred") === s"${P}label")
+            .withColumn("obj", lit("\"dup\"")))
+      GraphOps.validateGraph(corrupted, Seq(
+        GraphOps.PropRule(s"${P}lang",
+          oneOf = Some(Seq("\"de\"", "\"en\"", "\"es\"", "\"fr\"", "\"zh\""))),
+        GraphOps.PropRule(s"${P}label"),
+        GraphOps.PropRule(s"${P}source"),
+        GraphOps.PropRule(s"${P}nchars", integerTyped = true)))
     }),
 
     // n-pattern star BGP with SKETCH-DRIVEN join order: the predicate
@@ -1224,6 +1271,34 @@ object SparkEntry {
          |  WHERE p.hops < 3)
          |SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
          |FROM p WHERE src <> dst GROUP BY 1, 2""".stripMargin,
+
+    "td20_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS tk FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |    i -> tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1]) AS gs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(gs) AS BIGINT) AS n_2grams,
+        |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_2grams,
+        |  round(CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / greatest(len(gs), 1), 4)
+        |    AS dup_ratio
+        |FROM g""".stripMargin,
+
+    "q40_bloom_prejoin" -> graft.ops.SketchOps.bloomSemiJoinSql("l_returnflag"),
+
+    // violations derivable in closed form from the planting arithmetic —
+    // an INDEPENDENT oracle path (never re-runs the validator)
+    "kg25_validate" -> {
+      val P = GraphOps.PropPrefix
+      s"""WITH d AS (SELECT doc_id,
+         |  '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj FROM documents)
+         |SELECT subj, 'missing:${P}source' AS violation FROM d WHERE doc_id % 37 = 0
+         |UNION ALL SELECT subj, 'enum:${P}lang' FROM d WHERE doc_id % 37 = 0
+         |UNION ALL SELECT subj, 'cardinality:${P}label' FROM d WHERE doc_id % 41 = 0
+         |UNION ALL SELECT subj, 'bad_integer:${P}nchars' FROM d WHERE doc_id % 43 = 0""".stripMargin
+    },
 
     "td19_redaction" ->
       """WITH p AS (SELECT doc_id,

@@ -415,6 +415,57 @@ object GraphOps {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** One property rule of a SHACL-lite shape: cardinality bounds for
+    * `pred` per subject, optionally a well-formed `xsd:integer` object
+    * check and/or an allowed-value enumeration (object terms in rendered
+    * N-Triples syntax).
+    */
+  final case class PropRule(
+      pred: String, minCount: Int = 1, maxCount: Int = 1,
+      integerTyped: Boolean = false, oneOf: Option[Seq[String]] = None)
+
+  private val XsdIntegerRe =
+    "^\"-?[0-9]+\"\\^\\^<http://www\\.w3\\.org/2001/XMLSchema#integer>$"
+
+  /** SHACL-lite GRAPH VALIDATION — the QA gate a KG-construction pipeline
+    * runs before publishing: every subject is checked against per-property
+    * cardinality / datatype / enumeration rules, and each breach becomes
+    * one (subj, violation) row (`missing:`/`cardinality:`/`bad_integer:`/
+    * `enum:` + the predicate). ONE partial-aggregated pass over the triple
+    * table — all rule counters ride a single groupBy(subj), map-side
+    * combined, so the exchange carries one row per subject however many
+    * rules are checked; conforming subjects emit nothing (explode of an
+    * empty violation array).
+    */
+  def validateGraph(triples: DataFrame, rules: Seq[PropRule]): DataFrame = {
+    require(rules.nonEmpty, "validateGraph needs at least one rule")
+    require(rules.map(_.pred).distinct.size == rules.size,
+      s"duplicate rule predicates: ${rules.map(_.pred)}")
+    val aggExprs = rules.zipWithIndex.flatMap { case (r, i) =>
+      val isP = col("pred") === r.pred
+      Seq(
+        sum(when(isP, 1L).otherwise(0L)).as(s"_c$i"),
+        (if (r.integerTyped)
+          sum(when(isP && !col("obj").rlike(XsdIntegerRe), 1L).otherwise(0L))
+        else sum(lit(0L))).as(s"_bi$i"),
+        (r.oneOf match {
+          case Some(vals) =>
+            sum(when(isP && !col("obj").isin(vals: _*), 1L).otherwise(0L))
+          case None => sum(lit(0L))
+        }).as(s"_be$i"))
+    }
+    val perSubj = triples.groupBy(col("subj")).agg(aggExprs.head, aggExprs.tail: _*)
+    val vioCols = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(
+        when(col(s"_c$i") < r.minCount, lit(s"missing:${r.pred}")),
+        when(col(s"_c$i") > r.maxCount, lit(s"cardinality:${r.pred}")),
+        when(col(s"_bi$i") > 0, lit(s"bad_integer:${r.pred}")),
+        when(col(s"_be$i") > 0, lit(s"enum:${r.pred}")))
+    }
+    perSubj.select(col("subj"),
+      explode(filter(array(vioCols: _*), v => v.isNotNull)).as("violation"))
+  }
+
   /** Synthetic forest over doc ids: d (> 0, d % 3 ≠ 0) — edge to d / 2.
     * Distributed CC (hash-to-min self-joins) labels every doc with the min
     * id of its component; singletons keep their own id.

@@ -306,6 +306,77 @@ object SketchOps {
        |  SELECT $keyCol, COUNT(*) AS n_exact FROM $rel GROUP BY 1) x
        |  ON x.$keyCol = e.$keyCol""".stripMargin
 
+  // ------------------------------------------- bloom pre-join filter (q40)
+
+  /** BLOOM-FILTER pre-join (Bloom 1970) — the shuffle-avoidance primitive
+    * at 100 TB: before a big probe side shuffles into a join, a tiny
+    * membership filter built from the (small) build side's keys drops the
+    * probe rows that cannot match, map-side, with NO exchange. The filter
+    * is represented as the DISTINCT SET of its set-bit indexes (≤
+    * [[BloomBits]] rows regardless of build cardinality) — semantically
+    * the bit array, but expressible as plain broadcast joins on BOTH
+    * engines, so unlike Spark's built-in bloom join the whole construction
+    * is deterministic and the DuckDB oracle reproduces the pass/false-
+    * positive sets EXACTLY (salted-md5 indexes, k = [[BloomK]]).
+    * Guarantee: no false negatives — every true match passes; false
+    * positives are bounded by the standard (1 − e^{−kn/m})^k and are
+    * COUNTED in the q40 output rather than hidden.
+    */
+  val BloomBits = 4096
+  val BloomK = 3
+
+  private def bloomIdx(keyCol: Column, j: Int): Column =
+    TextOps.md5Hash60Col(concat(lit(s"bf$j:"), keyCol.cast("string"))) % BloomBits
+
+  /** Build: the distinct set-bit indexes of the build side's keys. */
+  def bloomBuild(build: DataFrame, keyCol: String): DataFrame =
+    build.select(explode(array((0 until BloomK).map(j =>
+      bloomIdx(col(keyCol), j)): _*)).as("bf_idx")).distinct()
+
+  /** Probe: keep the rows whose EVERY index is present — [[BloomK]]
+    * broadcast left-joins plus a conjunction filter, zero exchange on the
+    * probe side (the property that makes the pre-filter worth it).
+    */
+  def bloomFilterProbe(probe: DataFrame, keyCol: String, idxSet: DataFrame): DataFrame = {
+    require(!probe.columns.exists(c => c.startsWith("_bf")),
+      "probe columns collide with bloom internals (_bf*)")
+    val bc = broadcast(idxSet)
+    val withFlags = (0 until BloomK).foldLeft(probe) { (df, j) =>
+      df.join(bc.select(col("bf_idx").as(s"_bf$j")),
+        bloomIdx(col(keyCol), j) === col(s"_bf$j"), "left")
+    }
+    (0 until BloomK).foldLeft(withFlags)((df, j) => df.filter(col(s"_bf$j").isNotNull))
+      .select(probe.columns.map(col): _*)
+  }
+
+  /** DuckDB twin of the q40 composition over lineitem×part: per-group
+    * bloom-pass count, exact-match count, and the (counted, not hidden)
+    * false positives.
+    */
+  def bloomSemiJoinSql(groupCol: String): String = {
+    val probeIdx = (j: Int) =>
+      s"('0x' || substr(md5('bf$j:' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % $BloomBits"
+    val exists = (0 until BloomK).map(j =>
+      s"EXISTS (SELECT 1 FROM bf WHERE bf.bf_idx = ${probeIdx(j)})").mkString("\n    AND ")
+    s"""WITH build AS (
+       |  SELECT p_partkey FROM part WHERE p_size < 10
+       |), bf AS (
+       |  SELECT DISTINCT ('0x' || substr(md5('bf' || j.j || ':' || CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT
+       |    % $BloomBits AS bf_idx
+       |  FROM build, generate_series(0, ${BloomK - 1}) j(j)
+       |), passed AS (
+       |  SELECT l.* FROM lineitem l
+       |  WHERE $exists
+       |)
+       |SELECT $groupCol,
+       |  COUNT(*) AS n_pass,
+       |  CAST(SUM(CASE WHEN l_partkey IN (SELECT p_partkey FROM build) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact,
+       |  CAST(SUM(CASE WHEN l_partkey IN (SELECT p_partkey FROM build) THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_false_pos
+       |FROM passed GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[hllDistinct]] over a table/CTE named `rel` — every
     * constant and step mirrored (same salted md5 hash, bucket %, ρ via
     * `bin` length, inlined α·m², linear-counting branch), so the two

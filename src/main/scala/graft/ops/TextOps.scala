@@ -738,6 +738,34 @@ object TextOps {
       s"transform(sequence(1, greatest(length(substring(text, 1, $prefixLen)) - ${ShingleLen - 1}, 1)), " +
         s"i -> substring(substring(text, 1, $prefixLen), i, $ShingleLen))")))
 
+  /** REPETITION quality score (the Gopher/C4 rule family): the fraction
+    * of a document's word 2-grams that are repeats — templated or
+    * degenerate text (keyword stuffing, boilerplate loops) scores high
+    * and gets filtered before training. Pure codegen'd built-ins over the
+    * shared token class, zero shuffle; short docs (< 2 tokens) score 0 by
+    * contract (mirrored in the oracle's `greatest(n, 1)`).
+    */
+  def repetitionScores(documents: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    // explicit empty-branch: Spark's sequence(1, 0) yields DESCENDING
+    // [1, 0] (step inferred -1) where DuckDB's generate_series is empty —
+    // a guard-less expression would diverge on < 2-token docs
+    val grams = expr(
+      "CASE WHEN size(tks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(1, size(tks) - 1), " +
+        "i -> concat(element_at(tks, i), ' ', element_at(tks, i + 1))) END")
+    documents
+      .select(col("doc_id"), toks.as("tks"))
+      .select(col("doc_id"), grams.as("gs"))
+      .select(
+        col("doc_id"),
+        size(col("gs")).cast("long").as("n_2grams"),
+        size(array_distinct(col("gs"))).cast("long").as("n_distinct_2grams"))
+      .withColumn("dup_ratio",
+        round((col("n_2grams") - col("n_distinct_2grams")).cast("double") /
+          greatest(col("n_2grams"), lit(1L)), 4))
+  }
+
   /** PII-style REDACTION scan — the scrubbing step every training-data
     * pipeline runs before tokenization: count and replace email and URL
     * spans, emitting the redacted text's md5 (a value-exact check that the

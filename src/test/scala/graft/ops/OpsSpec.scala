@@ -891,6 +891,64 @@ class OpsSpec extends AnyFunSuite {
       .collect()(0).getLong(1) == 1000L)
   }
 
+  test("repetitionScores: hand-computed 2-gram repetition; short docs score 0") {
+    val d = docs(
+      (1L, "a b a b a", "en", "s", 0L),   // grams: ab,ba,ab,ba → 4, distinct 2
+      (2L, "w x y z", "en", "s", 0L),      // all distinct
+      (3L, "solo", "en", "s", 0L),         // < 2 tokens → empty gram list
+      (4L, "", "en", "s", 0L))
+    val got = TextOps.repetitionScores(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5)))
+    assert(got(2L) == ((3L, 3L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("bloom pre-join: zero false negatives; false positives counted, never hidden") {
+    val s = spark
+    import s.implicits._
+    val build = (1L to 500L).map(_ * 7).toDF("k")
+    val probe = (1L to 5000L).toDF("k") // supersets build ∪ plenty of non-members
+    val idx = SketchOps.bloomBuild(build, "k")
+    assert(idx.count() <= SketchOps.BloomBits)
+    val passed = SketchOps.bloomFilterProbe(probe, "k", idx).collect().map(_.getLong(0)).toSet
+    val members = build.collect().map(_.getLong(0)).toSet
+    val trueMembers = members.filter(_ <= 5000L)
+    // every true member passes (no false negatives — the bloom contract)
+    assert(trueMembers.subsetOf(passed), s"missing ${trueMembers.diff(passed).size} members")
+    // the filter actually filters: most non-members are dropped
+    val fp = passed.diff(trueMembers)
+    assert(passed.size < 5000, "filter passed everything")
+    assert(fp.size.toDouble / (5000 - trueMembers.size) < 0.2,
+      s"fp rate too high: ${fp.size}")
+    // deterministic: a second evaluation yields the identical pass set
+    assert(SketchOps.bloomFilterProbe(probe, "k", idx)
+      .collect().map(_.getLong(0)).toSet == passed)
+  }
+
+  test("validateGraph: each rule class fires exactly once; conforming subjects emit nothing") {
+    val s = spark
+    import s.implicits._
+    val intT = "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"
+    val badT = "\"five\"^^<http://www.w3.org/2001/XMLSchema#integer>"
+    val tri = Seq(
+      // clean subject: every rule satisfied
+      ("<ok>", "<p:lang>", "\"en\""), ("<ok>", "<p:n>", intT),
+      // missing <p:n>; lang outside the enum
+      ("<m>", "<p:lang>", "\"xx\""),
+      // cardinality breach on lang; malformed integer
+      ("<c>", "<p:lang>", "\"en\""), ("<c>", "<p:lang>", "\"de\""), ("<c>", "<p:n>", badT))
+      .toDF("subj", "pred", "obj")
+    val got = GraphOps.validateGraph(tri, Seq(
+      GraphOps.PropRule("<p:lang>", oneOf = Some(Seq("\"en\"", "\"de\""))),
+      GraphOps.PropRule("<p:n>", integerTyped = true)))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("<m>", "missing:<p:n>"), ("<m>", "enum:<p:lang>"),
+      ("<c>", "cardinality:<p:lang>"), ("<c>", "bad_integer:<p:n>")))
+  }
+
   test("pathClosure: min hops through diamonds and cycles; depth bound respected") {
     val s = spark
     import s.implicits._
