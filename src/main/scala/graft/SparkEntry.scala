@@ -421,6 +421,11 @@ object SparkEntry {
     // word 2-grams per doc (templated/degenerate text scores high)
     "td20_repetition" -> ((s, d) => TextOps.repetitionScores(t(s, d, "documents"))),
 
+    // OOV-rate quality signal against the corpus's own top-16 vocabulary
+    // (the synthetic corpus has 31 distinct tokens — 16 keeps the signal
+    // non-trivial); vocab broadcast, one shuffle-free doc-side pass
+    "td21_oov" -> ((s, d) => TextOps.oovRates(t(s, d, "documents"), vocabSize = 16)),
+
     // PII-style redaction scan over planted emails/urls: counts + the
     // redacted text's md5 (the replacement itself is value-checked)
     "td19_redaction" -> ((s, d) =>
@@ -485,6 +490,13 @@ object SparkEntry {
       EmbeddingOps.annIvfMultiProbe(t(s, d, "embeddings"), cells = 8, k = 5, nprobe = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))),
+
+    // PRODUCT QUANTIZATION (IVF+PQ's memory side): corpus compressed to
+    // 8 codes/vector, queries rank the whole corpus through an 8×4 ADC
+    // lookup table — codes, distances and ranking all integer-exact, so
+    // the oracle reproduces them verbatim
+    "emb09_ann_pq" -> ((s, d) =>
+      EmbeddingOps.annPq(t(s, d, "embeddings"), nQueries = 10, k = 5)),
 
     // -------------------------------------------------- multimodal stubs
     "mm01_image_meta" -> ((s, d) =>
@@ -1096,6 +1108,51 @@ object SparkEntry {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** DuckDB twin of [[EmbeddingOps.annPq]], codeword literals generated
+    * from the same [[EmbeddingOps.pqCodeword]] seeds so impl and oracle
+    * cannot drift; every (vector, subspace, codeword) distance, the argmin
+    * codes, and the ADC sums are exact integers.
+    */
+  private val pqOracle: String = {
+    val cwRows = (for {
+      m <- 0 until EmbeddingOps.PqM
+      k <- 0 until EmbeddingOps.PqK
+    } yield {
+      val c = EmbeddingOps.pqCodeword(m, k)
+      s"SELECT $m AS m, $k AS k, ${c.mkString("[", ", ", "]")} AS c"
+    }).mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+       |  FROM embeddings
+       |), cw AS (
+       |$cwRows
+       |), sd AS (
+       |  SELECT g.vec_id, cw.m, cw.k,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_slice(g.g, cw.m * ${EmbeddingOps.PqSubDim} + 1,
+       |                          cw.m * ${EmbeddingOps.PqSubDim} + ${EmbeddingOps.PqSubDim}), cw.c),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cw
+       |), codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) rn
+       |    FROM sd)
+       |  WHERE rn = 1
+       |), qd AS (
+       |  SELECT vec_id AS qid, m, k, d FROM sd WHERE vec_id < 10
+       |), adc AS (
+       |  SELECT qd.qid, c.vec_id AS vid, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN qd ON qd.m = c.m AND qd.k = c.code
+       |  WHERE c.vec_id <> qd.qid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vid AS neighbor_id, adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vid ASC) rn
+       |      FROM adc)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** Shared CTE prefix of the graph-analytics oracles — the SQL twin of
     * [[GraphAnalytics.syntheticEdges]] (tree d → d⌊/2⌋ + chord triangles at
     * every multiple of 4, endpoints closed over the id set) plus the
@@ -1287,6 +1344,22 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     "q40_bloom_prejoin" -> graft.ops.SketchOps.bloomSemiJoinSql("l_returnflag"),
+
+    "td21_oov" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |), voc AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS n FROM tk GROUP BY 1
+        |    ORDER BY n DESC, token ASC LIMIT 16)
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS oov_ratio
+        |FROM tk LEFT JOIN voc v ON v.token = tk.token
+        |GROUP BY 1""".stripMargin,
 
     // violations derivable in closed form from the planting arithmetic —
     // an INDEPENDENT oracle path (never re-runs the validator)
@@ -1588,6 +1661,8 @@ object SparkEntry {
     "emb07_ann_ivf_nprobe" -> ivfNprobeOracle,
 
     "emb08_kmeans" -> kmeansOracle,
+
+    "emb09_ann_pq" -> pqOracle,
 
     "mm01_image_meta" ->
       """SELECT doc_id,

@@ -426,6 +426,95 @@ object EmbeddingOps {
       gridded(embeddings).withColumn("cell", ivfCellExpr(cells, dims)),
       "cell", k)
 
+  // ------------------------------------------------- product quantization
+  // (emb09): the memory side of the canonical IVF+PQ ANN stack (Jégou,
+  // Douze & Schmid, "Product quantization for nearest neighbor search",
+  // TPAMI 2011). Vectors compress to M small codes (one per subspace);
+  // queries score the WHOLE corpus through an M×K lookup table (asymmetric
+  // distance, ADC) instead of touching raw vectors — at 100 TB the corpus
+  // codes are ~64× smaller than the embeddings and the scan is
+  // table-lookups, not multiply-adds. Codewords are deterministic md5-grid
+  // vectors and every distance is an exact integer sum, so the DuckDB
+  // oracle reproduces codes, ADC distances and the final ranking exactly.
+
+  val PqM = 8      // subspaces
+  val PqSubDim = 8 // dims per subspace (PqM × PqSubDim = 64)
+  val PqK = 4      // codewords per subspace
+
+  /** Codeword (m, k): deterministic md5-grid subvector in [-1000, 1000]. */
+  def pqCodeword(m: Int, k: Int): Array[Long] =
+    Array.tabulate(PqSubDim)(i => (TextOps.md5Hash60(s"pq$m:$k:$i") % 2001L) - 1000L)
+
+  /** Column: exact integer distance of grid subvector m to codeword (m,k)
+    * (codeword sliced to the subvector length — ragged guard).
+    */
+  private def pqSubDistExpr(m: Int, k: Int): org.apache.spark.sql.Column = {
+    val sub = slice(col("g"), lit(m * PqSubDim + 1), lit(PqSubDim))
+    val cS = slice(array(pqCodeword(m, k).map(lit(_)): _*), lit(1), size(sub))
+    aggregate(zip_with(sub, cS, (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
+  }
+
+  /** Column: subspace m's code = argmin over codewords (ties → lowest k). */
+  private def pqCodeExpr(m: Int): org.apache.spark.sql.Column =
+    transform(sort_array(array((0 until PqK).map(k =>
+      struct(pqSubDistExpr(m, k).as("d"), lit(k).as("k"))): _*), asc = true),
+      s => s.getField("k")).getItem(0)
+
+  /** (vec_id, code): M-code PQ encoding — one zero-shuffle projection. */
+  def pqEncode(embeddings: DataFrame): DataFrame =
+    gridded(embeddings)
+      .select(col("vec_id"), array((0 until PqM).map(pqCodeExpr): _*).as("code"))
+
+  /** ADC top-k: each query precomputes its M×K distance table (driver-side
+    * from the SAME integer arithmetic, bounded by [[MaxBroadcastQueries]]),
+    * the corpus streams its CODES through a broadcast lookup — the
+    * [[annBruteForce]] shape, but each comparison is M table lookups on an
+    * M-byte code instead of a dims-long multiply-add.
+    */
+  def annPq(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    require(nQueries <= MaxBroadcastQueries,
+      s"annPq broadcasts the query tables; nQueries=$nQueries exceeds $MaxBroadcastQueries")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val queries = gridded(embeddings.filter(col("vec_id") < nQueries))
+      .select(col("vec_id"), col("g")).as[(Long, Array[Long])].collect().sortBy(_._1)
+      .map { case (qid, g) =>
+        val dtab = Array.tabulate(PqM, PqK) { (m, kk) =>
+          val cw = pqCodeword(m, kk)
+          var d = 0L
+          var i = 0
+          val n = math.min(PqSubDim, math.max(g.length - m * PqSubDim, 0))
+          while (i < n) {
+            val diff = g(m * PqSubDim + i) - cw(i)
+            d += diff * diff
+            i += 1
+          }
+          d
+        }
+        (qid, dtab)
+      }
+    val qBc = spark.sparkContext.broadcast(queries)
+    val scored = pqEncode(embeddings).as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = qBc.value
+        it.flatMap { case (vid, code) =>
+          qs.iterator.filter(_._1 != vid).map { case (qid, dtab) =>
+            var adc = 0L
+            var m = 0
+            while (m < PqM) { adc += dtab(m)(code(m)); m += 1 }
+            (qid, vid, adc)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "adc_dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adc_dist"))
+  }
+
   // -------------------------------------------------------- learned coarse
   // quantizer: Lloyd refinement of the md5 seed centroids. This closes the
   // "centroids not learned" gap of [[annIvf]]: the same deterministic seeds

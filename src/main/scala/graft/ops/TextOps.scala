@@ -738,6 +738,31 @@ object TextOps {
       s"transform(sequence(1, greatest(length(substring(text, 1, $prefixLen)) - ${ShingleLen - 1}, 1)), " +
         s"i -> substring(substring(text, 1, $prefixLen), i, $ShingleLen))")))
 
+  /** OUT-OF-VOCABULARY rate — the rare-token quality signal (a cheap
+    * perplexity proxy): the corpus's top-`vocabSize` tokens by frequency
+    * form the vocabulary (total order (count DESC, token ASC), so the
+    * boundary is deterministic on both engines); each document scores the
+    * fraction of its token OCCURRENCES outside it. Two passes by nature
+    * (vocabulary is a corpus-level artifact): the vocab build is one
+    * map-side-combined aggregate + TakeOrdered (never a full sort), then
+    * ONE shuffle-free doc-side pass — the vocabulary is BROADCAST, tokens
+    * probe it with a left join, per-doc counts aggregate map-side on the
+    * already-doc-clustered explode.
+    */
+  def oovRates(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize must be >= 1")
+    val toks = documents.select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1).as("_inv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** REPETITION quality score (the Gopher/C4 rule family): the fraction
     * of a document's word 2-grams that are repeats — templated or
     * degenerate text (keyword stuffing, boilerplate loops) scores high

@@ -891,6 +891,47 @@ class OpsSpec extends AnyFunSuite {
       .collect()(0).getLong(1) == 1000L)
   }
 
+  test("oovRates: hand-computed rates against a size-1 vocabulary") {
+    val d = docs(
+      (1L, "aa aa bb", "en", "s", 0L),  // aa×2 dominates the corpus vocab
+      (2L, "aa cc cc cc", "en", "s", 0L),
+      (3L, "aa", "en", "s", 0L))
+    // corpus counts: aa=4, cc=3, bb=1 → top-1 vocab = {aa}
+    val got = TextOps.oovRates(d, vocabSize = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 0.3333)))
+    assert(got(2L) == ((4L, 3L, 0.75)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+  }
+
+  test("annPq: ADC top-1 stays within the planted cluster; codes deterministic") {
+    val s = spark
+    import s.implicits._
+    val dims = 64
+    val centers = Seq(
+      Array.fill(dims)(0.9f),
+      Array.tabulate(dims)(i => if (i % 2 == 0) -0.9f else 0.9f),
+      Array.fill(dims)(-0.9f))
+    val vecs = (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.002f * ((i * 7) % 5 - 2)), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val top1 = EmbeddingOps.annPq(vecs, nQueries = 9, k = 1)
+      .join(vecs.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+        Seq("query_id"))
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        Seq("neighbor_id"))
+      .select(col("q_label"), col("n_label")).collect()
+    assert(top1.nonEmpty && top1.forall(r => r.getInt(0) == r.getInt(1)),
+      "an ADC top-1 neighbor crossed planted clusters")
+    // encoding is a pure function: identical vectors share codes
+    val codes = EmbeddingOps.pqEncode(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) != codes(1L) || centers(0).sameElements(centers(1)))
+    assert(EmbeddingOps.pqEncode(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap == codes)
+  }
+
   test("repetitionScores: hand-computed 2-gram repetition; short docs score 0") {
     val d = docs(
       (1L, "a b a b a", "en", "s", 0L),   // grams: ab,ba,ab,ba → 4, distinct 2
