@@ -498,6 +498,13 @@ object SparkEntry {
     "emb09_ann_pq" -> ((s, d) =>
       EmbeddingOps.annPq(t(s, d, "embeddings"), nQueries = 10, k = 5)),
 
+    // the FULL IVF+PQ stack: coarse cells prune candidates (nprobe=2),
+    // PQ codes rank them via the ADC table — candidates ~N/4, scan
+    // touches 8-byte codes; ranking integer-exact on both engines
+    "emb10_ann_ivfpq" -> ((s, d) =>
+      EmbeddingOps.annIvfPq(t(s, d, "embeddings"), cells = 8, k = 5,
+        nQueries = 10, nprobe = 2)),
+
     // -------------------------------------------------- multimodal stubs
     "mm01_image_meta" -> ((s, d) =>
       MultimodalOps.imageMetadata(t(s, d, "documents"))
@@ -1153,6 +1160,72 @@ object SparkEntry {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** DuckDB twin of [[EmbeddingOps.annIvfPq]] — the ivfNprobe cell-ranking
+    * CTEs composed with the PQ code/ADC CTEs; candidates restricted to the
+    * query's nprobe=2 nearest cells, ranked by exact-integer ADC.
+    */
+  private val ivfPqOracle: String = {
+    val cents = (0 until EmbeddingOps.IvfCells).map { k =>
+      val c = EmbeddingOps.ivfCentroid(k, 64)
+      val norm = c.map(x => x * x).sum
+      s"SELECT $k AS k, ${c.mkString("[", ", ", "]")} AS c, CAST($norm AS BIGINT) AS cnorm"
+    }.mkString("\nUNION ALL\n")
+    val cwRows = (for {
+      m <- 0 until EmbeddingOps.PqM
+      k <- 0 until EmbeddingOps.PqK
+    } yield {
+      val c = EmbeddingOps.pqCodeword(m, k)
+      s"SELECT $m AS m, $k AS k, ${c.mkString("[", ", ", "]")} AS c"
+    }).mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+       |  FROM embeddings
+       |), cent AS (
+       |$cents
+       |), assignc AS (
+       |  SELECT vec_id, g, k,
+       |    cnorm - 2 * CAST(list_sum(list_transform(list_zip(g, c), p -> p[1] * p[2])) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cent
+       |), rankedc AS (
+       |  SELECT vec_id, k AS cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d ASC, k ASC) AS rn
+       |  FROM assignc
+       |), corpcell AS (
+       |  SELECT vec_id, cell FROM rankedc WHERE rn = 1
+       |), qcells AS (
+       |  SELECT vec_id AS qid, cell FROM rankedc WHERE rn <= 2 AND vec_id < 10
+       |), cw AS (
+       |$cwRows
+       |), sd AS (
+       |  SELECT g.vec_id, cw.m, cw.k,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_slice(g.g, cw.m * ${EmbeddingOps.PqSubDim} + 1,
+       |                          cw.m * ${EmbeddingOps.PqSubDim} + ${EmbeddingOps.PqSubDim}), cw.c),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cw
+       |), codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) rn
+       |    FROM sd)
+       |  WHERE rn = 1
+       |), qd AS (
+       |  SELECT vec_id AS qid, m, k, d FROM sd WHERE vec_id < 10
+       |), adc AS (
+       |  SELECT qd.qid, c.vec_id AS vid, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+       |  FROM codes c
+       |  JOIN qd ON qd.m = c.m AND qd.k = c.code
+       |  JOIN corpcell cc ON cc.vec_id = c.vec_id
+       |  JOIN qcells qc ON qc.qid = qd.qid AND qc.cell = cc.cell
+       |  WHERE c.vec_id <> qd.qid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vid AS neighbor_id, adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vid ASC) rn
+       |      FROM adc)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** Shared CTE prefix of the graph-analytics oracles — the SQL twin of
     * [[GraphAnalytics.syntheticEdges]] (tree d → d⌊/2⌋ + chord triangles at
     * every multiple of 4, endpoints closed over the id set) plus the
@@ -1663,6 +1736,8 @@ object SparkEntry {
     "emb08_kmeans" -> kmeansOracle,
 
     "emb09_ann_pq" -> pqOracle,
+
+    "emb10_ann_ivfpq" -> ivfPqOracle,
 
     "mm01_image_meta" ->
       """SELECT doc_id,

@@ -515,6 +515,71 @@ object EmbeddingOps {
         col("neighbor_id"), col("adc_dist"))
   }
 
+  /** The FULL IVF+PQ stack (emb10): the coarse quantizer prunes each
+    * query's candidates to its `nprobe` nearest cells (~N·nprobe/cells),
+    * and PQ asymmetric distance ranks those candidates through the M×K
+    * lookup table — at 100 TB the scan touches M-byte codes of a cell
+    * subset, never raw vectors of the corpus. Corpus side is ONE
+    * zero-shuffle projection (cell + code in the same select); query side
+    * is a driver-built (probe-set, distance-table) broadcast, bounded by
+    * [[MaxBroadcastQueries]]. Integer-exact end to end (cell argmin, codes,
+    * ADC sums), so the oracle reproduces the ranking verbatim.
+    */
+  def annIvfPq(
+      embeddings: DataFrame, cells: Int = IvfCells, k: Int,
+      nQueries: Int = 10, nprobe: Int = 1, dims: Int = 64): DataFrame = {
+    require(nQueries <= MaxBroadcastQueries,
+      s"annIvfPq broadcasts the query tables; nQueries=$nQueries exceeds $MaxBroadcastQueries")
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe=$nprobe out of 1..$cells")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = gridded(embeddings)
+      .select(col("vec_id"), ivfCellExpr(cells, dims).cast("int").as("cell"),
+        array((0 until PqM).map(pqCodeExpr): _*).as("code"))
+      .as[(Long, Int, Array[Int])]
+    val qs = gridded(embeddings.filter(col("vec_id") < nQueries))
+      .select(col("vec_id"), col("g"),
+        ivfCellsRankedExpr(cells, dims).as("ranked"))
+      .as[(Long, Array[Long], Array[Int])].collect().sortBy(_._1)
+      .map { case (qid, g, ranked) =>
+        val probe = ranked.take(nprobe).toSet
+        val dtab = Array.tabulate(PqM, PqK) { (m, kk) =>
+          val cw = pqCodeword(m, kk)
+          var d = 0L
+          var i = 0
+          val n = math.min(PqSubDim, math.max(g.length - m * PqSubDim, 0))
+          while (i < n) {
+            val diff = g(m * PqSubDim + i) - cw(i)
+            d += diff * diff
+            i += 1
+          }
+          d
+        }
+        (qid, probe, dtab)
+      }
+    val qBc = spark.sparkContext.broadcast(qs)
+    val scored = corpus.mapPartitions { it =>
+      val queries = qBc.value
+      it.flatMap { case (vid, cell, code) =>
+        queries.iterator
+          .filter { case (qid, probe, _) => qid != vid && probe.contains(cell) }
+          .map { case (qid, _, dtab) =>
+            var adc = 0L
+            var m = 0
+            while (m < PqM) { adc += dtab(m)(code(m)); m += 1 }
+            (qid, vid, adc)
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "adc_dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adc_dist"))
+  }
+
   // -------------------------------------------------------- learned coarse
   // quantizer: Lloyd refinement of the md5 seed centroids. This closes the
   // "centroids not learned" gap of [[annIvf]]: the same deterministic seeds
