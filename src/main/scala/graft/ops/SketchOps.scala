@@ -333,20 +333,21 @@ object SketchOps {
     build.select(explode(array((0 until BloomK).map(j =>
       bloomIdx(col(keyCol), j)): _*)).as("bf_idx")).distinct()
 
-  /** Probe: keep the rows whose EVERY index is present — [[BloomK]]
-    * broadcast left-joins plus a conjunction filter, zero exchange on the
-    * probe side (the property that makes the pre-filter worth it).
+  /** Probe: keep the rows whose EVERY index is present. The index set —
+    * bounded by [[BloomBits]] regardless of build cardinality — collects
+    * once and compiles into a BITMAP LITERAL, so the probe is a pure
+    * codegen'd `element_at` filter: ZERO joins, ZERO exchanges on the
+    * probe side (plan-guarded) — the property that makes a pre-filter
+    * ahead of a shuffle join worth anything.
     */
   def bloomFilterProbe(probe: DataFrame, keyCol: String, idxSet: DataFrame): DataFrame = {
-    require(!probe.columns.exists(c => c.startsWith("_bf")),
-      "probe columns collide with bloom internals (_bf*)")
-    val bc = broadcast(idxSet)
-    val withFlags = (0 until BloomK).foldLeft(probe) { (df, j) =>
-      df.join(bc.select(col("bf_idx").as(s"_bf$j")),
-        bloomIdx(col(keyCol), j) === col(s"_bf$j"), "left")
-    }
-    (0 until BloomK).foldLeft(withFlags)((df, j) => df.filter(col(s"_bf$j").isNotNull))
-      .select(probe.columns.map(col): _*)
+    val bits = new Array[Int](BloomBits)
+    idxSet.collect().foreach(r => bits(r.getLong(0).toInt) = 1) // ≤ BloomBits rows
+    val bitsLit = typedLit(bits.toSeq)
+    val cond = (0 until BloomK).map { j =>
+      element_at(bitsLit, (bloomIdx(col(keyCol), j) + 1L).cast("int")) === 1
+    }.reduce(_ && _)
+    probe.filter(cond)
   }
 
   /** DuckDB twin of the q40 composition over lineitem×part: per-group

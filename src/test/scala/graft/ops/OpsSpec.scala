@@ -966,6 +966,11 @@ class OpsSpec extends AnyFunSuite {
     // deterministic: a second evaluation yields the identical pass set
     assert(SketchOps.bloomFilterProbe(probe, "k", idx)
       .collect().map(_.getLong(0)).toSet == passed)
+    // the probe is a PURE FILTER: no joins, no exchanges on the probe side
+    val plan = SketchOps.bloomFilterProbe(probe, "k", idx)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      "bloom probe is not a pure filter:\n" + plan.take(800))
   }
 
   test("validateGraph: each rule class fires exactly once; conforming subjects emit nothing") {
