@@ -320,7 +320,11 @@ object SketchOps {
     * positive sets EXACTLY (salted-md5 indexes, k = [[BloomK]]).
     * Guarantee: no false negatives — every true match passes; false
     * positives are bounded by the standard (1 − e^{−kn/m})^k and are
-    * COUNTED in the q40 output rather than hidden.
+    * COUNTED in the q40 output rather than hidden. The salted-md5 index
+    * is the cross-engine-checkable choice (the q40 bench time is mostly
+    * the k md5 evaluations per probe row); a production deployment swaps
+    * in xxhash64 for much cheaper probes — the structure (bitmap literal,
+    * zero-exchange pure filter) is unchanged.
     */
   val BloomBits = 4096
   val BloomK = 3
