@@ -744,10 +744,11 @@ object TextOps {
     * boundary is deterministic on both engines); each document scores the
     * fraction of its token OCCURRENCES outside it. Two passes by nature
     * (vocabulary is a corpus-level artifact): the vocab build is one
-    * map-side-combined aggregate + TakeOrdered (never a full sort), then
-    * ONE shuffle-free doc-side pass — the vocabulary is BROADCAST, tokens
-    * probe it with a left join, per-doc counts aggregate map-side on the
-    * already-doc-clustered explode.
+    * map-side-combined aggregate + TakeOrdered (never a full sort); the
+    * doc-side pass BROADCASTS the vocabulary and probes it with a left
+    * join, so the heavy token stream is never exchanged — each doc's
+    * tokens sit in one task and map-side combine collapses them, leaving
+    * only tiny per-doc count rows in the final exchange.
     */
   def oovRates(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
     require(vocabSize >= 1, s"vocabSize=$vocabSize must be >= 1")
