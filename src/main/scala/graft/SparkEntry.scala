@@ -443,6 +443,20 @@ object SparkEntry {
     // merge table — token counts a trainer budgets with, not piece counts
     "td13_bpe_merges" -> ((s, d) => TextOps.bpeMergeCounts(t(s, d, "documents"))),
 
+    // BPE tokenizer TRAINING: the iterative corpus-scale pair-count →
+    // arg-max → re-segment loop (Sennrich et al.); the LEARNED merge
+    // table itself is the value-checked result — the oracle unrolls all
+    // 8 iterations in SQL (placeholder-symbol space, like td13's chain)
+    "td22_bpe_train" -> ((s, d) => TextOps.bpeTrainTable(t(s, d, "documents"), BpeTrainK)),
+
+    // train-then-tokenize end-to-end: per-doc token counts under the
+    // table td22 just learned (the learned rules ride the plan as K
+    // codegen'd literal replaces — zero shuffle on the apply side)
+    "td23_bpe_train_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.bpeApplyLearnedCounts(docs, TextOps.bpeTrain(docs, BpeTrainK))
+    }),
+
     "td11_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(t(s, d, "documents"))),
 
     // --------------------------------------------------- similarity search
@@ -865,6 +879,86 @@ object SparkEntry {
        |    - coalesce(list_sum(list_transform($pieces, w -> len($chain))), 0) AS BIGINT)
        |    AS n_merges
        |FROM documents""".stripMargin
+  }
+
+  /** Number of merges the td22/td23 BPE-training queries learn — small
+    * enough that the DuckDB oracle can unroll every training iteration
+    * exactly (the kg15 PageRank unrolling discipline).
+    */
+  val BpeTrainK = 8
+
+  private val BpePiecesSql =
+    """regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+')"""
+
+  /** Shared CTE chain of the BPE-training oracles: the same vocabulary →
+    * pair-count → arg-max → re-segment loop as [[TextOps.bpeTrain]],
+    * unrolled `k` times in placeholder-symbol space (merged symbol `i` =
+    * `chr(0xE000 + i)`, exactly the trainer's private-use chars). CTEs are
+    * MATERIALIZED: each level is referenced by every later level and
+    * DuckDB would otherwise inline the chain exponentially.
+    */
+  private def bpeTrainCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""v0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest($BpePiecesSql) AS w FROM documents) GROUP BY 1)""".stripMargin
+    for (i <- 0 until k) {
+      sb ++= s""",
+         |p$i AS (
+         |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, SUM(f) AS n
+         |  FROM v$i, unnest(generate_series(1, len(w) - 1)) u(i) GROUP BY 1),
+         |b$i AS MATERIALIZED (
+         |  SELECT pair, CAST(n AS BIGINT) AS n FROM p$i ORDER BY n DESC, pair ASC LIMIT 1)""".stripMargin
+      if (i < k - 1)
+        sb ++= s""",
+           |v${i + 1} AS MATERIALIZED (
+           |  SELECT replace(v$i.w, b$i.pair, chr(${0xE000 + i})) AS w, f FROM v$i, b$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** DuckDB twin of [[TextOps.bpeTrainTable]]: the learned (rank, lhs,
+    * rhs, n) table with placeholder symbols decoded back to original
+    * characters (`d$i` = rank i's full expansion; a rank's sides decode
+    * through the expansions of every earlier rank, latest first).
+    */
+  private val bpeTrainOracle: String = {
+    val k = BpeTrainK
+    def dec(e: String, upto: Int): String =
+      (upto - 1 to 0 by -1).foldLeft(e)((acc, j) =>
+        s"replace($acc, chr(${0xE000 + j}), d$j.fp)")
+    val decodes = (0 until k).map { i =>
+      s"d$i AS (SELECT ${dec(s"b$i.pair", i)} AS fp FROM " +
+        (s"b$i" +: (0 until i).map(j => s"d$j")).mkString(", ") + ")"
+    }.mkString(",\n")
+    val branches = (0 until k).map { i =>
+      val from = (s"b$i" +: (0 until i).map(j => s"d$j")).mkString(", ")
+      s"""SELECT CAST($i AS BIGINT) AS rank,
+         |  ${dec(s"substr(b$i.pair, 1, 1)", i)} AS lhs,
+         |  ${dec(s"substr(b$i.pair, 2, 1)", i)} AS rhs,
+         |  b$i.n AS n
+         |FROM $from""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainCtes(k)},
+       |$decodes
+       |$branches""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextOps.bpeApplyLearnedCounts]] over the table the
+    * training CTEs just learned: per-doc token counts via the same
+    * symbol-space replace chain in rank order (the 1-row `b$i` CTEs cross
+    * join in as literal columns the list lambda captures).
+    */
+  private val bpeTrainApplyOracle: String = {
+    val k = BpeTrainK
+    val chain = (0 until k).foldLeft("w")((acc, i) =>
+      s"replace($acc, b$i.pair, chr(${0xE000 + i}))")
+    val from = ("documents" +: (0 until k).map(j => s"b$j")).mkString(", ")
+    s"""WITH ${bpeTrainCtes(k)}
+       |SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform($BpePiecesSql, w -> len($chain))), 0) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM $from""".stripMargin
   }
 
   /** DuckDB twin of [[TextOps.minHashBandPairs]], generated from the same
@@ -1609,6 +1703,8 @@ object SparkEntry {
     "td11_rolling_fingerprint" -> rollingOracle,
 
     "td13_bpe_merges" -> bpeOracle,
+    "td22_bpe_train" -> bpeTrainOracle,
+    "td23_bpe_train_apply" -> bpeTrainApplyOracle,
 
     "td14_dedup_clusters" -> dedupClustersOracle,
 

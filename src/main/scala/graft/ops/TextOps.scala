@@ -165,6 +165,123 @@ object TextOps {
       }.toDF("doc_id", "n_bpe_tokens", "n_merges")
   }
 
+  // ---------------------------------------------------- BPE tokenizer TRAINING
+
+  /** One learned BPE merge rule. `lhsSym`/`rhsSym`/`ph` are in SYMBOL space
+    * (each earlier merged symbol is one private-use char, `ph` = the fresh
+    * char this rule introduces — the same 0xE000+rank placeholders the
+    * DuckDB oracle uses); `lhs`/`rhs` are the decoded original-character
+    * strings a tokenizer artifact ships; `n` is the corpus pair count the
+    * rule won with.
+    */
+  final case class LearnedMerge(
+      rank: Int, lhsSym: String, rhsSym: String,
+      lhs: String, rhs: String, n: Long, ph: Char)
+
+  /** Distributed BPE tokenizer TRAINING — the iterative corpus-scale loop
+    * every real tokenizer build runs (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units"): count adjacent symbol
+    * pairs over the corpus, merge the arg-max pair, re-segment, repeat.
+    *
+    * Scale shape: the corpus is touched ONCE — the initial pre-tokenized
+    * piece count (map-side-combined groupBy) collapses it to a (word,
+    * freq) VOCABULARY table, and every subsequent iteration is
+    * vocabulary-bounded: pair extraction explodes each distinct word into
+    * its ≤ len−1 adjacent pairs (weighted by freq), one map-side-combined
+    * aggregate shuffles |distinct pairs| rows, and the driver collects
+    * exactly ONE row (the arg-max, deterministic tiebreak count DESC then
+    * pair ASC). Re-segmentation is a single codegen'd `replace` over the
+    * vocabulary (merged symbols are fresh private-use chars, so every
+    * symbol — original or merged — is exactly one char and adjacency stays
+    * a 2-char substring). Each round's vocabulary threads `checkpoint`
+    * ([[graft.pipeline.CheckpointPolicy]]) like every other iterative loop
+    * in the engine, so lineage stays O(1) and a cluster run survives
+    * executor loss with `Reliable(dir)`.
+    *
+    * Applying rules once each in ascending rank order equals the textbook
+    * lowest-rank-first loop for ANY table this trainer emits: a merge only
+    * creates longer fresh symbols, so an already-processed pair's
+    * adjacency can never reappear — the well-formedness argument of
+    * [[BpeMerges]], now guaranteed by construction rather than by
+    * inspection.
+    *
+    * Stops early (returns < `numMerges` rules) only if the vocabulary runs
+    * out of adjacent pairs.
+    */
+  def bpeTrain(
+      documents: DataFrame,
+      numMerges: Int = 8,
+      checkpoint: graft.pipeline.CheckpointPolicy = graft.pipeline.CheckpointPolicy.Local)
+      : Seq[LearnedMerge] = {
+    require(numMerges >= 1 && numMerges <= 256, s"numMerges=$numMerges out of range")
+    var words = checkpoint.truncate(
+      documents
+        .select(explode(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f")))
+    val learned = Vector.newBuilder[LearnedMerge]
+    val expansions = new scala.collection.mutable.ArrayBuffer[String](numMerges)
+    def decode(c: Char): String =
+      if (c >= 0xE000 && c < 0xE000 + expansions.length) expansions(c - 0xE000)
+      else c.toString
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = words
+        .filter(length(col("w")) >= 2)
+        .select(
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"),
+          col("f"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val n = top(0).getLong(1)
+        val ph = (0xE000 + rank).toChar
+        val (l, r) = (pair.charAt(0), pair.charAt(1))
+        val (lhs, rhs) = (decode(l), decode(r))
+        expansions += lhs + rhs
+        learned += LearnedMerge(rank, l.toString, r.toString, lhs, rhs, n, ph)
+        words = checkpoint.truncate(
+          words.withColumn("w", replace(col("w"), lit(pair), lit(ph.toString))))
+        rank += 1
+      }
+    }
+    learned.result()
+  }
+
+  /** The learned merge table as a DataFrame — (rank, lhs, rhs, n), decoded
+    * strings — the artifact a trained tokenizer ships (td22's surface).
+    */
+  def bpeTrainTable(documents: DataFrame, numMerges: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bpeTrain(documents, numMerges)
+      .map(m => (m.rank.toLong, m.lhs, m.rhs, m.n))
+      .toDF("rank", "lhs", "rhs", "n")
+  }
+
+  /** Apply a LEARNED merge table: per-document BPE token counts under the
+    * rules [[bpeTrain]] emitted — train-then-tokenize end-to-end. Pure
+    * codegen'd built-ins: the symbol-space replace chain in rank order IS
+    * the BPE apply (see [[bpeTrain]]'s well-formedness note), so each
+    * piece's token count is the length of its fully-merged symbol string;
+    * zero shuffle, zero UDF, the merge table rides the plan as K literal
+    * `replace` calls.
+    */
+  def bpeApplyLearnedCounts(documents: DataFrame, merges: Seq[LearnedMerge]): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    val chain = (w: Column) =>
+      merges.foldLeft(w)((acc, m) =>
+        replace(acc, lit(m.lhsSym + m.rhsSym), lit(m.ph.toString)))
+    documents.select(
+      col("doc_id"),
+      coalesce(aggregate(transform(pieces, w => length(chain(w)).cast("long")),
+        lit(0L), (a, x) => a + x), lit(0L)).as("n_bpe_tokens"))
+  }
+
   // ------------------------------------------- rolling-hash fingerprinting
 
   val RollWindow = 8

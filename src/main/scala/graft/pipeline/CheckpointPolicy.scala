@@ -60,7 +60,13 @@ object CheckpointPolicy {
       // subdir appended) — compare scheme-stripped paths or every round
       // would allocate a fresh subdirectory
       def path(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
-      val ok = sc.getCheckpointDir.exists(d => path(d).startsWith(path(dir)))
+      // compare on a directory BOUNDARY: a plain prefix test would match a
+      // sibling dir (dir=/data/ck vs an existing /data/ck2/<uuid>) and keep
+      // checkpointing into another policy's directory
+      val base = path(dir).stripSuffix("/")
+      val ok = sc.getCheckpointDir.exists { d =>
+        val p = path(d); p == base || p.startsWith(base + "/")
+      }
       if (!ok) sc.setCheckpointDir(dir)
     }
     def truncate(df: DataFrame): DataFrame = {

@@ -108,19 +108,22 @@ object Linking {
   def block(
       mentions: DataFrame,
       dict: Dataset[EntityAlias],
-      maxAliasBandBucket: Int = MaxAliasBandBucket): DataFrame = {
+      maxAliasBandBucket: Int = MaxAliasBandBucket,
+      auditQuarantine: Boolean = false): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
-    // quarantine audit BEFORE the capped join plans: one cheap aggregate
-    // over the dictionary side (it broadcasts — tiny next to the mention
-    // table). A flooded alias universe is a data-quality event the
-    // operator must surface, not silently absorb.
-    val nHotBuckets = aliasHotBands(dict, maxAliasBandBucket).count()
-    if (nHotBuckets > 0)
-      logger.warn(s"Linking.block: quarantined $nHotBuckets alias band-bucket(s) " +
-        s"larger than $maxAliasBandBucket from the LSH band join " +
-        "(exact-match recall unaffected; see Linking.aliasHotBands)")
+    // quarantine audit (opt-in): a flooded alias universe is a
+    // data-quality event worth surfacing, but the audit is its own Spark
+    // job over the dictionary, so the common unflooded path doesn't pay it
+    // per call — [[aliasHotBands]] stays the offline surface either way.
+    if (auditQuarantine) {
+      val nHotBuckets = aliasHotBands(dict, maxAliasBandBucket).count()
+      if (nHotBuckets > 0)
+        logger.warn(s"Linking.block: quarantined $nHotBuckets alias band-bucket(s) " +
+          s"larger than $maxAliasBandBucket from the LSH band join " +
+          "(exact-match recall unaffected; see Linking.aliasHotBands)")
+    }
 
     // distinct surfaces only — the band fan-out runs once per unique string,
     // not once per occurrence (mentions of hot entities are heavily skewed).

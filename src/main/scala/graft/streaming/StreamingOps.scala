@@ -416,8 +416,15 @@ object StreamingOps {
         .option("checkpointLocation", chk)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // write-vs-merge decided through the Hadoop FileSystem API (not
+          // java.io.File): the graph path is a DFS location in the
+          // cluster-scale deployment this op narrates, where a local-file
+          // check would always be false and every micro-batch would
+          // silently FULL-OVERWRITE the graph instead of merging.
+          val success = new org.apache.hadoop.fs.Path(s"$graph/_SUCCESS")
+          val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (batch.isEmpty) ()
-          else if (!new java.io.File(s"$graph/_SUCCESS").exists())
+          else if (!fs.exists(success))
             graft.pipeline.Materialize.write(toRows(batch), graph)
           else
             graft.pipeline.Materialize.mergeDelta(spark, graph, toRows(batch))

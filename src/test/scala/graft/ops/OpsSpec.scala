@@ -76,6 +76,32 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getLong(2) == (23L - 10L), s"merges=${row.getLong(2)}")
   }
 
+  test("BPE training: learns hand-computed merges, decodes symbols, stops when dry") {
+    // vocab: aa×3 ab×2 → rank0 (a,a) n=3; then ab×2 → rank1 (a,b) n=2;
+    // then every word is one symbol → exhausted (2 of the 4 asked-for rules)
+    val d1 = docs((1L, "aa ab aa ab aa", "en", "s", 0L))
+    val m1 = TextOps.bpeTrain(d1, numMerges = 4)
+    assert(m1.map(m => (m.rank, m.lhs, m.rhs, m.n)) ==
+      Seq((0, "a", "a", 3L), (1, "a", "b", 2L)))
+
+    // multi-char decode: "abab" → rank0 (a,b) n=2 (overlap-free count),
+    // word becomes ph0 ph0 → rank1 merges (ab, ab) — lhs/rhs decode to "ab"
+    val d2 = docs((1L, "abab", "en", "s", 0L))
+    val m2 = TextOps.bpeTrain(d2, numMerges = 2)
+    assert(m2.map(m => (m.rank, m.lhs, m.rhs, m.n)) ==
+      Seq((0, "a", "b", 2L), (1, "ab", "ab", 1L)))
+
+    // deterministic tiebreak: ab and ba both count 1 → lexicographic min wins
+    val d3 = docs((1L, "ab ba", "en", "s", 0L))
+    assert(TextOps.bpeTrain(d3, numMerges = 1).head.lhs == "a")
+
+    // applying the learned table reproduces the training segmentation:
+    // abab → 1 token, aa → 2 (no (a,a) rule learned from d2)
+    val applied = TextOps.bpeApplyLearnedCounts(
+      docs((1L, "abab aa", "en", "s", 0L)), m2).collect()(0)
+    assert(applied.getLong(1) == 3L, s"tokens=${applied.getLong(1)}")
+  }
+
   test("lang-id predicts correctly on real multilingual snippets") {
     val d = docs(
       (1L, "the cat sat on the mat and it is a good day to be in the sun", "x", "s", 0L),
