@@ -659,6 +659,30 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // LSM incremental maintenance: three corpus deltas APPEND under
+    // out/_delta (bytes ∝ delta — the write-amplification fix over kg22's
+    // per-partition overwrite), the third triggers compaction; the merged
+    // view == the full-corpus build
+    "kg28_lsm_merge" -> ((s, d) => {
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      def rows(df: DataFrame) = df.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg28_").toString
+      try {
+        graft.pipeline.Materialize.write(rows(tri.filter(col("doc_id") % 4 === 0)), dir)
+        (1 to 3).foreach(i =>
+          graft.pipeline.Materialize.mergeDeltaLsm(s, dir,
+            rows(tri.filter(col("doc_id") % 4 === i)), maxDeltaBatches = 3))
+        graft.pipeline.Materialize.readMerged(s, dir)
+          .select(col("subj"), col("pred"), col("obj"))
+          .localCheckpoint() // eager — the scratch graph dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // SHACL-lite validation: per-property cardinality/datatype/enum rules
     // over the constructed graph, one violation row per breach; four
     // corruption classes planted by doc-id arithmetic so every rule fires
@@ -1480,6 +1504,12 @@ object SparkEntry {
 
     // incremental (3-delivery) streaming merge must ALSO equal it
     "kg23_stream_graph_merge" ->
+      s"""SELECT subj, pred, obj FROM (
+         |$kg01Oracle
+         |)""".stripMargin,
+
+    // and the LSM append→compact path must ALSO equal it
+    "kg28_lsm_merge" ->
       s"""SELECT subj, pred, obj FROM (
          |$kg01Oracle
          |)""".stripMargin,

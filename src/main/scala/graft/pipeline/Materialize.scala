@@ -193,6 +193,125 @@ object Materialize {
       .parquet(out)
   }
 
+  // -------------------------------------------------- LSM-style delta path
+  //
+  // [[mergeDelta]] is CORRECT but its overwrite grain is a whole pred_hash
+  // partition: a daily delta holding even one rdf:type triple reads and
+  // rewrites the entire rdf:type bucket — at 100 TB a ~terabyte rewrite for
+  // a kilobyte delta, every batch. The LSM path bounds that write
+  // amplification the way every log-structured table format does:
+  // [[appendDelta]] lands each batch as APPEND-ONLY files under
+  // `out/_delta` (bytes written ∝ delta, never ∝ partition — spec-pinned
+  // on FS sizes), [[readMerged]] serves the merged view with dedup-on-read,
+  // and [[compact]] folds all accumulated deltas into the base in ONE
+  // touched-partition rewrite, amortizing the heavy overwrite across many
+  // cheap appends. `_delta` is underscore-prefixed, so [[read]] (and every
+  // plain parquet reader) ignores it and keeps seeing the consistent base.
+
+  private def deltaDir(out: String) = s"$out/_delta"
+  private def batchMarkerDir(out: String) = s"$out/_delta_batches"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** Append one delta batch under `out/_delta` (same schema + pred_hash
+    * partition layout as the base) plus a batch marker for the compaction
+    * trigger. Within-batch dedup only — cross-batch duplicates resolve at
+    * [[readMerged]]/[[compact]], so repeated appends of the same delta
+    * stay idempotent at the read surface.
+    */
+  def appendDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      delta: Dataset[TripleRow],
+      predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt): Unit = {
+    saltedDeduped(delta.toDF(), predBuckets, Map.empty, salt)
+      .write.mode("append").partitionBy("pred_hash").parquet(deltaDir(out))
+    val (fs, dir) = fsOf(spark, batchMarkerDir(out))
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir,
+      s"batch-${java.util.UUID.randomUUID()}"), false).close()
+  }
+
+  /** Number of delta batches appended since the last [[compact]]. */
+  def deltaBatchCount(spark: org.apache.spark.sql.SparkSession, out: String): Int = {
+    val (fs, dir) = fsOf(spark, batchMarkerDir(out))
+    if (fs.exists(dir)) fs.listStatus(dir).length else 0
+  }
+
+  /** The merged view: base ∪ pending deltas with the same deterministic
+    * (s,p,o) → min-provenance rule a full write applies. With no pending
+    * deltas this IS [[read]] — zero overhead; with deltas it costs one
+    * dedup exchange over the rows actually read (and pred_hash partition
+    * pruning on a predicate filter still applies to BOTH sides before it).
+    */
+  def readMerged(spark: org.apache.spark.sql.SparkSession, out: String): DataFrame = {
+    val (fs, dd) = fsOf(spark, deltaDir(out))
+    val base = read(spark, out)
+    if (!fs.exists(dd)) base
+    else
+      base.unionByName(spark.read.parquet(deltaDir(out)))
+        .groupBy(col("pred_hash"), col("subj"), col("pred"), col("obj"))
+        .agg(min(struct(col("src_url"), col("warc_ts"))).as("prov"))
+        .select(col("subj"), col("pred"), col("obj"),
+          col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
+          col("pred_hash"))
+  }
+
+  /** Fold all pending deltas into the base: one [[mergeDelta]]-shaped
+    * touched-partition rewrite (existing ∪ deltas through the one-exchange
+    * [[saltedDeduped]], dynamic partition overwrite, untouched partitions
+    * never listed or rewritten), then drop the delta log. No-op when no
+    * deltas are pending.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Unit = {
+    val (fs, dd) = fsOf(spark, deltaDir(out))
+    if (!fs.exists(dd)) return
+    val cols = Seq("subj", "pred", "obj", "src_url", "warc_ts").map(col)
+    val deltas = spark.read.parquet(deltaDir(out))
+    // partition discovery types pred_hash as int — cast before collecting
+    val touched = deltas.select(col("pred_hash").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // bounded by predBuckets, never by data
+    val existing = read(spark, out)
+      .filter(col("pred_hash").isin(touched: _*)).select(cols: _*)
+    val merged = checkpoint.truncate(
+      saltedDeduped(existing.unionByName(deltas.select(cols: _*)),
+        predBuckets, Map.empty, salt))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pred_hash")
+      .parquet(out)
+    fs.delete(dd, true)
+    val (bfs, bd) = fsOf(spark, batchMarkerDir(out))
+    bfs.delete(bd, true)
+  }
+
+  /** The LSM merge entry point: append the batch (cheap — bytes ∝ delta),
+    * compact once `maxDeltaBatches` have accumulated. The incremental-
+    * update path to prefer over [[mergeDelta]] when deltas are frequent
+    * and small relative to the partitions they touch.
+    */
+  def mergeDeltaLsm(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      delta: Dataset[TripleRow],
+      predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt,
+      maxDeltaBatches: Int = 8,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Unit = {
+    appendDelta(spark, out, delta, predBuckets, salt)
+    if (deltaBatchCount(spark, out) >= maxDeltaBatches)
+      compact(spark, out, predBuckets, salt, checkpoint)
+  }
+
   /** Single-predicate read that EXPLOITS the layout: the `pred_hash`
     * equality folds to a constant and prunes the scan to 1/predBuckets of
     * the partition directories (PartitionFilters in the plan), then the

@@ -399,6 +399,72 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("LSM delta path: append bytes ∝ delta (not partition), merged view exact, compact folds") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val out = Files.createTempDirectory("graft_lsm_").toString
+    def bytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.exists()) org.apache.commons.io.FileUtils.sizeOfDirectory(f) else 0L
+    }
+    try {
+      // fat hot-predicate base (unique subj/src so parquet can't collapse
+      // it) + one cold predicate whose partition no delta ever touches
+      val base = spark.range(20000)
+        .map(i => TripleRow(s"<s$i>", "<p:hot>", "\"o\"", s"u$i", ts))
+        .union(Seq(TripleRow("<c>", "<p:cold>", "\"c\"", "u", ts)).toDS())
+      Materialize.write(base, out)
+      val baseBytes = bytes(out)
+
+      // the write-amplification pin mergeDelta can't pass: a 1-row delta
+      // into the hot partition writes bytes ∝ the DELTA
+      Materialize.appendDelta(spark, out,
+        Seq(TripleRow("<sx>", "<p:hot>", "\"x\"", "u0", ts)).toDS())
+      val appended = bytes(out) - baseBytes
+      assert(appended > 0)
+      assert(appended < baseBytes / 10,
+        s"1-row append wrote $appended bytes against a $baseBytes-byte base")
+      assert(Materialize.deltaBatchCount(spark, out) == 1)
+
+      // merged view sees the delta; plain readers keep the consistent base
+      assert(Materialize.readMerged(spark, out).count() == 20002)
+      assert(Materialize.read(spark, out).count() == 20001)
+
+      // cross-batch duplicate with BETTER (min) provenance wins at read
+      Materialize.appendDelta(spark, out,
+        Seq(TripleRow("<s0>", "<p:hot>", "\"o\"", "a0", ts)).toDS())
+      val m = Materialize.readMerged(spark, out)
+      assert(m.count() == 20002)
+      assert(m.filter(org.apache.spark.sql.functions.col("subj") === "<s0>")
+        .select("src_url").collect()(0).getString(0) == "a0")
+
+      // third batch hits the threshold → compaction folds the log into the
+      // base and drops it; the cold partition's files stay byte-identical
+      val coldDir = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("pred_hash=")).map(_.toString)
+        .find(d => spark.read.parquet(d).filter(
+          org.apache.spark.sql.functions.col("pred") === "<p:cold>").count() > 0).get
+      def coldFiles() = new java.io.File(coldDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+      val coldBefore = coldFiles()
+      Materialize.mergeDeltaLsm(spark, out,
+        Seq(TripleRow("<sy>", "<p:hot>", "\"y\"", "u0", ts)).toDS(),
+        maxDeltaBatches = 3)
+      assert(Materialize.deltaBatchCount(spark, out) == 0)
+      assert(!new java.io.File(s"$out/_delta").exists(), "delta log not dropped")
+      assert(coldFiles() == coldBefore, "compaction rewrote an untouched partition")
+      val got = Materialize.read(spark, out)
+      assert(got.count() == 20003)
+      assert(got.filter(org.apache.spark.sql.functions.col("subj") === "<s0>")
+        .select("src_url").collect()(0).getString(0) == "a0",
+        "compaction lost the min-provenance dedup")
+      // post-compaction the merged view IS the base view
+      assert(Materialize.readMerged(spark, out).count() == 20003)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("readTurtleDir parses the 29-fixture corpus through Spark, zero rejects") {
     val dir = "src/test/resources/turtle/positive"
     val (triples, rejects) = graft.ops.GraphOps.readTurtleDir(spark, dir)
