@@ -726,6 +726,33 @@ object SparkEntry {
         .filter(col("n_chars") >= 200)
     }),
 
+    // CHAIN-shaped BGP with inferred join variables — the path query a
+    // star-only BGP cannot express: ?d p:lang "en" . ?d p:mentions ?e .
+    // ?e p:elabel ?lbl over doc-metadata ∪ mention ∪ entity-label triples
+    // (the KG's own bipartite structure); join order greedy sketch-driven
+    "kg26_bgp_chain" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      val mentions = GraphOps.mentionCounts(docs)
+      val mentionTriples = mentions.select(
+        concat(lit(s"<${GraphOps.DocPrefix}"), col("doc_id"), lit(">")).as("subj"),
+        lit(s"${P}mentions").as("pred"),
+        concat(lit("<http://graft.example/entity/"), col("term"), lit(">")).as("obj"))
+      val labelTriples = mentions.select(col("term")).distinct().select(
+        concat(lit("<http://graft.example/entity/"), col("term"), lit(">")).as("subj"),
+        lit(s"${P}elabel").as("pred"),
+        concat(lit("\""), col("term"), lit("\"")).as("obj"))
+      val triples = GraphOps.parseTurtle(docs).select(col("subj"), col("pred"), col("obj"))
+        .unionByName(mentionTriples).unionByName(labelTriples)
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      GraphOps.bgpChain(triples, Seq(
+        GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"en\"")),
+        GraphOps.ChainPattern("d", s"${P}mentions", oVar = Some("e")),
+        GraphOps.ChainPattern("e", s"${P}elabel", oVar = Some("lbl"))),
+        counts)
+        .select(col("d"), col("e"), col("lbl"))
+    }),
+
     // graph → table round-trip: one wide row per entity via explicit-values
     // pivot over its triples
     "kg19_assemble" -> ((s, d) => GraphOps.assembleEntities(t(s, d, "documents"))),
@@ -734,6 +761,15 @@ object SparkEntry {
     // edges from the real mention table (the graph kg12–kg15 style
     // analytics would consume in production)
     "kg16_entity_cooccur" -> ((s, d) => GraphOps.entityCooccurrence(t(s, d, "documents"))),
+
+    // analytics on the REAL constructed graph (not the synthetic forest):
+    // degree per entity over kg16's co-occurrence edges, value-checked
+    // against a mention-derived closed-form oracle
+    "kg27_cooccur_degree" -> ((s, d) => {
+      val edges = GraphOps.entityCooccurrence(t(s, d, "documents"))
+        .select(col("a").as("src"), col("b").as("dst"))
+      GraphAnalytics.degrees(edges).select(col("id").as("term"), col("degree"))
+    }),
 
     // incremental KG construction: the conformance parser under Structured
     // Streaming — triples emitted per micro-batch, per-doc counts aggregated
@@ -1964,6 +2000,34 @@ object SparkEntry {
          |  CAST((len(text) - len(replace(text, term, ''))) // len(term) AS BIGINT) AS n
          |FROM documents, (VALUES $mentionTermValues) terms(term)
          |WHERE len(text) - len(replace(text, term, '')) > 0""".stripMargin,
+
+    // co-occurrence degree: distinct co-mentioned partners per entity
+    "kg27_cooccur_degree" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, term
+         |  FROM documents, (VALUES $mentionTermValues) terms(term)
+         |  WHERE len(text) - len(replace(text, term, '')) > 0
+         |), pairs AS (
+         |  SELECT DISTINCT x.term AS a, y.term AS b
+         |  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.term < y.term
+         |)
+         |SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM (SELECT a AS t FROM pairs UNION ALL SELECT b AS t FROM pairs)
+         |GROUP BY 1""".stripMargin,
+
+    // 2-hop chain: en docs → mentioned entities → entity labels; the
+    // mention CTE is kg03's oracle re-derivation
+    "kg26_bgp_chain" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, term
+         |  FROM documents, (VALUES $mentionTermValues) terms(term)
+         |  WHERE len(text) - len(replace(text, term, '')) > 0
+         |)
+         |SELECT '<${GraphOps.DocPrefix}' || d.doc_id || '>' AS d,
+         |  '<http://graft.example/entity/' || m.term || '>' AS e,
+         |  '"' || m.term || '"' AS lbl
+         |FROM documents d JOIN m ON m.doc_id = d.doc_id
+         |WHERE d.lang = 'en'""".stripMargin,
 
     "kg04_cc" ->
       """WITH RECURSIVE walk(id, cur) AS (

@@ -378,6 +378,82 @@ object GraphOps {
       predCounts: Map[String, Long]): DataFrame =
     bgp((_: String) => triples, patterns, predCounts)
 
+  /** One pattern of a GENERAL basic graph pattern: the subject is a named
+    * variable, the predicate is bound, the object is a constant term, a
+    * named variable, or unconstrained-and-unprojected. Unlike
+    * [[TriplePattern]] the subject variable is explicit, so patterns can
+    * CHAIN (`?s p ?o . ?o q ?x` — `o` is pattern 1's object and pattern
+    * 2's subject), the second-most-common SPARQL shape a star-only BGP
+    * cannot express.
+    */
+  final case class ChainPattern(
+      sVar: String, pred: String,
+      oConst: Option[String] = None, oVar: Option[String] = None) {
+    require(oConst.isEmpty || oVar.isEmpty,
+      s"pattern on $pred binds the object both ways")
+    require(!oVar.contains(sVar), s"?$sVar p ?$sVar self-loops are not supported")
+    def vars: Set[String] = Set(sVar) ++ oVar
+    /** Same selectivity estimate as [[patternOrder]]. */
+    def estimate(predCounts: Map[String, Long]): (Long, String, String) = {
+      val n = predCounts.getOrElse(pred, Long.MaxValue / 16)
+      (if (oConst.isDefined) n / 10 else n, pred, sVar)
+    }
+  }
+
+  /** GENERAL n-pattern BGP with join variables INFERRED — chains, stars,
+    * and any connected mix. Join order is greedy sketch-driven: seed with
+    * the globally most selective pattern, then repeatedly join the most
+    * selective remaining pattern that SHARES a variable with the bound set
+    * (so the plan is always equi-joins on inferred variables — a
+    * disconnected pattern set is rejected rather than planned as a
+    * cartesian product). Each pattern's rows come from
+    * `patternSource(pred)` exactly as in [[bgp]]: on a
+    * [[graft.pipeline.Materialize]] graph table pass `readPred` so every
+    * pattern scans only its predicate's pred_hash partitions.
+    */
+  def bgpChain(
+      patternSource: String => DataFrame,
+      patterns: Seq[ChainPattern],
+      predCounts: Map[String, Long]): DataFrame = {
+    require(patterns.nonEmpty, "bgpChain needs at least one pattern")
+    val oVars = patterns.flatMap(_.oVar)
+    require(oVars.distinct.size == oVars.size,
+      s"duplicate object-variable binds: $oVars (join through the subject side)")
+    require(!patterns.flatMap(_.vars).exists(Set("subj", "pred", "obj")),
+      "variable names collide with triple columns")
+
+    def frame(p: ChainPattern): DataFrame = {
+      val base = patternSource(p.pred).filter(col("pred") === p.pred)
+      val filtered = p.oConst.map(o => base.filter(col("obj") === o)).getOrElse(base)
+      val cols = col("subj").as(p.sVar) +: p.oVar.map(v => col("obj").as(v)).toSeq
+      filtered.select(cols: _*)
+    }
+
+    val remaining = scala.collection.mutable.ArrayBuffer(patterns: _*)
+    val seed = remaining.minBy(_.estimate(predCounts))
+    remaining -= seed
+    var acc = frame(seed)
+    var bound = seed.vars
+    while (remaining.nonEmpty) {
+      val connected = remaining.filter(p => (p.vars & bound).nonEmpty)
+      require(connected.nonEmpty,
+        s"disconnected BGP: ${remaining.map(_.pred)} share no variable with $bound")
+      val next = connected.minBy(_.estimate(predCounts))
+      remaining -= next
+      val shared = (next.vars & bound).toSeq.sorted // deterministic join keys
+      acc = acc.join(frame(next), shared)
+      bound ++= next.vars
+    }
+    acc
+  }
+
+  /** [[bgpChain]] over an in-plan triple DataFrame. */
+  def bgpChain(
+      triples: DataFrame,
+      patterns: Seq[ChainPattern],
+      predCounts: Map[String, Long]): DataFrame =
+    bgpChain((_: String) => triples, patterns, predCounts)
+
   /** Inverse of triple emission: re-assemble one wide row per entity from
     * its triples (graph → table round-trip) with an explicit-values pivot
     * — one shuffle on subj, no extra distinct-values pass, deterministic

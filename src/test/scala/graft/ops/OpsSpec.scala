@@ -749,6 +749,55 @@ class OpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("bgpChain: 2-hop path joins on inferred vars, no cartesian, pred_hash pruned") {
+    val s = spark
+    import s.implicits._
+    import GraphOps.ChainPattern
+    val ts = new java.sql.Timestamp(0L)
+    // chain data: s1-p->o1-q->x1 ; s2-p->o2 (no q edge) ; o3 has q but no p
+    val triples = Seq(
+      graft.pipeline.TripleRow("<s1>", "<p>", "<o1>", "u", ts),
+      graft.pipeline.TripleRow("<s2>", "<p>", "<o2>", "u", ts),
+      graft.pipeline.TripleRow("<o1>", "<q>", "\"x1\"", "u", ts),
+      graft.pipeline.TripleRow("<o3>", "<q>", "\"x3\"", "u", ts)).toDS()
+    val out = java.nio.file.Files.createTempDirectory("graft_bgpc_").toString
+    try {
+      graft.pipeline.Materialize.write(triples, out)
+      val res = GraphOps.bgpChain(
+        (pred: String) => graft.pipeline.Materialize.readPred(spark, out, pred),
+        Seq(ChainPattern("s", "<p>", oVar = Some("o")),
+          ChainPattern("o", "<q>", oVar = Some("x"))),
+        Map("<p>" -> 2L, "<q>" -> 2L))
+      val plan = res.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"chain planned a cartesian:\n${plan.take(1500)}")
+      val pruned = "PartitionFilters: \\[[^\\]]*pred_hash".r.findAllIn(plan).size
+      assert(pruned == 2, s"expected both pattern scans partition-pruned:\n${plan.take(1500)}")
+      // column set is the inferred variables; only the complete chain matches
+      assert(res.columns.toSet == Set("s", "o", "x"))
+      assert(res.select("s", "o", "x").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+        Set(("<s1>", "<o1>", "\"x1\"")))
+
+      // greedy order: the object-bound pattern seeds even with a hotter pred
+      val seeded = GraphOps.bgpChain(
+        (pred: String) => graft.pipeline.Materialize.readPred(spark, out, pred),
+        Seq(ChainPattern("s", "<p>", oVar = Some("o")),
+          ChainPattern("o", "<q>", oConst = Some("\"x1\""))),
+        Map("<p>" -> 10L, "<q>" -> 50L))
+      assert(seeded.collect().map(r => r.getString(0)).toSeq == Seq("<o1>"))
+
+      // a disconnected pattern set must be rejected, not planned cartesian
+      val err = intercept[IllegalArgumentException] {
+        GraphOps.bgpChain(
+          (pred: String) => graft.pipeline.Materialize.readPred(spark, out, pred),
+          Seq(ChainPattern("a", "<p>"), ChainPattern("b", "<q>")), Map.empty)
+      }
+      assert(err.getMessage.contains("disconnected"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("internTriples: 8-byte keys match the md5-prefix spec; dict round-trips terms") {
     val s = spark
     import s.implicits._
