@@ -519,6 +519,14 @@ object SparkEntry {
       EmbeddingOps.annIvfPq(t(s, d, "embeddings"), cells = 8, k = 5,
         nQueries = 10, nprobe = 2)),
 
+    // IVFADC: the TRAINED stack — one coarse Lloyd step, then PQ codes
+    // over the residual g − c(cell) with a codebook Lloyd-trained on
+    // those residuals (the canonical recipe; measured vs emb10 in
+    // BENCH/RECALL.md); query builds one ADC table per probed cell
+    "emb11_ann_ivfadc" -> ((s, d) =>
+      EmbeddingOps.annIvfPqResidual(t(s, d, "embeddings"), cells = 8, k = 5,
+        nQueries = 10, nprobe = 2, coarseIterations = 1, trainIterations = 1)),
+
     // -------------------------------------------------- multimodal stubs
     "mm01_image_meta" -> ((s, d) =>
       MultimodalOps.imageMetadata(t(s, d, "documents"))
@@ -1380,6 +1388,133 @@ object SparkEntry {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** DuckDB twin of [[EmbeddingOps.annIvfPqResidual]] — the FULL trained
+    * IVFADC unrolled: one coarse Lloyd step (seed-assign → per-(cell, dim)
+    * rounded mean, empty cells keep their seed — the emb08 discipline),
+    * residual grids against the LEARNED centroids, one codebook Lloyd
+    * step on those residuals (seed codes → per-(m, code, dim) rounded
+    * mean), then residual codes / per-probed-cell query tables / ADC
+    * ranking, all integer-exact.
+    */
+  private val ivfPqResidualOracle: String = {
+    val cents = (0 until EmbeddingOps.IvfCells).map { k =>
+      val c = EmbeddingOps.ivfCentroid(k, 64)
+      val norm = c.map(x => x * x).sum
+      s"SELECT $k AS k, ${c.mkString("[", ", ", "]")} AS c, CAST($norm AS BIGINT) AS cnorm"
+    }.mkString("\nUNION ALL\n")
+    val cwRows = (for {
+      m <- 0 until EmbeddingOps.PqM
+      k <- 0 until EmbeddingOps.PqK
+    } yield {
+      val c = EmbeddingOps.pqCodeword(m, k)
+      s"SELECT $m AS m, $k AS k, ${c.mkString("[", ", ", "]")} AS c"
+    }).mkString("\nUNION ALL\n")
+    val sub = EmbeddingOps.PqSubDim
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+       |  FROM embeddings
+       |), cent AS (
+       |$cents
+       |), assign0 AS (
+       |  SELECT vec_id, k,
+       |    cnorm - 2 * CAST(list_sum(list_transform(list_zip(g, c), p -> p[1] * p[2])) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cent
+       |), cell0 AS (
+       |  SELECT vec_id, k AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, k ASC) rn
+       |    FROM assign0)
+       |  WHERE rn = 1
+       |), m1 AS (
+       |  -- coarse Lloyd step: rounded per-(cell, dim) means
+       |  SELECT a.cell AS k, i.i AS i,
+       |    CAST(round(AVG(g.g[CAST(i.i AS INTEGER)])) AS BIGINT) AS v
+       |  FROM cell0 a JOIN g ON g.vec_id = a.vec_id
+       |  CROSS JOIN generate_series(1, 64) i(i)
+       |  GROUP BY 1, 2
+       |), cent1 AS MATERIALIZED (
+       |  -- learned centroids; empty cells keep the seed
+       |  SELECT s.k, list(coalesce(m1.v, s.c[CAST(i.i AS INTEGER)]) ORDER BY i.i) AS c
+       |  FROM cent s CROSS JOIN generate_series(1, 64) i(i)
+       |  LEFT JOIN m1 ON m1.k = s.k AND m1.i = i.i
+       |  GROUP BY s.k
+       |), assign1 AS (
+       |  SELECT g.vec_id, c1.k,
+       |    CAST(list_sum(list_transform(c1.c, x -> x * x)) AS BIGINT)
+       |      - 2 * CAST(list_sum(list_transform(list_zip(g.g, c1.c), p -> p[1] * p[2])) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cent1 c1
+       |), ranked1 AS (
+       |  SELECT vec_id, k AS cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d ASC, k ASC) AS rn
+       |  FROM assign1
+       |), corpcell AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM ranked1 WHERE rn = 1
+       |), qcells AS (
+       |  SELECT vec_id AS qid, cell FROM ranked1 WHERE rn <= 2 AND vec_id < 10
+       |), cw AS (
+       |$cwRows
+       |), rg AS MATERIALIZED (
+       |  SELECT g.vec_id, list_transform(list_zip(g.g, c1.c), p -> p[1] - p[2]) AS r
+       |  FROM g JOIN corpcell cc ON cc.vec_id = g.vec_id JOIN cent1 c1 ON c1.k = cc.cell
+       |), sd0 AS (
+       |  -- seed-codebook assignment of the residual subvectors
+       |  SELECT rg.vec_id, cw.m, cw.k,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_slice(rg.r, cw.m * $sub + 1, cw.m * $sub + $sub), cw.c),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       |  FROM rg CROSS JOIN cw
+       |), codes0 AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) rn
+       |    FROM sd0)
+       |  WHERE rn = 1
+       |), cbm AS (
+       |  -- codebook Lloyd step: rounded per-(m, code, dim) residual means
+       |  SELECT c.m, c.code AS k, i.i AS i,
+       |    CAST(round(AVG(rg.r[c.m * $sub + CAST(i.i AS INTEGER)])) AS BIGINT) AS v
+       |  FROM codes0 c JOIN rg ON rg.vec_id = c.vec_id
+       |  CROSS JOIN generate_series(1, $sub) i(i)
+       |  GROUP BY 1, 2, 3
+       |), cw1 AS MATERIALIZED (
+       |  -- trained codewords; empty codes keep the seed
+       |  SELECT w.m, w.k, list(coalesce(cbm.v, w.c[CAST(i.i AS INTEGER)]) ORDER BY i.i) AS c
+       |  FROM cw w CROSS JOIN generate_series(1, $sub) i(i)
+       |  LEFT JOIN cbm ON cbm.m = w.m AND cbm.k = w.k AND cbm.i = i.i
+       |  GROUP BY w.m, w.k
+       |), sd AS (
+       |  SELECT rg.vec_id, cw1.m, cw1.k,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_slice(rg.r, cw1.m * $sub + 1, cw1.m * $sub + $sub), cw1.c),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       |  FROM rg CROSS JOIN cw1
+       |), codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) rn
+       |    FROM sd)
+       |  WHERE rn = 1
+       |), qrg AS (
+       |  SELECT qc.qid, qc.cell, list_transform(list_zip(g.g, c1.c), p -> p[1] - p[2]) AS r
+       |  FROM qcells qc JOIN g ON g.vec_id = qc.qid JOIN cent1 c1 ON c1.k = qc.cell
+       |), qd AS (
+       |  SELECT qrg.qid, qrg.cell, cw1.m, cw1.k,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_slice(qrg.r, cw1.m * $sub + 1, cw1.m * $sub + $sub), cw1.c),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       |  FROM qrg CROSS JOIN cw1
+       |), adc AS (
+       |  SELECT qd.qid, c.vec_id AS vid, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+       |  FROM codes c
+       |  JOIN corpcell cc ON cc.vec_id = c.vec_id
+       |  JOIN qd ON qd.m = c.m AND qd.k = c.code AND qd.cell = cc.cell
+       |  WHERE c.vec_id <> qd.qid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vid AS neighbor_id, adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vid ASC) rn
+       |      FROM adc)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** Shared CTE prefix of the graph-analytics oracles — the SQL twin of
     * [[GraphAnalytics.syntheticEdges]] (tree d → d⌊/2⌋ + chord triangles at
     * every multiple of 4, endpoints closed over the id set) plus the
@@ -1900,6 +2035,8 @@ object SparkEntry {
     "emb09_ann_pq" -> pqOracle,
 
     "emb10_ann_ivfpq" -> ivfPqOracle,
+
+    "emb11_ann_ivfadc" -> ivfPqResidualOracle,
 
     "mm01_image_meta" ->
       """SELECT doc_id,

@@ -394,13 +394,13 @@ object EmbeddingOps {
   /** All cell ids ranked by exact integer distance (nearest first) — the
     * probe order of [[annIvfMultiProbe]]; element 0 is the assignment.
     */
-  private def ivfCellsRankedExpr(cells: Int, dims: Int): org.apache.spark.sql.Column = {
+  private def ivfCellsRankedExprWith(
+      cents: Array[Array[Long]]): org.apache.spark.sql.Column = {
     // both-ways slice, as in srpBucketExpr: over-length vectors truncate
     // to the centroids' dims instead of null-poisoning every distance
-    val gS = slice(col("g"), lit(1), lit(dims))
-    val scored = (0 until cells).map { k =>
-      val c = ivfCentroid(k, dims)
-      val cSliced = slice(array(c.map(lit(_)): _*), lit(1), size(gS))
+    val gS = slice(col("g"), lit(1), lit(cents(0).length))
+    val scored = cents.indices.map { k =>
+      val cSliced = slice(array(cents(k).map(lit(_)): _*), lit(1), size(gS))
       val dot = aggregate(zip_with(gS, cSliced, (x, y) => x * y),
         lit(0L), (acc, v) => acc + v)
       val norm = aggregate(cSliced, lit(0L), (acc, v) => acc + v * v)
@@ -408,6 +408,9 @@ object EmbeddingOps {
     }
     transform(sort_array(array(scored: _*), asc = true), s => s.getField("k"))
   }
+
+  private def ivfCellsRankedExpr(cells: Int, dims: Int): org.apache.spark.sql.Column =
+    ivfCellsRankedExprWith(Array.tabulate(cells)(ivfCentroid(_, dims)))
 
   private def ivfCellExpr(cells: Int, dims: Int): org.apache.spark.sql.Column =
     ivfCellsRankedExpr(cells, dims).getItem(0)
@@ -446,24 +449,32 @@ object EmbeddingOps {
     Array.tabulate(PqSubDim)(i => (TextOps.md5Hash60(s"pq$m:$k:$i") % 2001L) - 1000L)
 
   /** Column: exact integer distance of grid subvector m to codeword (m,k)
-    * (codeword sliced to the subvector length — ragged guard).
+    * (codeword sliced to the subvector length — ragged guard). `src` is
+    * the vector column to encode — the raw grid by default, a residual
+    * for the IVFADC path.
     */
-  private def pqSubDistExpr(m: Int, k: Int): org.apache.spark.sql.Column = {
-    val sub = slice(col("g"), lit(m * PqSubDim + 1), lit(PqSubDim))
-    val cS = slice(array(pqCodeword(m, k).map(lit(_)): _*), lit(1), size(sub))
+  private def pqSubDistExpr(
+      m: Int, k: Int,
+      src: org.apache.spark.sql.Column = col("g"),
+      codebook: (Int, Int) => Array[Long] = pqCodeword): org.apache.spark.sql.Column = {
+    val sub = slice(src, lit(m * PqSubDim + 1), lit(PqSubDim))
+    val cS = slice(array(codebook(m, k).map(lit(_)): _*), lit(1), size(sub))
     aggregate(zip_with(sub, cS, (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
   }
 
   /** Column: subspace m's code = argmin over codewords (ties → lowest k). */
-  private def pqCodeExpr(m: Int): org.apache.spark.sql.Column =
+  private def pqCodeExpr(
+      m: Int,
+      src: org.apache.spark.sql.Column = col("g"),
+      codebook: (Int, Int) => Array[Long] = pqCodeword): org.apache.spark.sql.Column =
     transform(sort_array(array((0 until PqK).map(k =>
-      struct(pqSubDistExpr(m, k).as("d"), lit(k).as("k"))): _*), asc = true),
+      struct(pqSubDistExpr(m, k, src, codebook).as("d"), lit(k).as("k"))): _*), asc = true),
       s => s.getField("k")).getItem(0)
 
   /** (vec_id, code): M-code PQ encoding — one zero-shuffle projection. */
   def pqEncode(embeddings: DataFrame): DataFrame =
     gridded(embeddings)
-      .select(col("vec_id"), array((0 until PqM).map(pqCodeExpr): _*).as("code"))
+      .select(col("vec_id"), array((0 until PqM).map(m => pqCodeExpr(m)): _*).as("code"))
 
   /** ADC top-k: each query precomputes its M×K distance table (driver-side
     * from the SAME integer arithmetic, bounded by [[MaxBroadcastQueries]]),
@@ -535,7 +546,7 @@ object EmbeddingOps {
     import spark.implicits._
     val corpus = gridded(embeddings)
       .select(col("vec_id"), ivfCellExpr(cells, dims).cast("int").as("cell"),
-        array((0 until PqM).map(pqCodeExpr): _*).as("code"))
+        array((0 until PqM).map(m => pqCodeExpr(m)): _*).as("code"))
       .as[(Long, Int, Array[Int])]
     val qs = gridded(embeddings.filter(col("vec_id") < nQueries))
       .select(col("vec_id"), col("g"),
@@ -578,6 +589,156 @@ object EmbeddingOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** IVFADC — [[annIvfPq]] with RESIDUAL encoding, the canonical stack's
+    * actual recipe (Jégou et al. §IV): PQ-encode `x − c(cell(x))`, not
+    * `x`, with the codebook TRAINED on those residuals — the coarse term
+    * of the distance is handled exactly by cell selection, so the (small)
+    * codebook only has to cover the residual spread. Training is one
+    * Lloyd step per subspace over the corpus residuals, exactly the
+    * [[kmeansRefine]] discipline: seed with the md5 codewords, assign
+    * in-plan, average per (subspace, code, dim) with HALF_UP `round` IN
+    * the plan (so the rounding rule is the engines', not the JVM's), and
+    * collect only M×K×subdim codebook values — parameter-bounded. (The
+    * untrained-fixed-codebook variant was measured WORSE than raw PQ —
+    * random [-1000,1000] codewords are mismatched to the tighter residual
+    * spread — which is exactly why the canonical stack trains; OpsSpec
+    * pins trained-residual recall ≥ raw PQ at equal M.)
+    *
+    * Everything stays integer-exact (residuals are grid differences,
+    * trained codewords are rounded averages of integers, ADC sums are
+    * integer), so the DuckDB oracle re-derives training, codes and
+    * ranking verbatim. Corpus side: ONE persisted zero-shuffle
+    * (cell, residual) projection feeds both the training aggregate and
+    * the code projection. Query side: one M×K table per (query, probed
+    * cell) — nprobe× emb10's table budget, still parameter-bounded.
+    */
+  def annIvfPqResidual(
+      embeddings: DataFrame, cells: Int = IvfCells, k: Int,
+      nQueries: Int = 10, nprobe: Int = 1, dims: Int = 64,
+      coarseIterations: Int = 0,
+      trainIterations: Int = 1,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(trainIterations >= 1 && trainIterations <= 8,
+      s"trainIterations=$trainIterations out of 1..8")
+    require(coarseIterations >= 0 && coarseIterations <= 8,
+      s"coarseIterations=$coarseIterations out of 0..8")
+    require(nQueries <= MaxBroadcastQueries,
+      s"annIvfPqResidual broadcasts the query tables; nQueries=$nQueries exceeds $MaxBroadcastQueries")
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe=$nprobe out of 1..$cells")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    // COARSE training (Lloyd on the cell centroids, integer-rounded means
+    // — the kmeansRefine discipline on the g scale): residuals only
+    // shrink when the coarse quantizer actually fits the data; with the
+    // fixed md5 centroids a 64-dim residual is a difference of two
+    // near-independent vectors and its spread is LARGER than the raw
+    // vector's (measured — see the Scaladoc note below)
+    var cents = Array.tabulate(cells)(ivfCentroid(_, dims))
+    for (_ <- 1 to coarseIterations) {
+      val sums = gridded(embeddings)
+        .withColumn("cell", ivfCellsRankedExprWith(cents).getItem(0))
+        .select(col("cell"), posexplode(slice(col("g"), lit(1), lit(dims))).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(round(avg(col("x"))).cast("long").as("v"))
+        .collect() // ≤ cells×dims rows — parameter-bounded
+      val next = cents.map(_.clone())
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      cents = next // empty cells keep their previous centroid
+    }
+
+    // residual column: g − centroid(cell), both sliced to the shared
+    // length (the ivfCellsRankedExprWith ragged guard)
+    val centArr = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    val gS = slice(col("g"), lit(1), lit(dims))
+    val residExpr = zip_with(
+      gS, slice(element_at(centArr, col("cell") + 1), lit(1), size(gS)),
+      (x, c) => x - c)
+    val resid = gridded(embeddings)
+      .withColumn("cell", ivfCellsRankedExprWith(cents).getItem(0).cast("int"))
+      .withColumn("r", residExpr)
+      .select(col("vec_id"), col("cell"), col("r"))
+    resid.persist() // training aggregate + code projection both read it
+
+    // Lloyd steps on the codebook: assign each residual subvector with the
+    // current codewords, then per (m, k, dim) the rounded mean — empty
+    // codes keep their previous codeword
+    val trained = Array.tabulate(PqM, PqK)((m, kk) => pqCodeword(m, kk).clone())
+    val cb: (Int, Int) => Array[Long] = (m, kk) => trained(m)(kk)
+    for (_ <- 1 to trainIterations) {
+      val sums = resid
+        .select(col("r"),
+          array((0 until PqM).map(m => pqCodeExpr(m, col("r"), cb)): _*).as("ks"))
+        .select(posexplode(col("r")).as(Seq("gi", "x")), col("ks"))
+        .select((col("gi") / lit(PqSubDim)).cast("int").as("m"),
+          (col("gi") % lit(PqSubDim)).cast("int").as("i"), col("x"), col("ks"))
+        .withColumn("k", element_at(col("ks"), col("m") + 1))
+        .groupBy(col("m"), col("k"), col("i"))
+        .agg(round(avg(col("x"))).cast("long").as("v"))
+        .collect() // ≤ M×K×subdim rows — parameter-bounded
+      sums.foreach(r => trained(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
+    }
+
+    val corpus = resid
+      .select(col("vec_id"), col("cell"),
+        array((0 until PqM).map(m => pqCodeExpr(m, col("r"), cb)): _*).as("code"))
+      .as[(Long, Int, Array[Int])]
+    val qs = gridded(embeddings.filter(col("vec_id") < nQueries))
+      .select(col("vec_id"), col("g"),
+        ivfCellsRankedExprWith(cents).as("ranked"))
+      .as[(Long, Array[Long], Array[Int])].collect().sortBy(_._1)
+      .map { case (qid, g, ranked) =>
+        // one ADC table per probed cell, from the query's residual
+        // AGAINST THAT CELL's centroid
+        val tabs = ranked.take(nprobe).map { cell =>
+          val cent = cents(cell)
+          val dtab = Array.tabulate(PqM, PqK) { (m, kk) =>
+            val cw = trained(m)(kk)
+            var d = 0L
+            var i = 0
+            val n = math.min(PqSubDim, math.max(g.length - m * PqSubDim, 0))
+            while (i < n) {
+              val gi = m * PqSubDim + i
+              val diff = (g(gi) - cent(gi)) - cw(i)
+              d += diff * diff
+              i += 1
+            }
+            d
+          }
+          cell -> dtab
+        }.toMap
+        (qid, tabs)
+      }
+    val qBc = spark.sparkContext.broadcast(qs)
+    val scored = corpus.mapPartitions { it =>
+      val queries = qBc.value
+      it.flatMap { case (vid, cell, code) =>
+        queries.iterator
+          .filter { case (qid, tabs) => qid != vid && tabs.contains(cell) }
+          .map { case (qid, tabs) =>
+            val dtab = tabs(cell)
+            var adc = 0L
+            var m = 0
+            while (m < PqM) { adc += dtab(m)(code(m)); m += 1 }
+            (qid, vid, adc)
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "adc_dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    // materialize the (≤ nQueries×k-row) result before releasing the cache
+    // the lazy plan still references
+    val out = checkpoint.truncate(
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adc_dist")))
+    resid.unpersist()
+    out
   }
 
   // -------------------------------------------------------- learned coarse

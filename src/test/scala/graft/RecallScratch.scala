@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.{EmbeddingOps, TextOps}
+
+/** Scratch recall measurement: raw-vector IVF+PQ vs residual IVFADC. */
+object RecallScratch {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").appName("graft-recall")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, e) =>
+        approx.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+      }.sum / exact.size
+
+    def measure(name: String, vecs: DataFrame, n: Int): Unit = {
+      val exact = topSets(EmbeddingOps.annBruteForce(vecs, nQueries = n, k = 5))
+      val raw = recallOf(topSets(
+        EmbeddingOps.annIvfPq(vecs, cells = 8, k = 5, nQueries = n, nprobe = 2)), exact)
+      println(f"$name raw-PQ        : $raw%.3f")
+      for (ci <- Seq(0, 1, 2, 4); ti <- Seq(1, 2)) {
+        val res = recallOf(topSets(
+          EmbeddingOps.annIvfPqResidual(vecs, cells = 8, k = 5, nQueries = n,
+            nprobe = 2, coarseIterations = ci, trainIterations = ti)), exact)
+        println(f"$name residual coarse=$ci cb=$ti: $res%.3f")
+      }
+    }
+
+    val clustered = (0 until 200).map { i =>
+      val k = i / 10
+      val v = Array.tabulate(64) { j =>
+        val c = ((TextOps.md5Hash60(s"c$k:$j") % 2000L) - 1000L) / 1000.0f
+        val noise = ((TextOps.md5Hash60(s"n$i:$j") % 100L) - 50L) / 1000.0f
+        c + noise
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    measure("clustered", clustered, 200)
+
+    val sf = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    measure("sf0.01   ", sf, 500)
+
+    val iso = (0 until 300).map { i =>
+      val v = Array.tabulate(64) { j =>
+        ((TextOps.md5Hash60(s"v$i:$j") % 2000L) - 1000L) / 1000.0f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    measure("isotropic", iso, 300)
+    spark.stop()
+  }
+}

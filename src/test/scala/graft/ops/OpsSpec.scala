@@ -345,6 +345,37 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf2 >= 0.9, s"IVF nprobe=2 recall@5 = $ivf2 < 0.9 (nprobe=1: $ivf1)")
   }
 
+  test("IVFADC (trained residual codes): recall@5 >= raw-vector PQ at equal M") {
+    val s = spark
+    import s.implicits._
+    // 64-dim isotropic md5 corpus — the sf-table regime (near-uniform on
+    // the grid), where the residual benefit is purely the encoding, not
+    // planted cluster structure. Measured (BENCH/RECALL.md): raw 0.095 vs
+    // trained-residual 0.126 here; 0.036 vs 0.052 on sf0.01.
+    val n = 300
+    val vecs = (0 until n).map { i =>
+      val v = Array.tabulate(64) { j =>
+        ((TextOps.md5Hash60(s"v$i:$j") % 2000L) - 1000L) / 1000.0f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, e) =>
+        approx.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+      }.sum / exact.size
+    val exact = topSets(EmbeddingOps.annBruteForce(vecs, nQueries = n, k = 5))
+    val raw = recallOf(topSets(
+      EmbeddingOps.annIvfPq(vecs, cells = 8, k = 5, nQueries = n, nprobe = 2)), exact)
+    val res = recallOf(topSets(
+      EmbeddingOps.annIvfPqResidual(vecs, cells = 8, k = 5, nQueries = n, nprobe = 2,
+        coarseIterations = 1, trainIterations = 1)), exact)
+    assert(res >= raw,
+      s"trained residual encoding lost recall at equal code budget: $res < $raw")
+  }
+
   test("srp bucketed ANN puts identical vectors in one bucket") {
     val s = spark
     import s.implicits._
