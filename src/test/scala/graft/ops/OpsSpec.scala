@@ -376,6 +376,33 @@ class OpsSpec extends AnyFunSuite {
       s"trained residual encoding lost recall at equal code budget: $res < $raw")
   }
 
+  test("xxhash64 bloom: no false negatives (property), zero-exchange probe, sane fp rate") {
+    val s = spark
+    import s.implicits._
+    // property sweep: three key universes (dense, strided, negative)
+    for (mkKeys <- Seq[Int => Long](i => i.toLong, i => i * 7919L, i => -i * 13L)) {
+      val members = (0 until 500).map(mkKeys).toDF("key")
+      val bf = graft.ops.SketchOps.bloomBuildFast(members, "key")
+      val probe = (0 until 5000).map(mkKeys).toDF("key")
+      val passed = graft.ops.SketchOps.bloomFilterProbeFast(probe, "key", bf)
+      // NO FALSE NEGATIVES: every member passes
+      assert(passed.filter($"key".isin((0 until 500).map(mkKeys): _*)).count() == 500)
+      // fp rate within 5× the standard (1 − e^{−kn/m})^k bound
+      val fp = passed.count() - 500
+      val theory = math.pow(1 - math.exp(-3.0 * 500 / 4096), 3)
+      assert(fp <= 5 * theory * 4500,
+        s"false-positive rate off: $fp of 4500 vs theory ${theory * 4500}")
+    }
+    // plan guard: the probe is a pure filter — zero joins, zero exchanges
+    val members = (0 until 500).map(_.toLong).toDF("key")
+    val bf = graft.ops.SketchOps.bloomBuildFast(members, "key")
+    val plan = graft.ops.SketchOps.bloomFilterProbeFast(
+      (0 until 5000).map(_.toLong).toDF("key"), "key", bf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"fast bloom probe is not exchange-free:\n${plan.take(1200)}")
+  }
+
   test("srp bucketed ANN puts identical vectors in one bucket") {
     val s = spark
     import s.implicits._
