@@ -761,6 +761,46 @@ object SparkEntry {
         .select(col("d"), col("e"), col("lbl"))
     }),
 
+    // SPARQL OPTIONAL: ?d p:lang ?lang . OPTIONAL { ?d p:mentions3x ?e }
+    // — solutions keep their row with "-" where the (sparse: n ≥ 3
+    // occurrences) optional pattern has no match; LEFT join lowering
+    "kg29_bgp_optional" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      val m3 = GraphOps.mentionCounts(docs).filter(col("n") >= 3).select(
+        concat(lit(s"<${GraphOps.DocPrefix}"), col("doc_id"), lit(">")).as("subj"),
+        lit(s"${P}mentions3x").as("pred"),
+        concat(lit("<http://graft.example/entity/"), col("term"), lit(">")).as("obj"))
+      val triples = GraphOps.parseTurtle(docs).select(col("subj"), col("pred"), col("obj"))
+        .unionByName(m3)
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      GraphOps.bgpChainOptional((_: String) => triples,
+        Seq(GraphOps.ChainPattern("d", s"${P}lang", oVar = Some("lang"))),
+        Seq(GraphOps.ChainPattern("d", s"${P}mentions3x", oVar = Some("e"))),
+        counts)
+        .select(col("d"), col("lang"), coalesce(col("e"), lit("-")).as("e"))
+    }),
+
+    // SPARQL FILTER NOT EXISTS: en docs with NO mention of the "stream"
+    // entity — left-anti lowering over the shared variable
+    "kg30_bgp_notexists" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      val mentionTriples = GraphOps.mentionCounts(docs).select(
+        concat(lit(s"<${GraphOps.DocPrefix}"), col("doc_id"), lit(">")).as("subj"),
+        lit(s"${P}mentions").as("pred"),
+        concat(lit("<http://graft.example/entity/"), col("term"), lit(">")).as("obj"))
+      val triples = GraphOps.parseTurtle(docs).select(col("subj"), col("pred"), col("obj"))
+        .unionByName(mentionTriples)
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      GraphOps.bgpChainNotExists((_: String) => triples,
+        Seq(GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"en\""))),
+        GraphOps.ChainPattern("d", s"${P}mentions",
+          oConst = Some("<http://graft.example/entity/stream>")),
+        counts)
+        .select(col("d"))
+    }),
+
     // graph → table round-trip: one wide row per entity via explicit-values
     // pivot over its triples
     "kg19_assemble" -> ((s, d) => GraphOps.assembleEntities(t(s, d, "documents"))),
@@ -2151,6 +2191,30 @@ object SparkEntry {
          |SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS degree
          |FROM (SELECT a AS t FROM pairs UNION ALL SELECT b AS t FROM pairs)
          |GROUP BY 1""".stripMargin,
+
+    // OPTIONAL lowering: every doc row, mention columns null→"-" where
+    // the sparse (n ≥ 3) pattern has no match
+    "kg29_bgp_optional" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, term
+         |  FROM documents, (VALUES $mentionTermValues) terms(term)
+         |  WHERE (len(text) - len(replace(text, term, ''))) // len(term) >= 3
+         |)
+         |SELECT '<${GraphOps.DocPrefix}' || d.doc_id || '>' AS d,
+         |  '"' || d.lang || '"' AS lang,
+         |  coalesce('<http://graft.example/entity/' || m.term || '>', '-') AS e
+         |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin,
+
+    // NOT EXISTS lowering: en docs that never mention 'stream'
+    "kg30_bgp_notexists" ->
+      s"""WITH m AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE len(text) - len(replace(text, 'stream', '')) > 0
+         |)
+         |SELECT '<${GraphOps.DocPrefix}' || d.doc_id || '>' AS d
+         |FROM documents d
+         |WHERE d.lang = 'en'
+         |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.doc_id = d.doc_id)""".stripMargin,
 
     // 2-hop chain: en docs → mentioned entities → entity labels; the
     // mention CTE is kg03's oracle re-derivation

@@ -400,6 +400,15 @@ object GraphOps {
     }
   }
 
+  /** One [[ChainPattern]] as a DataFrame of its variable columns. */
+  private def patternFrame(
+      patternSource: String => DataFrame, p: ChainPattern): DataFrame = {
+    val base = patternSource(p.pred).filter(col("pred") === p.pred)
+    val filtered = p.oConst.map(o => base.filter(col("obj") === o)).getOrElse(base)
+    val cols = col("subj").as(p.sVar) +: p.oVar.map(v => col("obj").as(v)).toSeq
+    filtered.select(cols: _*)
+  }
+
   /** GENERAL n-pattern BGP with join variables INFERRED — chains, stars,
     * and any connected mix. Join order is greedy sketch-driven: seed with
     * the globally most selective pattern, then repeatedly join the most
@@ -422,12 +431,7 @@ object GraphOps {
     require(!patterns.flatMap(_.vars).exists(Set("subj", "pred", "obj")),
       "variable names collide with triple columns")
 
-    def frame(p: ChainPattern): DataFrame = {
-      val base = patternSource(p.pred).filter(col("pred") === p.pred)
-      val filtered = p.oConst.map(o => base.filter(col("obj") === o)).getOrElse(base)
-      val cols = col("subj").as(p.sVar) +: p.oVar.map(v => col("obj").as(v)).toSeq
-      filtered.select(cols: _*)
-    }
+    def frame(p: ChainPattern): DataFrame = patternFrame(patternSource, p)
 
     val remaining = scala.collection.mutable.ArrayBuffer(patterns: _*)
     val seed = remaining.minBy(_.estimate(predCounts))
@@ -453,6 +457,50 @@ object GraphOps {
       patterns: Seq[ChainPattern],
       predCounts: Map[String, Long]): DataFrame =
     bgpChain((_: String) => triples, patterns, predCounts)
+
+  /** SPARQL OPTIONAL: the required BGP solved by [[bgpChain]], then each
+    * optional pattern LEFT-joined on its shared variables — solutions
+    * keep their row with nulls where the optional pattern has no match
+    * (exactly `LeftOuterJoin` semantics, which is what SPARQL's OPTIONAL
+    * algebra lowers to for well-designed patterns). Each optional pattern
+    * must share a variable with the required part (same no-cartesian rule
+    * as the required side); optional patterns are joined in the given
+    * order, each seeing the variables bound so far.
+    */
+  def bgpChainOptional(
+      patternSource: String => DataFrame,
+      required: Seq[ChainPattern],
+      optional: Seq[ChainPattern],
+      predCounts: Map[String, Long]): DataFrame = {
+    val base = bgpChain(patternSource, required, predCounts)
+    val baseVars = required.flatMap(_.vars).toSet
+    val optVars = optional.flatMap(_.oVar)
+    require((optVars.toSet & baseVars).isEmpty && optVars.distinct.size == optVars.size,
+      s"optional object variables must be fresh: $optVars")
+    optional.foldLeft((base, baseVars)) { case ((acc, bound), p) =>
+      val shared = (p.vars & bound).toSeq.sorted
+      require(shared.nonEmpty,
+        s"optional pattern on ${p.pred} shares no variable with $bound")
+      (acc.join(patternFrame(patternSource, p), shared, "left"), bound ++ p.vars)
+    }._1
+  }
+
+  /** SPARQL FILTER NOT EXISTS: solutions of the required BGP with NO match
+    * for `anti` — a LEFT ANTI join on the shared variables (the classic
+    * lowering; the anti side is only probed, never projected).
+    */
+  def bgpChainNotExists(
+      patternSource: String => DataFrame,
+      required: Seq[ChainPattern],
+      anti: ChainPattern,
+      predCounts: Map[String, Long]): DataFrame = {
+    val base = bgpChain(patternSource, required, predCounts)
+    val shared = (anti.vars & required.flatMap(_.vars).toSet).toSeq.sorted
+    require(shared.nonEmpty,
+      s"NOT EXISTS pattern on ${anti.pred} shares no variable with the required BGP")
+    base.join(patternFrame(patternSource, anti).select(shared.map(col): _*),
+      shared, "left_anti")
+  }
 
   /** Inverse of triple emission: re-assemble one wide row per entity from
     * its triples (graph → table round-trip) with an explicit-values pivot

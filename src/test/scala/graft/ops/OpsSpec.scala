@@ -856,6 +856,41 @@ class OpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("bgpChain OPTIONAL and NOT EXISTS: left/anti join semantics, guards") {
+    val s = spark
+    import s.implicits._
+    import GraphOps.ChainPattern
+    val triples = Seq(
+      ("<s1>", "<p>", "\"a\""), ("<s2>", "<p>", "\"b\""), ("<s3>", "<p>", "\"c\""),
+      ("<s1>", "<q>", "\"x\""), ("<s2>", "<q>", "\"y\"")) // s3 has no q
+      .toDF("subj", "pred", "obj")
+    val counts = Map("<p>" -> 3L, "<q>" -> 2L)
+
+    // OPTIONAL: s3 keeps its row with a null in the optional column
+    val opt = GraphOps.bgpChainOptional((_: String) => triples,
+      Seq(ChainPattern("s", "<p>", oVar = Some("v"))),
+      Seq(ChainPattern("s", "<q>", oVar = Some("w"))), counts)
+    assert(opt.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(("<s1>", "\"a\"", "\"x\""), ("<s2>", "\"b\"", "\"y\""), ("<s3>", "\"c\"", null)))
+
+    // NOT EXISTS: only the solution with no anti match survives
+    val anti = GraphOps.bgpChainNotExists((_: String) => triples,
+      Seq(ChainPattern("s", "<p>", oVar = Some("v"))),
+      ChainPattern("s", "<q>"), counts)
+    assert(anti.collect().map(_.getString(0)).toSeq == Seq("<s3>"))
+
+    // guards: optional object vars must be fresh; every pattern must connect
+    intercept[IllegalArgumentException] {
+      GraphOps.bgpChainOptional((_: String) => triples,
+        Seq(ChainPattern("s", "<p>", oVar = Some("v"))),
+        Seq(ChainPattern("s", "<q>", oVar = Some("v"))), counts)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.bgpChainNotExists((_: String) => triples,
+        Seq(ChainPattern("s", "<p>")), ChainPattern("z", "<q>"), counts)
+    }
+  }
+
   test("internTriples: 8-byte keys match the md5-prefix spec; dict round-trips terms") {
     val s = spark
     import s.implicits._
