@@ -527,6 +527,13 @@ object SparkEntry {
       EmbeddingOps.annIvfPqResidual(t(s, d, "embeddings"), cells = 8, k = 5,
         nQueries = 10, nprobe = 2, coarseIterations = 1, trainIterations = 1)),
 
+    // ADC shortlist + exact rerank: codes prune to top-20 per query, raw
+    // vectors are read ONLY for that parameter-bounded shortlist — the
+    // production refinement step over emb10
+    "emb12_ann_rerank" -> ((s, d) =>
+      EmbeddingOps.annIvfPqRerank(t(s, d, "embeddings"), cells = 8, k = 5,
+        nQueries = 10, nprobe = 2, rerank = 20)),
+
     // -------------------------------------------------- multimodal stubs
     "mm01_image_meta" -> ((s, d) =>
       MultimodalOps.imageMetadata(t(s, d, "documents"))
@@ -1428,6 +1435,84 @@ object SparkEntry {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** DuckDB twin of [[EmbeddingOps.annIvfPqRerank]] — the ivfPq ADC CTEs,
+    * a top-`rerank` shortlist per query, then an exact integer-L2 rerank
+    * of only those rows.
+    */
+  private val ivfPqRerankOracle: String = {
+    val cents = (0 until EmbeddingOps.IvfCells).map { k =>
+      val c = EmbeddingOps.ivfCentroid(k, 64)
+      val norm = c.map(x => x * x).sum
+      s"SELECT $k AS k, ${c.mkString("[", ", ", "]")} AS c, CAST($norm AS BIGINT) AS cnorm"
+    }.mkString("\nUNION ALL\n")
+    val cwRows = (for {
+      m <- 0 until EmbeddingOps.PqM
+      k <- 0 until EmbeddingOps.PqK
+    } yield {
+      val c = EmbeddingOps.pqCodeword(m, k)
+      s"SELECT $m AS m, $k AS k, ${c.mkString("[", ", ", "]")} AS c"
+    }).mkString("\nUNION ALL\n")
+    val sub = EmbeddingOps.PqSubDim
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+       |  FROM embeddings
+       |), cent AS (
+       |$cents
+       |), assignc AS (
+       |  SELECT vec_id, g, k,
+       |    cnorm - 2 * CAST(list_sum(list_transform(list_zip(g, c), p -> p[1] * p[2])) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cent
+       |), rankedc AS (
+       |  SELECT vec_id, k AS cell, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d ASC, k ASC) AS rn
+       |  FROM assignc
+       |), corpcell AS (
+       |  SELECT vec_id, cell FROM rankedc WHERE rn = 1
+       |), qcells AS (
+       |  SELECT vec_id AS qid, cell FROM rankedc WHERE rn <= 2 AND vec_id < 10
+       |), cw AS (
+       |$cwRows
+       |), sd AS (
+       |  SELECT g.vec_id, cw.m, cw.k,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(list_slice(g.g, cw.m * $sub + 1, cw.m * $sub + $sub), cw.c),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cw
+       |), codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) rn
+       |    FROM sd)
+       |  WHERE rn = 1
+       |), qd AS (
+       |  SELECT vec_id AS qid, m, k, d FROM sd WHERE vec_id < 10
+       |), adc AS (
+       |  SELECT qd.qid, c.vec_id AS vid, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+       |  FROM codes c
+       |  JOIN qd ON qd.m = c.m AND qd.k = c.code
+       |  JOIN corpcell cc ON cc.vec_id = c.vec_id
+       |  JOIN qcells qc ON qc.qid = qd.qid AND qc.cell = cc.cell
+       |  WHERE c.vec_id <> qd.qid
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vid ASC) rn
+       |    FROM adc)
+       |  WHERE rn <= 20
+       |), ex AS (
+       |  SELECT s.qid, s.vid,
+       |    CAST(list_sum(list_transform(list_zip(gq.g, gv.g),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d_exact
+       |  FROM short s
+       |  JOIN g gq ON gq.vec_id = s.qid
+       |  JOIN g gv ON gv.vec_id = s.vid
+       |)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vid AS neighbor_id, d_exact
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d_exact ASC, vid ASC) rn
+       |      FROM ex)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** DuckDB twin of [[EmbeddingOps.annIvfPqResidual]] — the FULL trained
     * IVFADC unrolled: one coarse Lloyd step (seed-assign → per-(cell, dim)
     * rounded mean, empty cells keep their seed — the emb08 discipline),
@@ -2077,6 +2162,8 @@ object SparkEntry {
     "emb10_ann_ivfpq" -> ivfPqOracle,
 
     "emb11_ann_ivfadc" -> ivfPqResidualOracle,
+
+    "emb12_ann_rerank" -> ivfPqRerankOracle,
 
     "mm01_image_meta" ->
       """SELECT doc_id,

@@ -591,6 +591,42 @@ object EmbeddingOps {
         col("neighbor_id"), col("adc_dist"))
   }
 
+  /** ADC shortlist + EXACT rerank (emb12) — the refinement step every
+    * production PQ deployment runs: the IVF+PQ stack ranks a SHORTLIST of
+    * `rerank` candidates per query through the cheap code-only ADC scan
+    * ([[annIvfPq]]), then ONLY those nQueries×rerank rows read their raw
+    * grid vectors for an exact integer L2 rerank — at 100 TB the corpus
+    * is touched through M-byte codes, and full vectors are fetched for a
+    * parameter-bounded shortlist (both joins broadcast the tiny side, so
+    * the corpus never shuffles). Integer-exact end to end; the oracle
+    * reruns the ADC CTEs, takes the same shortlist, and reranks it with
+    * the same exact distance.
+    */
+  def annIvfPqRerank(
+      embeddings: DataFrame, cells: Int = IvfCells, k: Int,
+      nQueries: Int = 10, nprobe: Int = 1, rerank: Int = 20,
+      dims: Int = 64): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val shortlist = annIvfPq(embeddings, cells, rerank, nQueries, nprobe, dims)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = gridded(embeddings).select(col("vec_id").as("neighbor_id"), col("g"))
+    val queries = gridded(embeddings.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), col("g").as("qg"))
+    val n = least(size(col("g")), size(col("qg"))) // ragged guard
+    val exact = corpus.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("d_exact",
+        aggregate(zip_with(slice(col("g"), lit(1), n), slice(col("qg"), lit(1), n),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d_exact").asc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("d_exact"))
+  }
+
   /** IVFADC — [[annIvfPq]] with RESIDUAL encoding, the canonical stack's
     * actual recipe (Jégou et al. §IV): PQ-encode `x − c(cell(x))`, not
     * `x`, with the codebook TRAINED on those residuals — the coarse term

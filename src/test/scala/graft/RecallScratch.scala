@@ -27,11 +27,15 @@ object RecallScratch {
       val raw = recallOf(topSets(
         EmbeddingOps.annIvfPq(vecs, cells = 8, k = 5, nQueries = n, nprobe = 2)), exact)
       println(f"$name raw-PQ        : $raw%.3f")
-      for (ci <- Seq(0, 1, 2, 4); ti <- Seq(1, 2)) {
-        val res = recallOf(topSets(
-          EmbeddingOps.annIvfPqResidual(vecs, cells = 8, k = 5, nQueries = n,
-            nprobe = 2, coarseIterations = ci, trainIterations = ti)), exact)
-        println(f"$name residual coarse=$ci cb=$ti: $res%.3f")
+      val res = recallOf(topSets(
+        EmbeddingOps.annIvfPqResidual(vecs, cells = 8, k = 5, nQueries = n,
+          nprobe = 2, coarseIterations = 1, trainIterations = 1)), exact)
+      println(f"$name residual(1,1)  : $res%.3f")
+      for (r <- Seq(20, 50)) {
+        val rr = recallOf(topSets(
+          EmbeddingOps.annIvfPqRerank(vecs, cells = 8, k = 5, nQueries = n,
+            nprobe = 2, rerank = r)), exact)
+        println(f"$name rerank R=$r%-3d   : $rr%.3f")
       }
     }
 
