@@ -623,6 +623,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank"))
     }),
 
+    // synchronous label-propagation community detection, 2 fixed rounds
+    // (deterministic — the oracle unrolls them); mode-of-neighbour-labels
+    // with min-label tiebreak, isolated nodes keep their own
+    "kg31_label_prop" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      GraphAnalytics.labelPropagation(GraphAnalytics.syntheticEdges(docs),
+        docs.select(col("doc_id").as("id")), iterations = 2)
+        .select(col("id").as("doc_id"), col("lbl").as("label"))
+    }),
+
     // SPARQL property-path p+ bounded to 3 hops: directed transitive
     // closure by frontier iteration, min path length per reached pair
     "kg24_path_closure" -> ((s, d) =>
@@ -1657,6 +1667,29 @@ object SparkEntry {
       |  WHERE src <> dst AND src IN (SELECT id FROM ids) AND dst IN (SELECT id FROM ids)),
       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges)""".stripMargin
 
+  /** Two label-propagation rounds unrolled — term-for-term the update of
+    * [[GraphAnalytics.labelPropagation]] (mode of neighbour labels,
+    * count-DESC-then-label-ASC argmax, coalesce keeps isolated nodes).
+    */
+  private val labelPropOracle: String = {
+    val iters = (1 to 2).map { t =>
+      s"""b$t AS (
+         |  SELECT v AS id, lbl FROM (
+         |    SELECT a.v, l.lbl, COUNT(*) AS c,
+         |      row_number() OVER (PARTITION BY a.v ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+         |    FROM adj a JOIN l${t - 1} l ON l.id = a.w
+         |    GROUP BY a.v, l.lbl) WHERE rn = 1),
+         |l$t AS (
+         |  SELECT p.id, coalesce(b$t.lbl, p.lbl) AS lbl
+         |  FROM l${t - 1} p LEFT JOIN b$t ON b$t.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgesCte,
+       |adj AS (SELECT u AS v, v AS w FROM und UNION ALL SELECT v AS v, u AS w FROM und),
+       |l0 AS (SELECT id, id AS lbl FROM ids),
+       |$iters
+       |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS label FROM l2""".stripMargin
+  }
+
   private val degreeOracle: String =
     s"""WITH $graphEdgesCte
        |SELECT i.id AS doc_id, CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
@@ -2207,6 +2240,8 @@ object SparkEntry {
     "kg14_bfs" -> bfsOracle,
 
     "kg15_pagerank" -> pageRankOracle,
+
+    "kg31_label_prop" -> labelPropOracle,
 
     "kg18_bgp_star" ->
       s"""SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,

@@ -114,6 +114,47 @@ object GraphAnalytics {
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronous LABEL PROPAGATION community detection (Raghavan et al.
+    * 2007): every node starts labeled with its own id; each round every
+    * node adopts the MODE of its neighbours' labels (ties → smallest
+    * label; nodes without neighbours keep theirs). Fixed `iterations`
+    * rounds so the run is deterministic and the DuckDB oracle can unroll
+    * it (the kg15 PageRank discipline — the classic async/random-order
+    * LPA is deliberately not reproducible).
+    *
+    * Per round: one join of the (persisted) adjacency against the label
+    * table + one partial-aggregated groupBy((node, label)) + a per-node
+    * argmax window — shuffle carries one row per distinct (node,
+    * neighbour-label), bounded by the edge count; lineage truncates per
+    * round through `checkpoint` like every iterative loop here.
+    */
+  def labelPropagation(
+      edges: DataFrame, nodes: DataFrame, iterations: Int = 2,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(iterations >= 1 && iterations <= 16, s"iterations=$iterations out of 1..16")
+    val und = canonicalUndirected(edges)
+    val adj = und.select(col("u").as("v"), col("v").as("w"))
+      .union(und.select(col("v").as("v"), col("u").as("w")))
+    adj.persist() // read once per round
+    var labels = checkpoint.truncate(
+      nodes.select(col("id"), col("id").as("lbl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to iterations) {
+      val best = adj
+        .join(labels.select(col("id").as("w"), col("lbl")), "w")
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("v").as("id"), col("lbl").as("newLbl"))
+      labels = checkpoint.truncate(
+        labels.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl")))
+    }
+    adj.unpersist()
+    labels
+  }
+
   /** Minimum hop distance from `sources` to every reachable vertex over
     * the UNDIRECTED graph. Frontier-based BFS: each round joins only the
     * frontier (nodes first reached last round) against the adjacency,

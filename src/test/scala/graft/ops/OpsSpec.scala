@@ -864,6 +864,22 @@ class OpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("label propagation: hand-computed synchronous rounds, isolated nodes keep labels") {
+    val s = spark
+    import s.implicits._
+    // path 1—2—3—4 plus isolated 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // round 1: 1←{2}=2, 2←{1,3} tie→1, 3←{2,4} tie→2, 4←{3}=3, 5 keeps 5
+    val r1 = GraphAnalytics.labelPropagation(edges, nodes, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 5L), r1.toString)
+    // round 2 on those: 1←{2}={1}, 2←{1,3}={2,2}→2, 3←{2,4}={1,3} tie→1, 4←{3}={2}
+    val r2 = GraphAnalytics.labelPropagation(edges, nodes, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 5L), r2.toString)
+  }
+
   test("bgpChain OPTIONAL and NOT EXISTS: left/anti join semantics, guards") {
     val s = spark
     import s.implicits._
