@@ -708,6 +708,26 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // snapshot diff: two materialized graph builds (docs %3≠0 vs %2≠0),
+    // one (op, s, p, o) row per changed triple — adds = odd multiples of
+    // 3, dels = evens not divisible by 3, both derived in closed form
+    "kg32_graph_diff" -> ((s, d) => {
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      def rows(df: DataFrame) = df.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg32_").toString
+      try {
+        graft.pipeline.Materialize.write(rows(tri.filter(col("doc_id") % 3 =!= 0)), s"$dir/a")
+        graft.pipeline.Materialize.write(rows(tri.filter(col("doc_id") % 2 =!= 0)), s"$dir/b")
+        graft.pipeline.Materialize.graphDiff(s, s"$dir/a", s"$dir/b")
+          .localCheckpoint() // eager — the scratch graph dirs are deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // SHACL-lite validation: per-property cardinality/datatype/enum rules
     // over the constructed graph, one violation row per breach; four
     // corruption classes planted by doc-id arithmetic so every rule fires
@@ -1842,6 +1862,17 @@ object SparkEntry {
       s"""SELECT subj, pred, obj FROM (
          |$kg01Oracle
          |)""".stripMargin,
+
+    // snapshot diff: set difference of the two builds, in closed form
+    "kg32_graph_diff" ->
+      s"""WITH t AS (
+         |$kg01Oracle
+         |)
+         |SELECT 'add' AS op, subj, pred, obj FROM t
+         |WHERE doc_id % 2 <> 0 AND doc_id % 3 = 0
+         |UNION ALL
+         |SELECT 'del' AS op, subj, pred, obj FROM t
+         |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0""".stripMargin,
 
     // bounded-depth closure with min path length: recursive CTE twin
     "kg24_path_closure" ->

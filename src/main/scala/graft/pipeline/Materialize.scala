@@ -312,6 +312,30 @@ object Materialize {
       compact(spark, out, predBuckets, salt, checkpoint)
   }
 
+  /** Snapshot DIFF between two materialized graphs — the KG-ops audit
+    * primitive ("what changed between yesterday's build and today's?"):
+    * one row per changed triple, `op` ∈ {add, del} (add = in `newOut`
+    * only, del = in `oldOut` only). Exact set difference via two
+    * left-anti joins keyed on (pred_hash, s, p, o): the layout's
+    * partition key rides the join keys, so both sides cluster by the
+    * SAME hash layout, and a predicate-scoped diff prunes both scans to
+    * one pred_hash bucket with [[readPred]]-style filters before any
+    * shuffle. Provenance columns are deliberately excluded — the diff is
+    * over graph CONTENT, not over which crawl delivered it.
+    */
+  def graphDiff(
+      spark: org.apache.spark.sql.SparkSession,
+      oldOut: String, newOut: String): DataFrame = {
+    def side(p: String) =
+      read(spark, p).select(col("pred_hash"), col("subj"), col("pred"), col("obj"))
+    val o = side(oldOut)
+    val n = side(newOut)
+    val keys = Seq("pred_hash", "subj", "pred", "obj")
+    n.join(o, keys, "left_anti").withColumn("op", lit("add"))
+      .unionByName(o.join(n, keys, "left_anti").withColumn("op", lit("del")))
+      .select(col("op"), col("subj"), col("pred"), col("obj"))
+  }
+
   /** Single-predicate read that EXPLOITS the layout: the `pred_hash`
     * equality folds to a constant and prunes the scan to 1/predBuckets of
     * the partition directories (PartitionFilters in the plan), then the
