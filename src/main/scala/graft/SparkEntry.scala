@@ -459,6 +459,12 @@ object SparkEntry {
 
     "td11_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(t(s, d, "documents"))),
 
+    // BM25-family ranked retrieval (rational idf — log-free, hash-exact):
+    // top-20 docs for a 4-term query; per-term contributions summed as
+    // DECIMAL(18,6) so cross-term addition is order-independent
+    "td24_bm25_search" -> ((s, d) =>
+      TextOps.bm25Search(t(s, d, "documents"), SparkEntry.Bm25QueryTerms, k = 20)),
+
     // --------------------------------------------------- similarity search
     "emb01_ann_topk" -> ((s, d) =>
       EmbeddingOps.annBruteForce(t(s, d, "embeddings"), nQueries = 10, k = 5)
@@ -1104,6 +1110,52 @@ object SparkEntry {
        |  CAST(coalesce(list_sum(list_transform($BpePiecesSql, w -> len($chain))), 0) AS BIGINT)
        |    AS n_bpe_tokens
        |FROM $from""".stripMargin
+  }
+
+  /** td24's fixed query — corpus-vocabulary terms with distinct df. */
+  val Bm25QueryTerms: Seq[String] = Seq("join", "scan", "merge", "stream")
+
+  /** DuckDB twin of [[TextOps.bm25Search]] — same token class, same
+    * rational-idf expression textual shape (identical IEEE association),
+    * avgdl recomputed from the same exact integer sums, decimal cross-term
+    * sum, exact-decimal ordering. Constants interpolate the SAME Scala
+    * doubles (shortest-round-trip printing ⇒ DuckDB parses back the
+    * identical bits).
+    */
+  private val bm25Oracle: String = {
+    val terms = Bm25QueryTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+       |), lens AS (
+       |  -- from documents, not toks: zero-token docs count into avgdl
+       |  -- exactly as the Spark side's size() projection does
+       |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS len
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(len) / COUNT(*) AS avgdl FROM lens
+       |), tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM toks WHERE token IN (SELECT term FROM (VALUES $terms) q(term))
+       |  GROUP BY 1, 2
+       |), df AS (
+       |  SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      (stats.n - df.df + 0.5) / (df.df + 0.5) * (tf.tf * ${TextOps.Bm25K1 + 1}) /
+       |        (tf.tf + ${TextOps.Bm25K1} * (${1 - TextOps.Bm25B} + ${TextOps.Bm25B} * lens.len / stats.avgdl)),
+       |      6) AS DECIMAL(18,6)) AS c6
+       |  FROM tf JOIN df ON df.token = tf.token
+       |  JOIN lens ON lens.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |), scored AS (
+       |  SELECT doc_id, SUM(c6) AS score_dec FROM contrib GROUP BY 1
+       |)
+       |SELECT doc_id, CAST(rn AS BIGINT) AS rank,
+       |  round(CAST(score_dec AS DOUBLE), 4) AS score
+       |FROM (SELECT *, row_number() OVER (ORDER BY score_dec DESC, doc_id ASC) rn
+       |      FROM scored)
+       |WHERE rn <= 20""".stripMargin
   }
 
   /** DuckDB twin of [[TextOps.minHashBandPairs]], generated from the same
@@ -2095,6 +2147,7 @@ object SparkEntry {
     "td13_bpe_merges" -> bpeOracle,
     "td22_bpe_train" -> bpeTrainOracle,
     "td23_bpe_train_apply" -> bpeTrainApplyOracle,
+    "td24_bm25_search" -> bm25Oracle,
 
     "td14_dedup_clusters" -> dedupClustersOracle,
 

@@ -282,6 +282,67 @@ object TextOps {
         lit(0L), (a, x) => a + x), lit(0L)).as("n_bpe_tokens"))
   }
 
+  // ----------------------------------------------------- BM25 ranked search
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25-family ranked retrieval over the corpus — the keyword-search
+    * primitive a training-data pipeline uses for relevance mining and
+    * targeted curation. Per query term t and doc d:
+    * `idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))` with the
+    * RATIONAL idf `(N − df + 0.5)/(df + 0.5)` — the log-free variant
+    * (same ordering as Robertson's log idf, monotone transform), chosen
+    * so every factor is a deterministic IEEE expression over exact
+    * integers and the score is hash-exact cross-engine. Per-term
+    * contributions round to 6 decimals and sum as DECIMAL(18,6) (the
+    * repo's decimal-exact-sum discipline), so the cross-term addition is
+    * order-independent under partial aggregation.
+    *
+    * Scale shape: the token scan filters to the query terms BEFORE any
+    * aggregation (predicate on the exploded stream, map-side combined tf),
+    * df is a |terms|-row aggregate broadcast back, and the final ranking
+    * is one window over docs-with-matches only.
+    */
+  def bm25Search(documents: DataFrame, queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 64, "1..64 query terms")
+    val spark = documents.sparkSession
+    val toks = documents.select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+    val lens = documents.select(col("doc_id"),
+      size(tokensCol(col("text"))).cast("double").as("len"))
+    // integer-valued doubles sum exactly at any order → avgdl deterministic
+    val Array(nDocs, avgdl) = lens.agg(count(lit(1)).cast("double"), sum(col("len")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray match {
+      case Array(n, s) => Array(n, s / n)
+    }
+    val tf = toks.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .withColumn("c",
+        (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("len") / lit(avgdl))))
+      .withColumn("c6", round(col("c"), 6).cast("decimal(18,6)"))
+    // global top-k via orderBy+limit (TakeOrdered — bounded heaps per
+    // partition, no global sort/window over the matched-doc set); the rank
+    // column is then a window over k rows only
+    val top = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c6")).as("scoreDec"))
+      .withColumn("score", round(col("scoreDec").cast("double"), 4))
+      // order on the EXACT decimal score (not the display rounding), so
+      // rank boundaries can never sit on a rounding edge
+      .orderBy(col("scoreDec").desc, col("doc_id").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("scoreDec").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("score"))
+  }
+
   // ------------------------------------------- rolling-hash fingerprinting
 
   val RollWindow = 8

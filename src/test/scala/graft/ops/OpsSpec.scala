@@ -864,6 +864,27 @@ class OpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("bm25: rare terms outweigh common, tf saturates, no-match docs excluded") {
+    val d = docs(
+      (1L, "rare pad pad pad", "en", "s", 0L),
+      (2L, "common pad pad pad", "en", "s", 0L),
+      (3L, "common pad pad pad", "en", "s", 0L),
+      (4L, "common pad pad pad", "en", "s", 0L),
+      (5L, "common common common pad", "en", "s", 0L),
+      (6L, "nothing relevant here x", "en", "s", 0L))
+    val got = TextOps.bm25Search(d, Seq("rare", "common"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 6 matches nothing → absent
+    assert(!got.exists(_._1 == 6L))
+    val byDoc = got.map(g => g._1 -> g._3).toMap
+    // idf: the 1-of-6-docs term beats the 4-of-6 term at equal tf and len
+    assert(byDoc(1L) > byDoc(2L), byDoc.toString)
+    // tf saturation: 3 occurrences score more than 1, but less than 3×
+    assert(byDoc(5L) > byDoc(2L) && byDoc(5L) < 3 * byDoc(2L), byDoc.toString)
+    // ranks are 1..n dense in score order
+    assert(got.sortBy(_._2).map(_._1).head == 1L)
+  }
+
   test("label propagation: hand-computed synchronous rounds, isolated nodes keep labels") {
     val s = spark
     import s.implicits._
