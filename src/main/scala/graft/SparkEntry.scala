@@ -459,6 +459,10 @@ object SparkEntry {
 
     "td11_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(t(s, d, "documents"))),
 
+    // adjacent-token PMI ratio (exp(PMI), log-free): the word2vec/GloVe
+    // corpus association statistic, hash-exact over integer counts
+    "td25_pmi_pairs" -> ((s, d) => TextOps.pmiPairs(t(s, d, "documents"), minCount = 5L)),
+
     // BM25-family ranked retrieval (rational idf — log-free, hash-exact):
     // top-20 docs for a 4-term query; per-term contributions summed as
     // DECIMAL(18,6) so cross-term addition is order-independent
@@ -2148,6 +2152,34 @@ object SparkEntry {
     "td22_bpe_train" -> bpeTrainOracle,
     "td23_bpe_train_apply" -> bpeTrainApplyOracle,
     "td24_bm25_search" -> bm25Oracle,
+
+    // same expression shape: c_ab·T·T / (P·c_a·c_b), counts exact
+    "td25_pmi_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS tks FROM documents
+        |), grams AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(tks) - 1),
+        |    i -> tks[CAST(i AS INTEGER)] || ' ' || tks[CAST(i + 1 AS INTEGER)])) AS g
+        |  FROM toks WHERE len(tks) >= 2
+        |), pc AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pair FROM grams GROUP BY 1
+        |), tc AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_tok
+        |  FROM (SELECT unnest(tks) AS t FROM toks) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(len(tks)) AS DOUBLE) AS n_tokens,
+        |    CAST(SUM(greatest(len(tks) - 1, 0)) AS DOUBLE) AS n_pairs
+        |  FROM toks
+        |)
+        |SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b, n_pair,
+        |  round(CAST(n_pair AS DOUBLE) * tot.n_tokens * tot.n_tokens /
+        |    (tot.n_pairs * CAST(ca.n_tok AS DOUBLE) * CAST(cb.n_tok AS DOUBLE)), 4)
+        |    AS pmi_ratio
+        |FROM pc
+        |JOIN tc ca ON ca.t = split_part(g, ' ', 1)
+        |JOIN tc cb ON cb.t = split_part(g, ' ', 2)
+        |CROSS JOIN tot
+        |WHERE n_pair >= 5""".stripMargin,
 
     "td14_dedup_clusters" -> dedupClustersOracle,
 

@@ -282,6 +282,49 @@ object TextOps {
         lit(0L), (a, x) => a + x), lit(0L)).as("n_bpe_tokens"))
   }
 
+  // ------------------------------------------- PMI token co-occurrence
+
+  /** Adjacent-token co-occurrence association — the word2vec/GloVe-style
+    * corpus statistic an embedding-training pipeline extracts: for every
+    * ordered adjacent pair (a, b) with ≥ `minCount` occurrences, the
+    * PMI RATIO `p(a,b)/(p(a)·p(b))` = `c_ab·T·T / (P·c_a·c_b)` (T = total
+    * tokens, P = total adjacent pairs) — exp(PMI), the log-free monotone
+    * form, so the score is a fixed-shape IEEE expression over exact
+    * integer counts and hash-exact cross-engine. One pass builds pair
+    * counts (map-side combined over the exploded 2-gram stream; the
+    * < 2-token branch is explicitly guarded — Spark's `sequence(1, 0)`
+    * descends where DuckDB's generate_series is empty), one builds the
+    * vocabulary-sized unigram table (broadcast back twice), and the two
+    * corpus totals collect as exact longs.
+    */
+  def pmiPairs(documents: DataFrame, minCount: Long = 5L): DataFrame = {
+    val grams = documents
+      .select(tokensCol(col("text")).as("tks"))
+      .select(expr(
+        "CASE WHEN size(tks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(1, size(tks) - 1), " +
+          "i -> concat(element_at(tks, i), ' ', element_at(tks, i + 1))) END").as("gs"))
+      .select(explode(col("gs")).as("g"))
+    val pairCounts = grams.groupBy(col("g")).agg(count(lit(1)).as("n_pair"))
+    val tokCounts = documents
+      .select(explode(tokensCol(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_tok"))
+    val Array(nTokens, nPairs) = documents
+      .select(size(tokensCol(col("text"))).cast("long").as("len"))
+      .agg(sum(col("len")), sum(greatest(col("len") - 1L, lit(0L))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    pairCounts
+      .withColumn("a", split(col("g"), " ").getItem(0))
+      .withColumn("b", split(col("g"), " ").getItem(1))
+      .join(broadcast(tokCounts.select(col("t").as("a"), col("n_tok").as("ca"))), "a")
+      .join(broadcast(tokCounts.select(col("t").as("b"), col("n_tok").as("cb"))), "b")
+      .filter(col("n_pair") >= minCount)
+      .withColumn("pmi_ratio", round(
+        col("n_pair").cast("double") * lit(nTokens.toDouble) * lit(nTokens.toDouble) /
+          (lit(nPairs.toDouble) * col("ca").cast("double") * col("cb").cast("double")), 4))
+      .select(col("a"), col("b"), col("n_pair"), col("pmi_ratio"))
+  }
+
   // ----------------------------------------------------- BM25 ranked search
 
   val Bm25K1 = 1.2
