@@ -298,12 +298,17 @@ object TextOps {
     * corpus totals collect as exact longs.
     */
   def pmiPairs(documents: DataFrame, minCount: Long = 5L): DataFrame = {
+    // zip_with over two slices, NOT element_at inside a transform lambda:
+    // CollapseProject inlines the tokenization into every reference, and a
+    // per-ELEMENT lambda reference would re-run the regex twice per gram
+    // (measured 10 s → 0.3 s on sf0.1); slice/size references evaluate
+    // once per ROW. slice length greatest(len−1, 0) doubles as the
+    // < 2-token guard (empty gram list, like DuckDB's generate_series).
+    val n = greatest(size(col("tks")) - 1, lit(0))
     val grams = documents
       .select(tokensCol(col("text")).as("tks"))
-      .select(expr(
-        "CASE WHEN size(tks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
-          "ELSE transform(sequence(1, size(tks) - 1), " +
-          "i -> concat(element_at(tks, i), ' ', element_at(tks, i + 1))) END").as("gs"))
+      .select(zip_with(slice(col("tks"), lit(1), n), slice(col("tks"), lit(2), n),
+        (a, b) => concat(a, lit(" "), b)).as("gs"))
       .select(explode(col("gs")).as("g"))
     val pairCounts = grams.groupBy(col("g")).agg(count(lit(1)).as("n_pair"))
     val tokCounts = documents
