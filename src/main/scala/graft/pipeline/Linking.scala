@@ -164,7 +164,10 @@ object Linking {
       .unionByName(exactPairs)
       .distinct()
       .localCheckpoint()
-    distinctSurfaces.unpersist()
+    // blocking: the default async removal races any storage accounting the
+    // caller does right after return (surfaced as PipelineSpec flakiness
+    // once the opt-in audit stopped adding a job between persist and here)
+    distinctSurfaces.unpersist(blocking = true)
 
     // broadcast so the (big, skewed) mention table never shuffles on the
     // hot surface strings
