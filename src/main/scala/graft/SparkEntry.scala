@@ -655,6 +655,12 @@ object SparkEntry {
     // batch build
     "kg23_stream_graph_merge" -> ((s, d) => StreamingOps.streamingGraphMerge(s, d)),
 
+    // the same streaming composition over the LSM path: micro-batches
+    // APPEND to the delta log (bytes ∝ batch), the trigger compacts, the
+    // merged view must still equal the batch build
+    "kg33_stream_lsm_merge" -> ((s, d) =>
+      StreamingOps.streamingGraphMerge(s, d, lsm = true)),
+
     // SPARQL-style BGP over the constructed graph: two triple patterns
     // sharing ?s, numeric FILTER on a typed literal
     "kg18_bgp_star" -> ((s, d) => GraphOps.bgpStar(t(s, d, "documents"))),
@@ -1915,6 +1921,12 @@ object SparkEntry {
 
     // and the LSM append→compact path must ALSO equal it
     "kg28_lsm_merge" ->
+      s"""SELECT subj, pred, obj FROM (
+         |$kg01Oracle
+         |)""".stripMargin,
+
+    // as must streaming ingest over the LSM path
+    "kg33_stream_lsm_merge" ->
       s"""SELECT subj, pred, obj FROM (
          |$kg01Oracle
          |)""".stripMargin,

@@ -392,7 +392,20 @@ object StreamingOps {
     * independent of the batch split, the final graph equals the
     * full-corpus build (the kg01 oracle).
     */
-  def streamingGraphMerge(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingGraphMerge(spark: SparkSession, sfDir: String): DataFrame =
+    streamingGraphMerge(spark, sfDir, lsm = false)
+
+  /** With `lsm = true`, each micro-batch APPENDS to the delta log instead
+    * of rewriting touched partitions
+    * ([[graft.pipeline.Materialize.mergeDeltaLsm]], bytes ∝ batch), with
+    * compaction folding the log on the batch-count trigger — the
+    * bounded-write-amplification variant of the same composition (kg33);
+    * the final merged view must still equal the batch build. Re-delivered
+    * batches append duplicate rows, which the dedup-on-read /
+    * compaction min-provenance rule collapses — the same idempotence
+    * argument as the overwrite path, moved from write time to read time.
+    */
+  def streamingGraphMerge(spark: SparkSession, sfDir: String, lsm: Boolean): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_kg23_").toString
@@ -426,12 +439,15 @@ object StreamingOps {
           if (batch.isEmpty) ()
           else if (!fs.exists(success))
             graft.pipeline.Materialize.write(toRows(batch), graph)
+          else if (lsm)
+            graft.pipeline.Materialize.mergeDeltaLsm(spark, graph, toRows(batch),
+              maxDeltaBatches = 2) // second delta triggers a compaction
           else
             graft.pipeline.Materialize.mergeDelta(spark, graph, toRows(batch))
         }
         .start()
       q.awaitTermination()
-      graft.pipeline.Materialize.read(spark, graph)
+      graft.pipeline.Materialize.readMerged(spark, graph)
         .select(col("subj"), col("pred"), col("obj"))
         .localCheckpoint() // eager — the scratch dirs are deleted below
     } finally
