@@ -399,6 +399,30 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("graphDiff: adds/dels exact, joins keyed on pred_hash, no cartesian") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val dir = Files.createTempDirectory("graft_diff_").toString
+    try {
+      Materialize.write(Seq(
+        TripleRow("<s1>", "<p>", "\"a\"", "u", ts),
+        TripleRow("<s2>", "<p>", "\"b\"", "u", ts)).toDS(), s"$dir/a")
+      Materialize.write(Seq(
+        TripleRow("<s2>", "<p>", "\"b\"", "u", ts),
+        TripleRow("<s3>", "<q>", "\"c\"", "u", ts)).toDS(), s"$dir/b")
+      val diff = Materialize.graphDiff(spark, s"$dir/a", s"$dir/b")
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      // the layout's partition key must ride the join keys
+      assert(plan.linesIterator.filter(_.contains("Join")).forall(_.contains("pred_hash")),
+        s"diff join not keyed on pred_hash:\n${plan.take(1200)}")
+      assert(diff.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet ==
+        Set(("add", "<s3>", "<q>", "\"c\""), ("del", "<s1>", "<p>", "\"a\"")))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("LSM delta path: append bytes ∝ delta (not partition), merged view exact, compact folds") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
