@@ -598,6 +598,11 @@ object SparkEntry {
     // of the emitting statement ride every triple as prunable columns
     "kg10_parse_spans" -> ((s, d) => GraphOps.parseTurtleWithSpans(t(s, d, "documents"))),
 
+    // graph → TURTLE → graph: serialize each doc's triples with the
+    // prefix-compacting TurtleWriter, re-parse with the conformance
+    // parser — must equal the direct parse (kg01's oracle)
+    "kg34_ttl_roundtrip" -> ((s, d) => GraphOps.turtleRoundTrip(t(s, d, "documents"))),
+
     // rich-grammar Turtle distributed: @base-relative IRIs, \u escapes,
     // collections (reverse bnode allocation), anonymous bnode property
     // lists, integer/decimal lexical forms — the reference's hard
@@ -2357,6 +2362,9 @@ object SparkEntry {
         |FROM documents, generate_series(0, 3) s(s)""".stripMargin,
 
     "kg01_parse_turtle" -> kg01Oracle,
+
+    // serialize → re-parse must reproduce the direct parse exactly
+    "kg34_ttl_roundtrip" -> kg01Oracle,
 
     // the round-trip must be the identity, so the oracle is kg01's
     "kg11_nt_roundtrip" -> kg01Oracle,

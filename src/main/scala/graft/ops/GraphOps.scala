@@ -46,6 +46,32 @@ object GraphOps {
       }.toDF("doc_id", "subj", "pred", "obj")
   }
 
+  /** Graph → TURTLE → graph round trip at corpus scale (kg34): each doc's
+    * parsed triples serialize through [[graft.turtle.TurtleWriter]]
+    * (prefix compaction and `;`-grouping exercised on real namespaces)
+    * and re-parse through the conformance parser inside the same task —
+    * the EXPORT side of the engine, value-checked because the re-parsed
+    * triples must equal the direct parse (kg01's oracle).
+    */
+  def turtleRoundTrip(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, lang, source, nChars) =>
+          val ttl = turtleForDoc(id, lang, source, nChars)
+          val t1 = Turtle.parseToTriples(ttl)
+            .fold(e => throw new IllegalStateException(s"doc $id: $e"), identity)
+          val ser = graft.turtle.TurtleWriter.write(t1,
+            Map("p" -> PropPrefix, "d" -> DocPrefix))
+          Turtle.parseToTriples(ser)
+            .fold(e => throw new IllegalStateException(s"doc $id reparse: $e"), identity)
+            .iterator.map(t => (id, t.subj.render, t.pred, t.obj.render))
+        }
+      }.toDF("doc_id", "subj", "pred", "obj")
+  }
+
   /** [[parseTurtle]] carrying each triple's source BYTE span — the
     * reference's `Meta` lineage on every emitted triple
     * (`src/build.rs:279-287`: a triple gets the span of the statement that
