@@ -603,6 +603,24 @@ object SparkEntry {
     // parser — must equal the direct parse (kg01's oracle)
     "kg34_ttl_roundtrip" -> ((s, d) => GraphOps.turtleRoundTrip(t(s, d, "documents"))),
 
+    // distributed .ttl EXPORT → dir-source INGEST: one Turtle document per
+    // partition (prefix-compacted), read back through readTurtleDir — the
+    // export/import capstone; result must equal the direct parse
+    "kg35_ttl_export" -> ((s, d) => {
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg35_").toString
+      try {
+        GraphOps.exportTurtleDir(tri.repartition(8), s"$dir/ttl",
+          Map("p" -> GraphOps.PropPrefix, "d" -> GraphOps.DocPrefix))
+        val (rows, rejects) = GraphOps.readTurtleDir(s, s"$dir/ttl")
+        if (rejects.count() > 0)
+          throw new IllegalStateException(s"export produced unparseable files")
+        rows.toDF().select(col("subj"), col("pred"), col("obj"))
+          .localCheckpoint() // eager — the scratch dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // rich-grammar Turtle distributed: @base-relative IRIs, \u escapes,
     // collections (reverse bnode allocation), anonymous bnode property
     // lists, integer/decimal lexical forms — the reference's hard
@@ -2365,6 +2383,13 @@ object SparkEntry {
 
     // serialize → re-parse must reproduce the direct parse exactly
     "kg34_ttl_roundtrip" -> kg01Oracle,
+
+    // export → dir-ingest loses doc ids (provenance = filename) but must
+    // reproduce the triple set exactly
+    "kg35_ttl_export" ->
+      s"""SELECT subj, pred, obj FROM (
+         |$kg01Oracle
+         |)""".stripMargin,
 
     // the round-trip must be the identity, so the oracle is kg01's
     "kg11_nt_roundtrip" -> kg01Oracle,

@@ -118,6 +118,44 @@ object GraphOps {
     graft.pipeline.TripleEmit.ingestTurtle(docs)
   }
 
+  /** Distributed Turtle FILE EXPORT — the inverse of [[readTurtleDir]]:
+    * each partition of the (rendered) triple table becomes ONE `.ttl`
+    * document (prefix header + subject-grouped blocks via
+    * [[graft.turtle.TurtleWriter]]), written through the text sink and
+    * committed with a `.ttl` rename so the directory round-trips through
+    * [[readTurtleDir]]. Rendered terms re-enter term space through the
+    * N-Triples parser (the engine's own canonical term syntax), so the
+    * export accepts any (subj, pred, obj) projection of a graph table.
+    * Blank labels are relabeled per output document; [[readTurtleDir]]
+    * doc-scopes labels on ingest, so cross-file collisions are safe. The
+    * rename pass is driver-side but bounded by the PARTITION COUNT,
+    * never by data.
+    */
+  def exportTurtleDir(
+      triples: DataFrame, out: String,
+      prefixes: Map[String, String] = Map.empty): Unit = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples.select(col("subj"), col("pred"), col("obj")).as[(String, String, String)]
+      .mapPartitions { it =>
+        val lines = it.map { case (s, p, o) => s"$s <$p> $o ." }.mkString("\n")
+        if (lines.isEmpty) Iterator.empty
+        else {
+          val ts = graft.turtle.NTriples.parse(lines)
+            .fold(e => throw new IllegalStateException(s"unrenderable triple: $e"), identity)
+          Iterator.single(graft.turtle.TurtleWriter.write(ts, prefixes))
+        }
+      }
+      .write.mode("overwrite").text(out)
+    val dir = new org.apache.hadoop.fs.Path(out)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-")).foreach { st =>
+      val name = st.getPath.getName
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir,
+        name.stripSuffix(".txt") + ".ttl"))
+    }
+  }
+
   /** Lenient typed twin of [[parseTurtle]] over (doc_id, ttl) rows: a
     * malformed document yields one `(doc_id, null, null, null, err)` row
     * instead of an exception (reference diagnostic-sink semantics,
