@@ -767,6 +767,30 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // TOMBSTONE deletes through the LSM path: graph v1 (docs %3≠0) gets
+    // the diff against a fresh v2 build (docs %2≠0) applied as ONE delta
+    // batch (adds assert, dels RETRACT — the re-crawl path where a page's
+    // new parse drops triples); the merged view must equal the v2 build
+    "kg36_lsm_tombstones" -> ((s, d) => {
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      def rows(df: DataFrame) = df.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg36_").toString
+      try {
+        graft.pipeline.Materialize.write(rows(tri.filter(col("doc_id") % 3 =!= 0)), s"$dir/a")
+        graft.pipeline.Materialize.write(rows(tri.filter(col("doc_id") % 2 =!= 0)), s"$dir/b")
+        val diff = graft.pipeline.Materialize.graphDiffProv(s, s"$dir/a", s"$dir/b")
+        graft.pipeline.Materialize.applyDiff(s, s"$dir/a", diff)
+        graft.pipeline.Materialize.readMerged(s, s"$dir/a")
+          .select(col("subj"), col("pred"), col("obj"))
+          .localCheckpoint() // eager — the scratch graph dirs are deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // SHACL-lite validation: per-property cardinality/datatype/enum rules
     // over the constructed graph, one violation row per breach; four
     // corruption classes planted by doc-id arithmetic so every rule fires
@@ -1953,6 +1977,13 @@ object SparkEntry {
       s"""SELECT subj, pred, obj FROM (
          |$kg01Oracle
          |)""".stripMargin,
+
+    // v1 + applied diff(v1→v2) must equal the fresh v2 build exactly —
+    // retractions actually removed, assertions present, provenance v2's
+    "kg36_lsm_tombstones" ->
+      s"""SELECT subj, pred, obj FROM (
+         |$kg01Oracle
+         |) WHERE doc_id % 2 <> 0""".stripMargin,
 
     // snapshot diff: set difference of the two builds, in closed form
     "kg32_graph_diff" ->

@@ -207,28 +207,96 @@ object Materialize {
   // touched-partition rewrite, amortizing the heavy overwrite across many
   // cheap appends. `_delta` is underscore-prefixed, so [[read]] (and every
   // plain parquet reader) ignores it and keeps seeing the consistent base.
+  //
+  // TOMBSTONES: every delta row carries `op` ∈ {add, del} and a
+  // monotonically increasing `batch_seq` (base rows are implicitly
+  // (add, 0)). A re-crawled page whose new parse DROPS triples can retract
+  // them: per (s,p,o) the LATEST state wins — a triple is present iff some
+  // add outlives every del (strictly newer batch; within one batch del
+  // wins, so a batch is a set of retractions applied before its
+  // assertions). Provenance of a surviving triple is the MIN (src_url,
+  // warc_ts) among the adds since it last came into existence — the same
+  // deterministic rule a full build applies, now windowed to the live
+  // assertions. [[compact]] resolves and DROPS tombstones (the rewritten
+  // base is the resolved state). The batch sequence comes from the marker
+  // log — the delta log has a single writer per table (the standard LSM
+  // assumption; concurrent writers need a real table format's commit
+  // protocol).
 
   private def deltaDir(out: String) = s"$out/_delta"
   private def batchMarkerDir(out: String) = s"$out/_delta_batches"
+
+  val OpAdd = "add"
+  val OpDel = "del"
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) = {
     val path = new org.apache.hadoop.fs.Path(p)
     (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
   }
 
+  /** True iff `dir` contains at least one non-hidden data file — guards
+    * readers against a `_delta` dir holding only `_SUCCESS` (an empty
+    * append), which parquet schema inference would otherwise reject.
+    */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
+  }
+
+  /** Pending deltas exist (dir present AND holds real data files). */
+  private def pendingDeltas(spark: org.apache.spark.sql.SparkSession, out: String): Boolean = {
+    val (fs, dd) = fsOf(spark, deltaDir(out))
+    fs.exists(dd) && hasDataFiles(fs, dd)
+  }
+
   /** Append one delta batch under `out/_delta` (same schema + pred_hash
-    * partition layout as the base) plus a batch marker for the compaction
-    * trigger. Within-batch dedup only — cross-batch duplicates resolve at
-    * [[readMerged]]/[[compact]], so repeated appends of the same delta
-    * stay idempotent at the read surface.
+    * partition layout as the base, plus `op`/`batch_seq`) plus a batch
+    * marker for the compaction trigger. Within-batch dedup only —
+    * cross-batch duplicates resolve at [[readMerged]]/[[compact]], so
+    * repeated appends of the same delta stay idempotent at the read
+    * surface. An EMPTY delta is a no-op (no files, no marker). Rows are
+    * assertions; for retractions pass (op, …) rows to [[appendDeltaOps]]
+    * or a diff to [[applyDiff]].
     */
   def appendDelta(
       spark: org.apache.spark.sql.SparkSession,
       out: String,
       delta: Dataset[TripleRow],
       predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt): Unit =
+    appendDeltaOps(spark, out, delta.toDF().withColumn("op", lit(OpAdd)),
+      predBuckets, salt)
+
+  /** [[appendDelta]] for mixed assertions + retractions: `deltaOps` rows
+    * are (subj, pred, obj, src_url, warc_ts, op) with op ∈ {add, del}
+    * (a del's provenance columns are carried but never surface — only
+    * live assertions contribute provenance).
+    */
+  def appendDeltaOps(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      deltaOps: DataFrame,
+      predBuckets: Int = DefaultPredBuckets,
       salt: Int = DefaultSalt): Unit = {
-    saltedDeduped(delta.toDF(), predBuckets, Map.empty, salt)
+    val ops = deltaOps.select(col("subj"), col("pred"), col("obj"),
+      col("src_url"), col("warc_ts"), col("op"))
+    if (ops.isEmpty) return // empty append would leave a _SUCCESS-only dir
+    val seq = deltaBatchCount(spark, out) + 1L
+    val df = withPredHash(ops, predBuckets)
+      .withColumn("subj_salt", saltCol(Map.empty, salt))
+    // the saltedDeduped one-exchange shape with op riding the group keys
+    df.repartition(col("pred_hash"), col("subj_salt"))
+      .groupBy(col("pred_hash"), col("subj_salt"),
+        col("subj"), col("pred"), col("obj"), col("op"))
+      .agg(min(struct(col("src_url"), col("warc_ts"))).as("prov"))
+      .select(col("subj"), col("pred"), col("obj"),
+        col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
+        col("op"), lit(seq).as("batch_seq"), col("pred_hash"))
       .write.mode("append").partitionBy("pred_hash").parquet(deltaDir(out))
     val (fs, dir) = fsOf(spark, batchMarkerDir(out))
     fs.mkdirs(dir)
@@ -242,29 +310,63 @@ object Materialize {
     if (fs.exists(dir)) fs.listStatus(dir).length else 0
   }
 
-  /** The merged view: base ∪ pending deltas with the same deterministic
-    * (s,p,o) → min-provenance rule a full write applies. With no pending
-    * deltas this IS [[read]] — zero overhead; with deltas it costs one
-    * dedup exchange over the rows actually read (and pred_hash partition
-    * pruning on a predicate filter still applies to BOTH sides before it).
+  /** Tombstone resolution over (…, op, batch_seq) rows already clustered
+    * by a hash partitioning whose expressions are a subset of `keys`: a
+    * window over `keys` finds each triple's latest retraction seq, adds
+    * strictly newer than it survive, and the surviving assertions collapse
+    * to the MIN provenance — window + filter + aggregate all ride the
+    * SAME clustering, so the whole resolution costs the ONE exchange the
+    * caller already paid.
+    */
+  private def resolveOps(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    rows
+      .withColumn("_dseq",
+        coalesce(max(when(col("op") === OpDel, col("batch_seq"))).over(w), lit(-1L)))
+      .filter(col("op") === OpAdd && col("batch_seq") > col("_dseq"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(col("src_url"), col("warc_ts"))).as("prov"))
+      .select(col("subj"), col("pred"), col("obj"),
+        col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
+        col("pred_hash"))
+  }
+
+  /** The merged view: base ∪ pending deltas with tombstones resolved and
+    * the same deterministic min-provenance rule a full write applies. With
+    * no pending deltas this IS [[read]] — zero overhead. With deltas, ONLY
+    * the pred_hash partitions the deltas touch pay the resolution exchange:
+    * the (vast, at 100 TB) untouched remainder of the base streams through
+    * as a plain pruned scan — merge-on-read, not shuffle-the-world
+    * (plan-guarded: the untouched branch has no Exchange). The touched set
+    * is bounded by predBuckets, never by data.
     */
   def readMerged(spark: org.apache.spark.sql.SparkSession, out: String): DataFrame = {
-    val (fs, dd) = fsOf(spark, deltaDir(out))
     val base = read(spark, out)
-    if (!fs.exists(dd)) base
-    else
-      base.unionByName(spark.read.parquet(deltaDir(out)))
-        .groupBy(col("pred_hash"), col("subj"), col("pred"), col("obj"))
-        .agg(min(struct(col("src_url"), col("warc_ts"))).as("prov"))
-        .select(col("subj"), col("pred"), col("obj"),
-          col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
-          col("pred_hash"))
+    if (!pendingDeltas(spark, out)) base
+    else {
+      val deltas = spark.read.parquet(deltaDir(out))
+      // partition discovery types pred_hash as int — align before isin
+      val touched = deltas.select(col("pred_hash").cast("int")).distinct()
+        .collect().map(_.getInt(0)) // bounded by predBuckets, never by data
+      val outCols = Seq("subj", "pred", "obj", "src_url", "warc_ts", "pred_hash").map(col)
+      val untouched = base.filter(!col("pred_hash").isin(touched: _*)).select(outCols: _*)
+      val rows = base.filter(col("pred_hash").isin(touched: _*))
+        .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+        .unionByName(deltas)
+      val merged = resolveOps(
+        rows.repartition(col("pred_hash"), col("subj"), col("pred"), col("obj")),
+        Seq("pred_hash", "subj", "pred", "obj"))
+      untouched.unionByName(merged)
+    }
   }
 
   /** Fold all pending deltas into the base: one [[mergeDelta]]-shaped
-    * touched-partition rewrite (existing ∪ deltas through the one-exchange
-    * [[saltedDeduped]], dynamic partition overwrite, untouched partitions
-    * never listed or rewritten), then drop the delta log. No-op when no
+    * touched-partition rewrite (existing ∪ deltas resolved inside the one
+    * salted exchange — the resolution window/filter/aggregate all ride the
+    * repartition's clustering — then dynamic partition overwrite; untouched
+    * partitions never listed or rewritten), then drop the delta log.
+    * Tombstones are consumed here: the rewritten base IS the resolved
+    * state, so retractions cost nothing after compaction. No-op when no
     * deltas are pending.
     */
   def compact(
@@ -273,18 +375,23 @@ object Materialize {
       predBuckets: Int = DefaultPredBuckets,
       salt: Int = DefaultSalt,
       checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Unit = {
+    if (!pendingDeltas(spark, out)) return
     val (fs, dd) = fsOf(spark, deltaDir(out))
-    if (!fs.exists(dd)) return
-    val cols = Seq("subj", "pred", "obj", "src_url", "warc_ts").map(col)
     val deltas = spark.read.parquet(deltaDir(out))
     // partition discovery types pred_hash as int — cast before collecting
     val touched = deltas.select(col("pred_hash").cast("long")).distinct()
       .collect().map(_.getLong(0)) // bounded by predBuckets, never by data
+    val opCols = Seq("subj", "pred", "obj", "src_url", "warc_ts", "op", "batch_seq")
     val existing = read(spark, out)
-      .filter(col("pred_hash").isin(touched: _*)).select(cols: _*)
+      .filter(col("pred_hash").isin(touched: _*))
+      .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+    val rows = existing.select(opCols.map(col): _*)
+      .unionByName(deltas.select(opCols.map(col): _*))
+    val salted = withPredHash(rows, predBuckets)
+      .withColumn("subj_salt", saltCol(Map.empty, salt))
+      .repartition(col("pred_hash"), col("subj_salt"))
     val merged = checkpoint.truncate(
-      saltedDeduped(existing.unionByName(deltas.select(cols: _*)),
-        predBuckets, Map.empty, salt))
+      resolveOps(salted, Seq("pred_hash", "subj_salt", "subj", "pred", "obj")))
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pred_hash")
@@ -325,16 +432,54 @@ object Materialize {
     */
   def graphDiff(
       spark: org.apache.spark.sql.SparkSession,
-      oldOut: String, newOut: String): DataFrame = {
+      oldOut: String, newOut: String,
+      predBuckets: Int = DefaultPredBuckets): DataFrame =
+    graphDiffProv(spark, oldOut, newOut, predBuckets)
+      .select(col("op"), col("subj"), col("pred"), col("obj"))
+
+  /** [[graphDiff]] carrying provenance — the DIRECTLY APPLYABLE form: adds
+    * keep the NEW snapshot's (src_url, warc_ts), dels carry the old
+    * snapshot's (retractions never surface provenance; the columns just
+    * keep the row shape uniform). Feed the result to [[applyDiff]] to
+    * bring an LSM table holding the old snapshot to the new one. The join
+    * key includes pred_hash RECOMPUTED from pred on both sides (not the
+    * stored partition column), so two snapshots written with different
+    * predBuckets layouts still diff exactly — while snapshots sharing the
+    * layout keep the co-clustered join.
+    */
+  def graphDiffProv(
+      spark: org.apache.spark.sql.SparkSession,
+      oldOut: String, newOut: String,
+      predBuckets: Int = DefaultPredBuckets): DataFrame = {
     def side(p: String) =
-      read(spark, p).select(col("pred_hash"), col("subj"), col("pred"), col("obj"))
+      withPredHash(
+        read(spark, p).select(col("subj"), col("pred"), col("obj"),
+          col("src_url"), col("warc_ts")),
+        predBuckets)
     val o = side(oldOut)
     val n = side(newOut)
     val keys = Seq("pred_hash", "subj", "pred", "obj")
-    n.join(o, keys, "left_anti").withColumn("op", lit("add"))
-      .unionByName(o.join(n, keys, "left_anti").withColumn("op", lit("del")))
-      .select(col("op"), col("subj"), col("pred"), col("obj"))
+    val keyCols = keys.map(col)
+    n.join(o.select(keyCols: _*), keys, "left_anti").withColumn("op", lit(OpAdd))
+      .unionByName(
+        o.join(n.select(keyCols: _*), keys, "left_anti").withColumn("op", lit(OpDel)))
+      .select(col("op"), col("subj"), col("pred"), col("obj"),
+        col("src_url"), col("warc_ts"))
   }
+
+  /** Apply a [[graphDiffProv]] diff to an LSM graph table as ONE delta
+    * batch: adds assert, dels retract; [[readMerged]] immediately serves
+    * the new snapshot's content, [[compact]] folds it into the base.
+    * Bytes written ∝ |diff| — the incremental re-crawl path: diff
+    * yesterday's build against today's, apply, done.
+    */
+  def applyDiff(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      diffProv: DataFrame,
+      predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt): Unit =
+    appendDeltaOps(spark, out, diffProv, predBuckets, salt)
 
   /** Single-predicate read that EXPLOITS the layout: the `pred_hash`
     * equality folds to a constant and prunes the scan to 1/predBuckets of

@@ -489,6 +489,110 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("LSM tombstones: deletes resolve latest-batch-wins, compact consumes them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val ts = new java.sql.Timestamp(0L)
+    val out = Files.createTempDirectory("graft_lsm_del_").toString
+    def ops(rows: (String, String, String, String, String)*) =
+      rows.toDF("subj", "pred", "obj", "src_url", "op")
+        .withColumn("warc_ts", org.apache.spark.sql.functions.lit(ts))
+    try {
+      Materialize.write(Seq(
+        TripleRow("<s1>", "<p:hot>", "\"a\"", "u1", ts),
+        TripleRow("<s2>", "<p:hot>", "\"b\"", "u2", ts),
+        TripleRow("<c>", "<p:cold>", "\"c\"", "u", ts)).toDS(), out)
+
+      // batch 1: retract s1, assert s3 — merged view drops s1 immediately
+      Materialize.appendDeltaOps(spark, out, ops(
+        ("<s1>", "<p:hot>", "\"a\"", "u1", "del"),
+        ("<s3>", "<p:hot>", "\"d\"", "u3", "add")))
+      val m1 = Materialize.readMerged(spark, out)
+        .select("subj", "obj", "src_url").as[(String, String, String)].collect().toSet
+      assert(m1 == Set(("<s2>", "\"b\"", "u2"), ("<s3>", "\"d\"", "u3"),
+        ("<c>", "\"c\"", "u")), s"got $m1")
+
+      // merge-on-read is BOUNDED: the untouched (cold) partition bypasses
+      // the resolution exchange — exactly one exchange in the whole plan
+      val plan = Materialize.readMerged(spark, out).queryExecution.executedPlan.toString
+      assert(plan.contains("Union"), plan.take(800))
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"untouched base partitions must bypass the dedup exchange:\n${plan.take(2000)}")
+
+      // batch 2: re-assert s1 with NEW provenance — the resurrection takes
+      // the post-delete add's prov, not the retracted original's
+      Materialize.appendDeltaOps(spark, out, ops(
+        ("<s1>", "<p:hot>", "\"a\"", "z9", "add")))
+      val m2 = Materialize.readMerged(spark, out)
+        .filter(c("subj") === "<s1>").select("src_url").as[String].collect().toSeq
+      assert(m2 == Seq("z9"), s"resurrected prov: $m2")
+
+      // within one batch, del wins over add (a batch retracts before it
+      // asserts): s2 stays deleted
+      Materialize.appendDeltaOps(spark, out, ops(
+        ("<s2>", "<p:hot>", "\"b\"", "w1", "del"),
+        ("<s2>", "<p:hot>", "\"b\"", "w2", "add")))
+      assert(Materialize.readMerged(spark, out).filter(c("subj") === "<s2>").count() == 0)
+
+      // compaction consumes tombstones: base IS the resolved state, the
+      // cold partition stays byte-identical, the log is gone
+      val coldDir = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("pred_hash=")).map(_.toString)
+        .find(d => spark.read.parquet(d).filter(c("pred") === "<p:cold>").count() > 0).get
+      def coldFiles() = new java.io.File(coldDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+      val coldBefore = coldFiles()
+      Materialize.compact(spark, out)
+      assert(!new java.io.File(s"$out/_delta").exists())
+      assert(coldFiles() == coldBefore, "compaction rewrote an untouched partition")
+      val base = Materialize.read(spark, out)
+        .select("subj", "obj", "src_url").as[(String, String, String)].collect().toSet
+      assert(base == Set(("<s1>", "\"a\"", "z9"), ("<s3>", "\"d\"", "u3"),
+        ("<c>", "\"c\"", "u")), s"post-compact base: $base")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("applyDiff brings an LSM table to the new snapshot; empty appends are no-ops") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val dir = Files.createTempDirectory("graft_applydiff_").toString
+    try {
+      Materialize.write(Seq(
+        TripleRow("<s1>", "<p>", "\"a\"", "u1", ts),
+        TripleRow("<s2>", "<p>", "\"b\"", "u2", ts)).toDS(), s"$dir/a")
+      Materialize.write(Seq(
+        TripleRow("<s2>", "<p>", "\"b\"", "v2", ts),
+        TripleRow("<s3>", "<q>", "\"c\"", "v3", ts)).toDS(), s"$dir/b")
+
+      // empty delta: no _delta dir appears, readers stay healthy (the
+      // _SUCCESS-only-dir schema-inference trap)
+      Materialize.appendDelta(spark, dir + "/a",
+        spark.emptyDataset[TripleRow](org.apache.spark.sql.Encoders.product[TripleRow]))
+      assert(!new java.io.File(s"$dir/a/_delta").exists())
+      assert(Materialize.deltaBatchCount(spark, s"$dir/a") == 0)
+      assert(Materialize.readMerged(spark, s"$dir/a").count() == 2)
+      Materialize.compact(spark, s"$dir/a") // no-op, must not throw
+
+      // diff v1→v2 applied as one tombstone batch == v2's CONTENT (prov of
+      // the carried-over s2 stays v1's — content diffs don't re-deliver it)
+      val diff = Materialize.graphDiffProv(spark, s"$dir/a", s"$dir/b")
+      Materialize.applyDiff(spark, s"$dir/a", diff)
+      val got = Materialize.readMerged(spark, s"$dir/a")
+        .select("subj", "pred", "obj", "src_url").as[(String, String, String, String)]
+        .collect().toSet
+      assert(got == Set(("<s2>", "<p>", "\"b\"", "u2"), ("<s3>", "<q>", "\"c\"", "v3")),
+        s"got $got")
+      // and compaction preserves exactly that
+      Materialize.compact(spark, s"$dir/a")
+      val base = Materialize.read(spark, s"$dir/a")
+        .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+      assert(base == Set(("<s2>", "<p>", "\"b\""), ("<s3>", "<q>", "\"c\"")))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("readTurtleDir parses the 29-fixture corpus through Spark, zero rejects") {
     val dir = "src/test/resources/turtle/positive"
     val (triples, rejects) = graft.ops.GraphOps.readTurtleDir(spark, dir)

@@ -20,6 +20,10 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 restricts both Verify and compare
+only = {n.strip() for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n.strip()}
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 
 def norm(v):
     if isinstance(v, float):
