@@ -457,6 +457,30 @@ object SparkEntry {
       TextOps.bpeApplyLearnedCounts(docs, TextOps.bpeTrain(docs, BpeTrainK))
     }),
 
+    // BPE past the 256-merge placeholder ceiling: the scalable trainer
+    // (one distributed vocab pass + exact local incremental training) runs
+    // 560 merges over a PLANTED vocabulary derived from the corpus — 560
+    // two-letter words with strictly decreasing corpus-derived frequencies,
+    // so every learned rule has a closed form the oracle states directly
+    // (rank k merges word k's letters with count (600−k)·|documents|)
+    "td26_bpe_train_512" -> ((s, d) =>
+      TextOps.bpeTrainVocabTable(SparkEntry.plantedBpeVocab(t(s, d, "documents")),
+        numMerges = 560)),
+
+    // ...and the broadcast merge-table tokenizer APPLIES that 560-rule
+    // table: planted per-doc texts hold words 0..559+(doc_id%90) — ranks
+    // 0..559 merge to one token each, the tail words (no rule) stay two —
+    // so per-doc counts are closed-form: 560 + 2·(doc_id % 90)
+    "td27_bpe_apply_512" -> ((s, d) => {
+      val docsT = t(s, d, "documents")
+      val rules = TextOps.bpeTrainVocabRules(
+        SparkEntry.plantedBpeVocab(docsT), numMerges = 560)
+      val planted = docsT.select(col("doc_id"),
+        expr("array_join(transform(sequence(0, 559 + CAST(doc_id % 90 AS INT)), " +
+          "k -> char(97 + k div 26) || char(97 + k % 26)), ' ')").as("text"))
+      TextOps.bpeApplyRules(planted, rules)
+    }),
+
     "td11_rolling_fingerprint" -> ((s, d) => TextOps.rollingFingerprints(t(s, d, "documents"))),
 
     // adjacent-token PMI ratio (exp(PMI), log-free): the word2vec/GloVe
@@ -1094,6 +1118,20 @@ object SparkEntry {
     * exactly (the kg15 PageRank unrolling discipline).
     */
   val BpeTrainK = 8
+
+  /** td26/td27's planted vocabulary: 560 two-letter words (k → letters
+    * (k div 26, k mod 26)) with strictly decreasing corpus-derived
+    * frequencies f_k = (600−k)·|documents|. Each word IS its own pair, no
+    * two words share a pair, and a merged word has no further pairs, so
+    * the full 560-rule training run has a closed form — the trainer
+    * demonstrably runs far past the placeholder path's 256-merge ceiling
+    * while the oracle stays one generate_series.
+    */
+  private def plantedBpeVocab(documents: DataFrame): DataFrame =
+    documents.select(explode(sequence(lit(0), lit(559))).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("nd"))
+      .select(expr("char(97 + k div 26) || char(97 + k % 26)").as("w"),
+        ((lit(600L) - col("k")) * col("nd")).as("f"))
 
   private val BpePiecesSql =
     """regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+')"""
@@ -2217,6 +2255,22 @@ object SparkEntry {
     "td13_bpe_merges" -> bpeOracle,
     "td22_bpe_train" -> bpeTrainOracle,
     "td23_bpe_train_apply" -> bpeTrainApplyOracle,
+
+    // the planted 560-word vocabulary's training run in closed form: rank
+    // k merges word k's two letters with count (600−k)·|documents|
+    "td26_bpe_train_512" ->
+      """WITH nd AS (SELECT COUNT(*) AS nd FROM documents)
+        |SELECT CAST(k AS BIGINT) AS rank,
+        |  chr(CAST(97 + (k // 26) AS INTEGER)) AS lhs,
+        |  chr(CAST(97 + (k % 26) AS INTEGER)) AS rhs,
+        |  CAST((600 - k) * nd AS BIGINT) AS n
+        |FROM generate_series(0, 559) t(k), nd""".stripMargin,
+
+    // planted apply: words 0..559 merge to one token, the (doc_id % 90)
+    // tail words have no rule and stay two symbols
+    "td27_bpe_apply_512" ->
+      """SELECT doc_id, CAST(560 + 2 * (doc_id % 90) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
     "td24_bm25_search" -> bm25Oracle,
 
     // same expression shape: c_ab·T·T / (P·c_a·c_b), counts exact

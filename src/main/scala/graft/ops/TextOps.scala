@@ -208,6 +208,18 @@ object TextOps {
     * Stops early (returns < `numMerges` rules) only if the vocabulary runs
     * out of adjacent pairs.
     */
+  /** The merged-symbol placeholder range ([[bpeTrain]] allocates
+    * U+E000+rank). Corpus text already containing these private-use chars
+    * would collide with the placeholders — vocabulary words would carry
+    * chars `decode()` misreads as expansions and the apply-side replace
+    * chain could merge across them — so BOTH the trainer's vocabulary
+    * construction and [[bpeApplyLearnedCounts]]'s input strip the range
+    * (rare-to-absent in real text; a PUA char contributes zero tokens).
+    * The array-symbol path ([[bpeTrainScalable]]) has no placeholder space
+    * and strips only to keep the two trainers' tiebreak order identical.
+    */
+  val PuaGuardClass = "[-]"
+
   def bpeTrain(
       documents: DataFrame,
       numMerges: Int = 8,
@@ -217,6 +229,8 @@ object TextOps {
     var words = checkpoint.truncate(
       documents
         .select(explode(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("w"))
+        .select(regexp_replace(col("w"), lit(PuaGuardClass), lit("")).as("w"))
+        .filter(length(col("w")) >= 1)
         .groupBy(col("w")).agg(count(lit(1)).as("f")))
     val learned = Vector.newBuilder[LearnedMerge]
     val expansions = new scala.collection.mutable.ArrayBuffer[String](numMerges)
@@ -272,14 +286,228 @@ object TextOps {
     * `replace` calls.
     */
   def bpeApplyLearnedCounts(documents: DataFrame, merges: Seq[LearnedMerge]): DataFrame = {
+    // PUA guard mirrors the trainer's exactly: pieces are extracted from
+    // the ORIGINAL text (a PUA char splits runs the same way in both) and
+    // each piece sheds placeholder-range chars BEFORE the replace chain —
+    // they'd otherwise read as merged symbols. The per-element strip is a
+    // cheap scan of a short piece, not a re-run of the row-level regex, so
+    // the generate-filter inlining invariant is untouched.
     val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
     val chain = (w: Column) =>
-      merges.foldLeft(w)((acc, m) =>
+      merges.foldLeft(regexp_replace(w, lit(PuaGuardClass), lit("")))((acc, m) =>
         replace(acc, lit(m.lhsSym + m.rhsSym), lit(m.ph.toString)))
     documents.select(
       col("doc_id"),
       coalesce(aggregate(transform(pieces, w => length(chain(w)).cast("long")),
         lit(0L), (a, x) => a + x), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  // ----------------------------------- scalable BPE (past the 256-merge
+  // placeholder ceiling): the industrial architecture — ONE distributed
+  // pass collapses the corpus to a frequency-cut (word, freq) vocabulary
+  // (the only data-sized object in the job), then an exact local trainer
+  // with incremental pair-count maintenance runs unlimited merges over it
+  // (HuggingFace tokenizers / SentencePiece train exactly this way: the
+  // corpus is petabytes, the distinct-pretokens table after a frequency
+  // cutoff is megabytes). [[bpeTrain]]'s job-per-merge loop costs one
+  // shuffle + collect PER RULE — fine for 8, absurd for 32k; here merges
+  // are free after the single corpus scan. Symbols are STRINGS (no
+  // private-use placeholder space), so vocabulary size is unbounded and
+  // the PUA collision class is structurally gone. Apply is a broadcast
+  // merge-table tokenizer in `mapPartitions` (the [[bpeMergeCounts]]
+  // per-partition memo discipline).
+
+  /** One learned merge of the array-symbol trainer: plain decoded symbol
+    * strings — the artifact shape real tokenizers ship.
+    */
+  final case class BpeMergeRule(rank: Int, lhs: String, rhs: String, n: Long)
+
+  /** The distributed half: corpus → (word, freq) vocabulary, frequency-cut
+    * to `maxVocab` rows (count DESC, word ASC — deterministic cut). The
+    * collect is bounded by the PARAMETER, never by data; at 100 TB the
+    * vocabulary after this cut is the same few-hundred-MB table a
+    * single-node trainer would build, delivered by one map-side-combined
+    * aggregate instead of a single-node corpus scan.
+    */
+  def bpeVocab(documents: DataFrame, maxVocab: Int): Array[(String, Long)] = {
+    require(maxVocab >= 1 && maxVocab <= (1 << 22), s"maxVocab=$maxVocab out of range")
+    documents
+      .select(explode(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("w"))
+      .select(regexp_replace(col("w"), lit(PuaGuardClass), lit("")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** The local half: exact textbook BPE training over a weighted
+    * vocabulary with INCREMENTAL pair-count maintenance — each merge
+    * touches only the words containing the winning pair (inverted index),
+    * so a full train is O(Σ touched-word lengths), not O(V × merges).
+    *
+    * Semantics match [[bpeTrain]] rule-for-rule on any PUA-free corpus
+    * (OpsSpec cross-validates the two implementations): symbols start as
+    * UTF-16 code units, every adjacent POSITION counts (overlapping),
+    * re-segmentation merges left-to-right non-overlapping, and the argmax
+    * tiebreak is count DESC then pair ASC in the same order the
+    * placeholder trainer sees — original chars order as themselves and
+    * merge #r orders as U+E000+r, which is exactly [[bpeTrain]]'s 2-char
+    * string comparison (and its canonical extension past rank 255).
+    */
+  def bpeTrainLocal(vocab: Array[(String, Long)], numMerges: Int): Seq[BpeMergeRule] = {
+    require(numMerges >= 1, s"numMerges=$numMerges out of range")
+    import scala.collection.mutable
+    // symbol ids: original UTF-16 unit = its char value; merge r = 0xE000+r
+    val expans = mutable.ArrayBuffer.empty[String] // merge r → decoded string
+    def decode(id: Int): String =
+      if (id >= 0xE000) expans(id - 0xE000) else id.toChar.toString
+    def pk(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
+
+    val words = mutable.ArrayBuffer.empty[Array[Int]]
+    val freqs = mutable.ArrayBuffer.empty[Long]
+    vocab.foreach { case (w0, f) =>
+      val w = w0.filterNot(c => c >= 0xE000 && c <= 0xE0FF) // [[PuaGuardClass]]
+      if (w.nonEmpty) { words += w.map(_.toInt).toArray; freqs += f }
+    }
+    val counts = mutable.LongMap.empty[Long]
+    val where = mutable.LongMap.empty[mutable.BitSet] // pair → word indices
+    def addWord(wi: Int, sign: Long): Unit = {
+      val w = words(wi); val f = freqs(wi) * sign
+      var i = 0
+      while (i < w.length - 1) {
+        val k = pk(w(i), w(i + 1))
+        val c = counts.getOrElse(k, 0L) + f
+        if (c == 0L) counts.remove(k) else counts.update(k, c)
+        if (sign > 0) where.getOrElseUpdate(k, mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    val learned = Vector.newBuilder[BpeMergeRule]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // deterministic argmax: count DESC, then (l, r) ASC — hash order of
+      // the scan cannot leak into the result
+      var bestK = -1L; var bestN = 0L
+      counts.foreachEntry { (k, n) =>
+        if (n > bestN || (n == bestN && (bestK < 0 || java.lang.Long.compareUnsigned(k, bestK) < 0))) {
+          bestK = k; bestN = n
+        }
+      }
+      if (bestK < 0) done = true
+      else {
+        val l = (bestK >>> 32).toInt; val r = bestK.toInt
+        val merged = 0xE000 + rank
+        expans += decode(l) + decode(r)
+        learned += BpeMergeRule(rank, decode(l), decode(r), bestN)
+        val touched = where.remove(bestK).getOrElse(mutable.BitSet.empty)
+        touched.foreach { wi =>
+          addWord(wi, -1L) // retract old adjacencies
+          val w = words(wi)
+          val next = new mutable.ArrayBuffer[Int](w.length)
+          var j = 0
+          while (j < w.length) {
+            if (j < w.length - 1 && w(j) == l && w(j + 1) == r) { next += merged; j += 2 }
+            else { next += w(j); j += 1 }
+          }
+          words(wi) = next.toArray
+          addWord(wi, 1L) // assert new adjacencies
+        }
+        rank += 1
+      }
+    }
+    learned.result()
+  }
+
+  /** Train-at-scale entry point: distributed vocabulary, local exact
+    * trainer, unlimited merges.
+    */
+  def bpeTrainScalable(
+      documents: DataFrame, numMerges: Int, maxVocab: Int = 1 << 20): Seq[BpeMergeRule] =
+    bpeTrainLocal(bpeVocab(documents, maxVocab), numMerges)
+
+  /** [[bpeTrainScalable]] from an explicit (w, f) vocabulary table —
+    * the hook for pipelines that already materialized word counts.
+    */
+  def bpeTrainVocabRules(
+      vocab: DataFrame, numMerges: Int, maxVocab: Int = 1 << 20): Seq[BpeMergeRule] =
+    bpeTrainLocal(
+      vocab.select(col("w").cast("string"), col("f").cast("long"))
+        .orderBy(col("f").desc, col("w").asc).limit(maxVocab)
+        .collect().map(r => (r.getString(0), r.getLong(1))),
+      numMerges)
+
+  /** [[bpeTrainVocabRules]] as a (rank, lhs, rhs, n) DataFrame. */
+  def bpeTrainVocabTable(
+      vocab: DataFrame, numMerges: Int, maxVocab: Int = 1 << 20): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    bpeTrainVocabRules(vocab, numMerges, maxVocab)
+      .map(m => (m.rank.toLong, m.lhs, m.rhs, m.n))
+      .toDF("rank", "lhs", "rhs", "n")
+  }
+
+  /** Apply a learned merge table of ANY size: the broadcast rank map rides
+    * to each partition, every piece runs the textbook lowest-rank-first
+    * loop over string symbols, counts memoized per distinct piece (the
+    * [[bpeMergeCounts]] memo discipline — corpus pieces repeat heavily).
+    * Zero shuffle; the merge table is the only exchanged object.
+    */
+  def bpeApplyRules(documents: DataFrame, rules: Seq[BpeMergeRule]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranksBc = spark.sparkContext.broadcast(
+      rules.map(m => (m.lhs, m.rhs) -> m.rank).toMap)
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = ranksBc.value
+        val memo = new java.util.HashMap[String, Integer](1 << 14)
+        def count(piece0: String): Int = {
+          val piece = piece0.filterNot(c => c >= 0xE000 && c <= 0xE0FF)
+          if (piece.isEmpty) return 0
+          var syms = piece.map(_.toString).toArray
+          var done = false
+          while (!done && syms.length > 1) {
+            var best = Int.MaxValue; var at = -1
+            var i = 0
+            while (i < syms.length - 1) {
+              val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (r < best) { best = r; at = i }
+              i += 1
+            }
+            if (at < 0) done = true
+            else {
+              val (l, r) = (syms(at), syms(at + 1))
+              val next = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                  next += l + r; j += 2
+                } else { next += syms(j); j += 1 }
+              }
+              syms = next.toArray
+            }
+          }
+          syms.length
+        }
+        it.map { case (id, text) =>
+          val m = BpePiecePattern.matcher(text)
+          var tokens = 0L
+          while (m.find()) {
+            val piece = m.group()
+            var c = memo.get(piece)
+            if (c == null) {
+              if (memo.size >= (1 << 20)) memo.clear()
+              c = Integer.valueOf(count(piece))
+              memo.put(piece, c)
+            }
+            tokens += c.intValue()
+          }
+          (id, tokens)
+        }
+      }.toDF("doc_id", "n_bpe_tokens")
   }
 
   // ------------------------------------------- PMI token co-occurrence

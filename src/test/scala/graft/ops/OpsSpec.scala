@@ -102,6 +102,73 @@ class OpsSpec extends AnyFunSuite {
     assert(applied.getLong(1) == 3L, s"tokens=${applied.getLong(1)}")
   }
 
+  test("BPE PUA guard: planted placeholder-range chars cannot corrupt train or apply") {
+    // a standalone U+E000 token and one embedded in a symbol run: the
+    // learned table must be IDENTICAL to the clean corpus's, and apply
+    // counts must not change (PUA chars contribute zero tokens)
+    val clean = docs((1L, "aa ab aa ab aa !? x", "en", "s", 0L))
+    val planted = docs((1L, "aa ab  aa ab aa !? x", "en", "s", 0L))
+    val mClean = TextOps.bpeTrain(clean, numMerges = 4)
+    val mPlanted = TextOps.bpeTrain(planted, numMerges = 4)
+    assert(mClean.map(m => (m.rank, m.lhs, m.rhs, m.n)) ==
+      mPlanted.map(m => (m.rank, m.lhs, m.rhs, m.n)))
+    assert(mPlanted.forall(m =>
+      !(m.lhs + m.rhs).exists(c => c >= 0xE000 && c <= 0xE0FF)),
+      "a learned rule leaked a placeholder-range char")
+    val aClean = TextOps.bpeApplyLearnedCounts(clean, mClean).collect()(0).getLong(1)
+    val aPlanted = TextOps.bpeApplyLearnedCounts(planted, mClean).collect()(0).getLong(1)
+    assert(aClean == aPlanted, s"$aClean vs $aPlanted")
+    // same invariants on the array-symbol path
+    val sClean = TextOps.bpeTrainScalable(clean, numMerges = 4)
+    val sPlanted = TextOps.bpeTrainScalable(planted, numMerges = 4)
+    assert(sClean == sPlanted)
+    assert(TextOps.bpeApplyRules(planted, sClean).collect()(0).getLong(1) == aClean)
+  }
+
+  test("scalable BPE cross-validates the placeholder trainer rule-for-rule") {
+    // two independent implementations (distributed job-per-merge placeholder
+    // trainer vs vocab-collapse + local incremental trainer) must learn the
+    // SAME table on the same corpus — including multi-char re-merges,
+    // overlap counting, and the count-then-pair-ASC tiebreak
+    val d = docs(
+      (1L, "abab the thin stand standing in in in going gone", "en", "s", 0L),
+      (2L, "aa ab ba erere there the the cat cattle !? !? !!", "en", "s", 0L),
+      (3L, "zzz zz z mississippi banana bandana and sand standing", "en", "s", 0L))
+    val k = 12
+    val legacy = TextOps.bpeTrain(d, numMerges = k)
+      .map(m => (m.rank, m.lhs, m.rhs, m.n))
+    val scalable = TextOps.bpeTrainScalable(d, numMerges = k)
+      .map(m => (m.rank, m.lhs, m.rhs, m.n))
+    assert(legacy == scalable, s"\nlegacy:   $legacy\nscalable: $scalable")
+    // and the two apply paths agree document-for-document
+    val viaLegacy = TextOps.bpeApplyLearnedCounts(d, TextOps.bpeTrain(d, numMerges = k))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRules = TextOps.bpeApplyRules(d, TextOps.bpeTrainScalable(d, numMerges = k))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLegacy == viaRules)
+  }
+
+  test("scalable BPE trains past the 256-merge placeholder ceiling") {
+    // planted vocabulary: 300 distinct 2-letter words with strictly
+    // decreasing frequency → merge r must be word r's pair with its exact
+    // count; rank 299 > the placeholder path's ceiling
+    val vocab = Array.tabulate(300)(kk =>
+      ("" + ('a' + kk / 26).toChar + ('a' + kk % 26).toChar, (1000 - kk).toLong))
+    val rules = TextOps.bpeTrainLocal(vocab, numMerges = 1000)
+    assert(rules.length == 300, s"got ${rules.length}")
+    rules.zipWithIndex.foreach { case (m, i) =>
+      assert(m.rank == i && m.lhs == vocab(i)._1.substring(0, 1) &&
+        m.rhs == vocab(i)._1.substring(1) && m.n == vocab(i)._2, s"rule $i: $m")
+    }
+    // incremental maintenance across re-merges: chains deeper than one
+    // level ("aaaa"×4: (a,a)->X n=12; (X,X) n=4; (XX,XX)... none — word is
+    // [XX] after round 2... hand-check: aaaa = 4 a's → 3 positions n=12;
+    // merge → [X,X] (1 position ×4 words) n=4 → merge → [XX]; dry)
+    val chain = TextOps.bpeTrainLocal(Array(("aaaa", 4L)), numMerges = 10)
+    assert(chain.map(m => (m.lhs, m.rhs, m.n)) ==
+      Seq(("a", "a", 12L), ("aa", "aa", 4L)))
+  }
+
   test("lang-id predicts correctly on real multilingual snippets") {
     val d = docs(
       (1L, "the cat sat on the mat and it is a good day to be in the sun", "x", "s", 0L),
