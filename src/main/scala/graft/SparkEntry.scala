@@ -925,6 +925,56 @@ object SparkEntry {
         .select(col("d"))
     }),
 
+    // SPARQL UNION (bag semantics): { ?d lang "en" . ?d nchars ?n } UNION
+    // { ?d lang "fr" . ?d label ?lbl } — each branch keeps its own plan,
+    // the variable universes merge with nulls for the unshared bindings
+    "kg37_bgp_union" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      val en = GraphOps.bgpChain(triples, Seq(
+        GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"en\"")),
+        GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))), counts)
+      val fr = GraphOps.bgpChain(triples, Seq(
+        GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"fr\"")),
+        GraphOps.ChainPattern("d", s"${P}label", oVar = Some("lbl"))), counts)
+      GraphOps.bgpUnion(en, fr).select(col("d"), col("n"), col("lbl"))
+    }),
+
+    // SPARQL aggregates over BGP solutions: GROUP BY ?l with COUNT + SUM
+    // over { ?d lang ?l . ?d nchars ?n } — the groupBy lowering
+    "kg38_bgp_aggregate" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      val sol = GraphOps.bgpChain(triples, Seq(
+        GraphOps.ChainPattern("d", s"${P}lang", oVar = Some("l")),
+        GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))), counts)
+      GraphOps.bgpAggregate(sol, Seq("l"), Seq(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_extract(col("n"), "^\"(\\d+)\"", 1).cast("long")).as("sum_nchars")))
+    }),
+
+    // SPARQL VALUES: the inline binding table (?l ?tier) joins the
+    // solutions on the shared ?l (broadcast) and extends them with ?tier
+    "kg39_bgp_values" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      val sol = GraphOps.bgpChain(triples, Seq(
+        GraphOps.ChainPattern("d", s"${P}lang", oVar = Some("l")),
+        GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))), counts)
+      import s.implicits._
+      val values = Seq(("\"en\"", "west"), ("\"fr\"", "west"), ("\"zh\"", "east"))
+        .toDF("l", "tier")
+      GraphOps.bgpValues(sol, values)
+        .select(col("d"), col("l"), col("tier"),
+          regexp_extract(col("n"), "^\"(\\d+)\"", 1).cast("long").as("n_chars"))
+    }),
+
     // graph → table round-trip: one wide row per entity via explicit-values
     // pivot over its triples
     "kg19_assemble" -> ((s, d) => GraphOps.assembleEntities(t(s, d, "documents"))),
@@ -2583,6 +2633,47 @@ object SparkEntry {
          |FROM documents d
          |WHERE d.lang = 'en'
          |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.doc_id = d.doc_id)""".stripMargin,
+
+    // UNION lowering: each branch's solution rows, nulls for the other
+    // branch's variables (bag semantics — UNION ALL)
+    "kg37_bgp_union" ->
+      s"""WITH t AS (
+         |$kg01Oracle
+         |)
+         |SELECT l.subj AS d, n.obj AS n, CAST(NULL AS VARCHAR) AS lbl
+         |FROM t l JOIN t n ON n.subj = l.subj AND n.pred = '${GraphOps.PropPrefix}nchars'
+         |WHERE l.pred = '${GraphOps.PropPrefix}lang' AND l.obj = '"en"'
+         |UNION ALL
+         |SELECT l.subj AS d, CAST(NULL AS VARCHAR) AS n, lb.obj AS lbl
+         |FROM t l JOIN t lb ON lb.subj = l.subj AND lb.pred = '${GraphOps.PropPrefix}label'
+         |WHERE l.pred = '${GraphOps.PropPrefix}lang' AND l.obj = '"fr"'""".stripMargin,
+
+    // GROUP BY over solution bindings: per-language doc count + summed
+    // integer objects (lexical forms peeled identically on both engines)
+    "kg38_bgp_aggregate" ->
+      s"""WITH t AS (
+         |$kg01Oracle
+         |)
+         |SELECT l.obj AS l, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(regexp_extract(n.obj, '^"(\\d+)"', 1) AS BIGINT)) AS BIGINT)
+         |    AS sum_nchars
+         |FROM t l JOIN t n ON n.subj = l.subj AND n.pred = '${GraphOps.PropPrefix}nchars'
+         |WHERE l.pred = '${GraphOps.PropPrefix}lang'
+         |GROUP BY 1""".stripMargin,
+
+    // VALUES lowering: the inline (?l ?tier) table restricts and extends
+    "kg39_bgp_values" ->
+      s"""WITH t AS (
+         |$kg01Oracle
+         |), v(l, tier) AS (
+         |  VALUES ('"en"', 'west'), ('"fr"', 'west'), ('"zh"', 'east')
+         |)
+         |SELECT l.subj AS d, l.obj AS l, v.tier,
+         |  CAST(regexp_extract(n.obj, '^"(\\d+)"', 1) AS BIGINT) AS n_chars
+         |FROM t l
+         |JOIN t n ON n.subj = l.subj AND n.pred = '${GraphOps.PropPrefix}nchars'
+         |JOIN v ON v.l = l.obj
+         |WHERE l.pred = '${GraphOps.PropPrefix}lang'""".stripMargin,
 
     // 2-hop chain: en docs → mentioned entities → entity labels; the
     // mention CTE is kg03's oracle re-derivation

@@ -566,6 +566,46 @@ object GraphOps {
       shared, "left_anti")
   }
 
+  /** SPARQL UNION over two solution sets: BAG union (no dedup — SPARQL's
+    * UNION is multiset) with the variable universe = the union of both
+    * sides' variables; a variable unbound on one side is null there
+    * (SPARQL's unbound). Lowered to `unionByName(allowMissingColumns)` —
+    * a zero-shuffle concatenation of the two solution plans, each of which
+    * keeps its own pred-pruned scans and join order.
+    */
+  def bgpUnion(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** SPARQL VALUES: an inline binding table joined into the solution set —
+    * shared variables must match (equi-join), fresh variables extend each
+    * surviving solution. The inline table is literal-sized by construction,
+    * so it BROADCASTS; a VALUES sharing no variable would be a cartesian
+    * extension and is rejected (same no-cartesian rule as [[bgpChain]]).
+    * UNDEF cells are not supported — every inline row binds every listed
+    * variable.
+    */
+  def bgpValues(sol: DataFrame, values: DataFrame): DataFrame = {
+    val shared = sol.columns.toSeq.intersect(values.columns.toSeq)
+    require(shared.nonEmpty,
+      s"VALUES(${values.columns.mkString(",")}) shares no variable with " +
+        s"solutions(${sol.columns.mkString(",")})")
+    sol.join(broadcast(values), shared, "inner")
+  }
+
+  /** SPARQL aggregates over BGP solutions (GROUP BY + COUNT/SUM/…): the
+    * direct `groupBy` lowering — one map-side-combined exchange on the
+    * grouping variables, exactly what the SPARQL algebra's Group/Aggregate
+    * pair means on a solution multiset.
+    */
+  def bgpAggregate(
+      sol: DataFrame, groupVars: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(groupVars.nonEmpty && aggs.nonEmpty, "need group vars and aggregates")
+    val missing = groupVars.filterNot(sol.columns.contains)
+    require(missing.isEmpty, s"group variables not bound by the solutions: $missing")
+    sol.groupBy(groupVars.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Inverse of triple emission: re-assemble one wide row per entity from
     * its triples (graph → table round-trip) with an explicit-values pivot
     * — one shuffle on subj, no extra distinct-values pass, deterministic

@@ -169,6 +169,49 @@ class OpsSpec extends AnyFunSuite {
       Seq(("a", "a", 12L), ("aa", "aa", 4L)))
   }
 
+  test("SPARQL UNION/VALUES/aggregate lowerings: nulls, broadcast, no-cartesian guard") {
+    val d = docs(
+      (1L, "x", "en", "s1", 10L), (2L, "x", "fr", "s1", 20L), (3L, "x", "en", "s2", 30L))
+    val P = GraphOps.PropPrefix
+    val triples = GraphOps.parseTurtle(d).select(col("subj"), col("pred"), col("obj"))
+    val counts = Map.empty[String, Long]
+    val en = GraphOps.bgpChain(triples, Seq(
+      GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"en\"")),
+      GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))), counts)
+    val fr = GraphOps.bgpChain(triples, Seq(
+      GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"fr\"")),
+      GraphOps.ChainPattern("d", s"${P}label", oVar = Some("lbl"))), counts)
+    // bag union: variable universes merge, the other branch's vars are null
+    val u = GraphOps.bgpUnion(en, fr).collect()
+    assert(u.length == 3)
+    assert(u.count(r => !r.isNullAt(1) && r.isNullAt(2)) == 2) // en: n bound
+    assert(u.count(r => r.isNullAt(1) && !r.isNullAt(2)) == 1) // fr: lbl bound
+
+    val s = spark
+    import s.implicits._
+    val sol = GraphOps.bgpChain(triples, Seq(
+      GraphOps.ChainPattern("d", s"${P}lang", oVar = Some("l")),
+      GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))), counts)
+    val values = Seq(("\"en\"", "west")).toDF("l", "tier")
+    val v = GraphOps.bgpValues(sol, values)
+    assert(v.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "VALUES must broadcast the inline table")
+    assert(v.count() == 2)
+    // a VALUES sharing no variable is a cartesian extension — rejected
+    intercept[IllegalArgumentException] {
+      GraphOps.bgpValues(sol, Seq(("a", "b")).toDF("fresh1", "fresh2"))
+    }
+    // aggregates: groupBy lowering with bound-variable guard
+    val agg = GraphOps.bgpAggregate(sol, Seq("l"),
+      Seq(org.apache.spark.sql.functions.count(lit(1)).as("n_docs")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("\"en\"" -> 2L, "\"fr\"" -> 1L))
+    intercept[IllegalArgumentException] {
+      GraphOps.bgpAggregate(sol, Seq("unbound"),
+        Seq(org.apache.spark.sql.functions.count(lit(1)).as("c")))
+    }
+  }
+
   test("lang-id predicts correctly on real multilingual snippets") {
     val d = docs(
       (1L, "the cat sat on the mat and it is a good day to be in the sun", "x", "s", 0L),
