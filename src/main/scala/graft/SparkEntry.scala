@@ -524,6 +524,13 @@ object SparkEntry {
     "emb08_kmeans" -> ((s, d) =>
       EmbeddingOps.kmeansRefine(t(s, d, "embeddings"), cells = 8, dims = 64, iterations = 1)),
 
+    // SEMANTIC DEDUP capstone (SemDeDup shape): learned k-means cells →
+    // exact within-cell cosine ≥ 0.30 edges (block-pair triangle) →
+    // distributed CC → min-id representative — td14's dedup pipeline with
+    // ANN cells instead of MinHash bands
+    "emb13_semdedup" -> ((s, d) =>
+      EmbeddingOps.semDedupClusters(t(s, d, "embeddings"), threshold = 0.30)),
+
     // multi-probe SRP ANN: each query also probes every Hamming-1 bucket
     // (5 of 16 at 4 planes) — the recall control single-bucket emb04 lacks;
     // oracle = brute force restricted to the probed bucket set
@@ -2475,6 +2482,37 @@ object SparkEntry {
     "emb07_ann_ivf_nprobe" -> ivfNprobeOracle,
 
     "emb08_kmeans" -> kmeansOracle,
+
+    // SemDeDup: the kmeans assignment CTEs (emb08), the exact-cosine pair
+    // kernel restricted to equal cells (emb02's expression), then the
+    // recursive closure + min-rep of the td14 dedup oracle
+    "emb13_semdedup" ->
+      s"""WITH RECURSIVE a13 AS (
+         |$kmeansOracle
+         |), gg AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+         |  FROM embeddings
+         |), nn AS (
+         |  SELECT gg.vec_id, gg.g,
+         |    CAST(list_sum(list_transform(gg.g, x -> x * x)) AS BIGINT) AS nn, a13.cell
+         |  FROM gg JOIN a13 ON a13.vec_id = gg.vec_id
+         |), pr AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE CAST(CAST(list_sum(list_transform(list_zip(a.g, b.g), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+         |      / sqrt(CAST(a.nn * b.nn AS DOUBLE)) >= 0.30
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM pr UNION SELECT b AS src, a AS dst FROM pr
+         |), reach(id, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+         |)
+         |SELECT v.vec_id,
+         |  CAST(least(coalesce(MIN(r.r), v.vec_id), v.vec_id) AS BIGINT) AS cluster_rep
+         |FROM embeddings v LEFT JOIN reach r ON r.id = v.vec_id
+         |GROUP BY v.vec_id""".stripMargin,
 
     "emb09_ann_pq" -> pqOracle,
 

@@ -849,4 +849,84 @@ object EmbeddingOps {
     base.unpersist()
     out
   }
+
+  /** EMBEDDING-SPACE SEMANTIC DEDUP (the SemDeDup shape, Abbas et al.
+    * 2023): k-means cells partition the corpus ([[kmeansRefine]] — learned
+    * centroids, exact integer assignment), every within-cell pair above
+    * the cosine threshold becomes a duplicate edge, connected components
+    * close the clusters, and each vector's representative is its
+    * component's min id — [[graft.ops.TextOps.dedupClusters]]'s pipeline
+    * with ANN cells instead of MinHash bands.
+    *
+    * Scale shape: exact within-cell pairing is the SemDeDup spec (the
+    * approximation is the CELL boundary — cross-cell near-dups are the
+    * accepted recall loss, measured in BENCH/RECALL.md); within a cell the
+    * [[nearDupPairs]] block-pair triangle bounds per-task memory to
+    * 2·|cell|/blocks vectors and keeps every unordered pair in exactly one
+    * task. Grow `cells` ∝ N (SemDeDup uses √N-ish) and `blocks` with cell
+    * size; CC threads the shared [[graft.pipeline.CheckpointPolicy]].
+    */
+  def semDedupClusters(
+      embeddings: DataFrame,
+      threshold: Double,
+      cells: Int = IvfCells,
+      dims: Int = 64,
+      iterations: Int = 1,
+      blocks: Int = 8,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(blocks >= 1 && blocks <= 1024, s"blocks=$blocks out of range")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = kmeansRefine(embeddings, cells, dims, iterations, checkpoint)
+      .select(col("vec_id"), col("cell"))
+    val g = gridded(embeddings)
+    val rows = assigned.join(g, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("g"), col("n"))
+      .as[(Long, Long, Array[Long], Long)]
+    val b = blocks
+    // every vector replicated to its cell's `b` block-pair groups; each
+    // unordered pair of same-cell vectors meets in exactly ONE group
+    val keyed = rows.flatMap { case (cell, id, vec, n) =>
+      val bi = java.lang.Math.floorMod(id, b.toLong).toInt
+      (0 until b).iterator.map { bj =>
+        val lo = math.min(bi, bj)
+        val hi = math.max(bi, bj)
+        (cell * b * b + lo * b + hi, bi, id, vec, n)
+      }
+    }
+    val edges = keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val lo = (key % (b * b)).toInt / b
+      val hi = (key % (b * b)).toInt % b
+      val loSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+      val hiSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+      it.foreach { case (_, bi, id, vec, n) =>
+        if (bi == lo) loSide += ((id, vec, n)) else hiSide += ((id, vec, n))
+      }
+      if (lo == hi) {
+        val arr = loSide.sortBy(_._1).toArray
+        arr.indices.iterator.flatMap { i =>
+          (i + 1 until arr.length).iterator.flatMap { j =>
+            val (x, gx, nx) = arr(i)
+            val (y, gy, ny) = arr(j)
+            if (cosKernel(gx, nx, gy, ny) >= threshold) Iterator.single((x, y))
+            else Iterator.empty
+          }
+        }
+      } else {
+        loSide.iterator.flatMap { case (x, gx, nx) =>
+          hiSide.iterator.flatMap { case (y, gy, ny) =>
+            if (cosKernel(gx, nx, gy, ny) >= threshold)
+              Iterator.single((math.min(x, y), math.max(x, y)))
+            else Iterator.empty
+          }
+        }
+      }
+    }.toDF("src", "dst")
+    val cc = graft.pipeline.Canonical.connectedComponents(edges, checkpoint = checkpoint)
+      .withColumnRenamed("id", "vec_id")
+    embeddings.select(col("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("cluster_rep"))
+  }
 }

@@ -60,6 +60,23 @@ object RecallScratch {
       (i.toLong, v)
     }.toDF("vec_id", "embedding")
     measure("isotropic", iso, 300)
+
+    // semantic-dedup PAIR RECALL vs the exact near-dup ground truth
+    // (emb02's all-pairs kernel at the same threshold): the fraction of
+    // exact pairs whose endpoints land in the SAME semantic cluster — the
+    // loss is exactly the pairs the k-means cell boundary splits
+    def dedupRecall(name: String, vecs: DataFrame, threshold: Double): Unit = {
+      val exact = EmbeddingOps.nearDupPairs(vecs, threshold).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val rep = EmbeddingOps.semDedupClusters(vecs, threshold).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val hit = exact.count { case (a, b) => rep(a) == rep(b) }
+      println(f"$name semdedup pair-recall @$threshold%.2f: " +
+        f"${if (exact.isEmpty) 1.0 else hit.toDouble / exact.length}%.3f " +
+        f"(${exact.length} exact pairs, ${rep.values.toSet.size} clusters)")
+    }
+    dedupRecall("clustered", clustered, 0.60)
+    dedupRecall("sf0.01   ", sf, 0.30)
     spark.stop()
   }
 }
