@@ -119,40 +119,57 @@ object GraphOps {
   }
 
   /** Distributed Turtle FILE EXPORT — the inverse of [[readTurtleDir]]:
-    * each partition of the (rendered) triple table becomes ONE `.ttl`
-    * document (prefix header + subject-grouped blocks via
-    * [[graft.turtle.TurtleWriter]]), written through the text sink and
-    * committed with a `.ttl` rename so the directory round-trips through
-    * [[readTurtleDir]]. Rendered terms re-enter term space through the
-    * N-Triples parser (the engine's own canonical term syntax), so the
+    * each partition of the (rendered) triple table becomes one `.ttl`
+    * file of CHUNKED documents (prefix header + subject-grouped blocks via
+    * [[graft.turtle.TurtleWriter]], one document per ≤ `rowsPerChunk`
+    * rows — Turtle re-declares prefixes mid-file legally, so the
+    * concatenation re-parses as one document), written through the text
+    * sink and committed with a `.ttl` rename so the directory round-trips
+    * through [[readTurtleDir]]. Rendered terms re-enter term space through
+    * the N-Triples parser (the engine's own canonical term syntax), so the
     * export accepts any (subj, pred, obj) projection of a graph table.
-    * Blank labels are relabeled per output document; [[readTurtleDir]]
-    * doc-scopes labels on ingest, so cross-file collisions are safe. The
-    * rename pass is driver-side but bounded by the PARTITION COUNT,
-    * never by data.
+    *
+    * Memory: peak task allocation is bounded by `rowsPerChunk` (the chunk
+    * rows + its NT text + the rendered document — a few × chunk bytes),
+    * NEVER by partition size: a 1 GiB partition streams through as ~16
+    * chunks. Subject grouping is per chunk; rows arriving pre-clustered by
+    * subject (the materialized layout) keep their blocks intact.
+    *
+    * Blank nodes: the writer relabels per chunk with a chunk
+    * discriminator, so labels never collide inside a file; PRECONDITION —
+    * blank labels in the INPUT must be distinct per distinct node (true
+    * for everything this engine materializes: [[readTurtleDir]]/
+    * `TripleEmit.ingestTurtle` doc-scope labels on ingest). Two rows
+    * spelling different nodes with the SAME label would conflate when they
+    * land in one chunk — salt upstream, not here. The rename pass is
+    * driver-side but bounded by the PARTITION COUNT, never by data; text
+    * compression is pinned OFF (a `.txt.gz` part would survive the rename
+    * as unreadable-as-Turtle bytes).
     */
   def exportTurtleDir(
       triples: DataFrame, out: String,
-      prefixes: Map[String, String] = Map.empty): Unit = {
+      prefixes: Map[String, String] = Map.empty,
+      rowsPerChunk: Int = 65536): Unit = {
+    require(rowsPerChunk >= 1, s"rowsPerChunk=$rowsPerChunk")
     val spark = triples.sparkSession
     import spark.implicits._
     triples.select(col("subj"), col("pred"), col("obj")).as[(String, String, String)]
       .mapPartitions { it =>
-        val lines = it.map { case (s, p, o) => s"$s <$p> $o ." }.mkString("\n")
-        if (lines.isEmpty) Iterator.empty
-        else {
+        it.grouped(rowsPerChunk).zipWithIndex.map { case (chunk, ci) =>
+          val lines = chunk.iterator
+            .map { case (s, p, o) => s"$s <$p> $o ." }.mkString("\n")
           val ts = graft.turtle.NTriples.parse(lines)
             .fold(e => throw new IllegalStateException(s"unrenderable triple: $e"), identity)
-          Iterator.single(graft.turtle.TurtleWriter.write(ts, prefixes))
+          graft.turtle.TurtleWriter.write(ts, prefixes, blankPrefix = s"c${ci}x")
         }
       }
-      .write.mode("overwrite").text(out)
+      .write.mode("overwrite").option("compression", "none").text(out)
     val dir = new org.apache.hadoop.fs.Path(out)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-")).foreach { st =>
       val name = st.getPath.getName
       fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir,
-        name.stripSuffix(".txt") + ".ttl"))
+        name.replaceAll("\\.txt(\\..*)?$", "") + ".ttl"))
     }
   }
 

@@ -25,7 +25,16 @@ object TurtleWriter {
 
   private val SafeLocal = java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_-]*")
 
-  def write(triples: Seq[Triple], prefixes: Map[String, String] = Map.empty): String = {
+  /** `blankPrefix` prepends every relabeled blank (`_:<prefix><n>`) —
+    * callers concatenating multiple rendered documents into ONE physical
+    * file (e.g. [[graft.ops.GraphOps.exportTurtleDir]]'s chunks) pass a
+    * per-document discriminator so labels stay distinct when the
+    * concatenation is re-parsed as a single document. The default empty
+    * prefix keeps the `_:0…` fixpoint contract above.
+    */
+  def write(
+      triples: Seq[Triple], prefixes: Map[String, String] = Map.empty,
+      blankPrefix: String = ""): String = {
     // group by subject (first appearance), then by predicate (first
     // appearance) — on the ORIGINAL terms; relabeling happens at print
     // time, in exactly the order the document is emitted
@@ -38,7 +47,7 @@ object TurtleWriter {
 
     val relabel = scala.collection.mutable.HashMap.empty[String, String]
     def blank(label: String): String =
-      relabel.getOrElseUpdate(label, s"_:${relabel.size}")
+      relabel.getOrElseUpdate(label, s"_:$blankPrefix${relabel.size}")
     def iri(i: String): String =
       prefixes.collectFirst {
         case (p, ns) if i.startsWith(ns) &&

@@ -593,6 +593,35 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("exportTurtleDir streams bounded chunks; blank labels stay distinct across chunks") {
+    import spark.implicits._
+    val rows = (0 until 10).map(i => (s"_:b$i", "http://x/p", "\"v" + i + "\"")) ++
+      (0 until 5).map(i => (s"<http://x/s$i>", "http://x/p", "\"w" + i + "\""))
+    val df = rows.toDF("subj", "pred", "obj").repartition(1)
+    val dir = Files.createTempDirectory("graft_ttl_chunks_").toString
+    try {
+      graft.ops.GraphOps.exportTurtleDir(df, dir, Map("p" -> "http://x/"), rowsPerChunk = 4)
+      val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".ttl"))
+      assert(files.length == 1, files.map(_.getName).mkString(","))
+      // peak allocation ∝ rowsPerChunk: 15 rows at 4/chunk = 4 rendered
+      // documents in the one file (each with its own prefix header)
+      val text = new String(java.nio.file.Files.readAllBytes(files(0).toPath), "UTF-8")
+      assert("@prefix".r.findAllIn(text).size == 4, text.take(400))
+      val (tris, rejects) = graft.ops.GraphOps.readTurtleDir(spark, dir)
+      assert(rejects.count() == 0)
+      val got = tris.collect()
+      assert(got.length == 15)
+      // 10 distinct blank subjects survive — per-chunk relabeling cannot
+      // conflate nodes when the concatenated file re-parses as one doc
+      assert(got.map(_.subj).count(_.startsWith("_:")) == 10)
+      assert(got.map(_.subj).filter(_.startsWith("_:")).toSet.size == 10)
+      assert(got.map(_.obj).toSet ==
+        ((0 until 10).map(i => "\"v" + i + "\"") ++
+          (0 until 5).map(i => "\"w" + i + "\"")).toSet)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("readTurtleDir parses the 29-fixture corpus through Spark, zero rejects") {
     val dir = "src/test/resources/turtle/positive"
     val (triples, rejects) = graft.ops.GraphOps.readTurtleDir(spark, dir)
