@@ -277,11 +277,17 @@ object Linking {
     result
   }
 
-  /** Full linking stage. */
+  /** Full linking stage. The quarantine audit runs HERE — once per link
+    * job at the pipeline entry point, so a flooded alias universe always
+    * surfaces as a warning (the audit job is dictionary-sized, a rounding
+    * error next to the stage) — while [[block]] keeps it opt-out for
+    * callers composing it into per-batch hot loops.
+    */
   def link(
       mentions: DataFrame,
       dict: Dataset[EntityAlias],
       profiles: DataFrame,
       knownMentionCount: Option[Long] = None): Dataset[Candidate] =
-    scoreAndRank(mentions, block(mentions, dict), profiles, knownMentionCount)
+    scoreAndRank(mentions, block(mentions, dict, auditQuarantine = true),
+      profiles, knownMentionCount)
 }

@@ -39,6 +39,39 @@ class TurtleWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("sugar: anon bnodes re-sugar to [...], lists to (...), cycles demote labeled") {
+    def roundTrip(ttl: String): (String, Vector[Triple], String) = {
+      val t1 = Turtle.parseToTriples(ttl).fold(e => fail(e.toString), identity)
+      val s1 = TurtleWriter.write(t1)
+      val t2 = Turtle.parseToTriples(s1).fold(e => fail(s"reparse: $e\n$s1"), identity)
+      assert(t2.size == t1.size, s"triple count drift ${t1.size} -> ${t2.size}\n$s1")
+      assert(TurtleWriter.write(t2) == s1, s"not a fixpoint:\n$s1")
+      (s1, t1, TurtleWriter.write(t2))
+    }
+    val int = "^^<" + Vocab.XsdInteger + ">"
+    // single-use anon property list re-sugars inline (nested too)
+    val (s1, _, _) = roundTrip(
+      "<http://x/s> <http://x/p> [ <http://x/q> \"x\" ; " +
+        "<http://x/r> [ <http://x/z> 4 ] ] .")
+    assert(s1.contains(
+      "[ <http://x/q> \"x\" ; <http://x/r> [ <http://x/z> \"4\"" + int + " ] ]"), s1)
+    // well-formed list re-sugars to ( ... ) — the builder's type/rest/first
+    // cons triples regenerate verbatim on re-parse (count pinned above)
+    val (s2, t2a, _) = roundTrip("<http://x/s> <http://x/p> ( 1 \"a\" ( 2 ) ) .")
+    assert(s2.contains("( \"1\"" + int + " \"a\" ( \"2\"" + int + " ) )"), s2)
+    assert(t2a.count(_.pred == Vocab.RdfFirst) == 4) // 3 outer + 1 inner cons
+    // a blank referenced twice stays labeled
+    val (s3, _, _) = roundTrip(
+      "_:m <http://x/n> \"v\" . <http://x/a> <http://x/p> _:m . " +
+        "<http://x/b> <http://x/p> _:m .")
+    assert(s3.contains("_:b0") && !s3.contains("["), s3)
+    // a pure single-reference cycle demotes to labeled blocks — no triple
+    // vanishes (count equality is the teeth; labels stay, no sugar)
+    val (s4, _, _) = roundTrip(
+      "_:c1 <http://x/p> _:c2 . _:c2 <http://x/p> _:c1 .")
+    assert(!s4.contains("[") && s4.contains("_:b0") && s4.contains("_:b1"), s4)
+  }
+
   test("prefix compaction, `a` shortcut, object lists and predicate groups") {
     val t = Seq(
       Triple(Term.TIri("http://ex.org/s"), Vocab.RdfType, Term.TIri("http://ex.org/C"), Span(0, 0)),
@@ -51,7 +84,9 @@ class TurtleWriterSpec extends AnyFunSuite {
     assert(s.contains("ex:p \"x\", \"y\""), s)   // object list
     assert(s.contains(" ;\n"), s)               // predicate group
     assert(s.contains("<http://other.org/z!>"), s) // unsafe local stays <>
-    assert(s.contains("_:0"), s)                // bnode canonically relabeled
+    // property-less blank keeps a label (no [] sugar), canonically
+    // relabeled into the sugar-safe `_:b…` namespace
+    assert(s.contains("_:b0"), s)
     val back = Turtle.parseToTriples(s).fold(e => fail(e.toString), identity)
     assert(back.size == t.size)
     assert(back.map(x => (x.subj.render, x.pred)).toSet ==

@@ -11,8 +11,10 @@ ENTITIES = os.environ.get("SPARK_GRAFT_ENTITIES", "10000")
 LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")]
 REPS = int(os.environ.get("TM_REPS", "2"))
 
-def run_once(level):
-    env = dict(os.environ, SPARK_GRAFT_PAGES=PAGES, SPARK_GRAFT_ENTITIES=ENTITIES,
+WEAK = os.environ.get("SPARK_GRAFT_WEAK_TM", "1") == "1"
+
+def run_once(level, pages=PAGES):
+    env = dict(os.environ, SPARK_GRAFT_PAGES=str(pages), SPARK_GRAFT_ENTITIES=ENTITIES,
                SPARK_GRAFT_MASTER=f"local[{level}]", SPARK_GRAFT_SHUFFLE=str(level),
                SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
                SPARK_GRAFT_LOCAL_DIR="/dev/shm/graft-spark-local",
@@ -24,10 +26,10 @@ def run_once(level):
         print(p.stdout[-3000:]); print(p.stderr[-3000:]); sys.exit(1)
     return json.loads(m.group(0))
 
-def run(level):
+def run(level, pages=PAGES):
     # min-of-N by TOTAL TASK CPU: co-tenant bursts inflate on-CPU time via
     # cache thrash/context switches; the minimum is the least-interfered run
-    reps = [run_once(level) for _ in range(REPS)]
+    reps = [run_once(level, pages) for _ in range(REPS)]
     return min(reps, key=lambda r: sum(v["cpu_ms"] for v in r["groups"].values()))
 
 res = {lvl: run(lvl) for lvl in LEVELS}
@@ -68,12 +70,53 @@ Wall: {res[lo]['wall_sec']:.1f}s vs {res[hi]['wall_sec']:.1f}s.
 """
     return section, round(tot_b / max(tot_a, 1), 3)
 
+def weak_section(lo, hi, res_lo, res_hi, pages_lo, pages_hi):
+    # per-stage WEAK efficiency: per-core work held constant (pages scale
+    # with threads), so the honest per-stage signal is cpu-per-page
+    # inflation — 1.0x = perfect weak scaling for that stage; the contrast
+    # narrow vs shuffle stages localizes the bus ceiling
+    groups = sorted(set(res_lo["groups"]) & set(res_hi["groups"]),
+                    key=lambda g: -res_hi["groups"].get(g, {}).get("cpu_ms", 0))
+    lines = []
+    for g in groups:
+        a, b = res_lo["groups"][g], res_hi["groups"][g]
+        if a["cpu_ms"] < 500:  # sub-noise stages
+            continue
+        cpp_a = a["cpu_ms"] / pages_lo
+        cpp_b = b["cpu_ms"] / pages_hi
+        infl = cpp_b / cpp_a if cpp_a else float("nan")
+        shape = "shuffle" if b["shuffle_write_b"] > 0 else "narrow"
+        lines.append(
+            f"| {g} | {shape} | {cpp_a*1000:.1f} | {cpp_b*1000:.1f} | {infl:.2f}x "
+            f"| {fmt_b(a['shuffle_write_b'])} | {fmt_b(b['shuffle_write_b'])} |")
+    w_eff = res_lo["wall_sec"] / res_hi["wall_sec"] if res_hi["wall_sec"] else float("nan")
+    return f"""### WEAK scaling local[{lo}] ({pages_lo} pages) -> local[{hi}] ({pages_hi} pages)
+
+Per-core work constant; perfect weak scaling = equal walls and 1.0x
+cpu-per-page everywhere. Overall weak efficiency (wall_{lo}/wall_{hi}):
+**{w_eff:.3f}** ({res_lo['wall_sec']:.1f}s vs {res_hi['wall_sec']:.1f}s).
+
+| stage | shape | cpu us/page @{lo} | @{hi} | cpu/page inflation | shuffle write @{lo} | @{hi} |
+|---|---|---|---|---|---|---|
+{chr(10).join(lines)}
+""", round(w_eff, 3)
+
 pairs = [(LEVELS[i], LEVELS[i + 1]) for i in range(len(LEVELS) - 1)]
 sections, inflations = [], {}
 for lo, hi in pairs:
     s, infl = pair_section(lo, hi)
     sections.append(s)
     inflations[f"{lo}->{hi}"] = infl
+
+weak_sections, weak_effs = [], {}
+if WEAK:
+    for lo, hi in pairs:
+        pages_lo = int(PAGES) * lo // hi
+        res_lo_weak = run(lo, pages_lo)
+        # the hi leg at full PAGES is the strong run's hi leg — reuse it
+        s, eff = weak_section(lo, hi, res_lo_weak, res[hi], pages_lo, int(PAGES))
+        weak_sections.append(s)
+        weak_effs[f"{lo}->{hi}"] = eff
 
 md = f"""## Per-stage task metrics across parallelism levels (same input)
 
@@ -95,8 +138,10 @@ shuffle/join-heavy stages (links, emit+materialize) and is mild in the
 compute-bound narrow stages (extract, mentions) — the memory-bandwidth
 signature. On a real 4N-executor cluster each executor keeps its own
 memory bus, so this inflation does not transfer.
+
+{chr(10).join(weak_sections)}
 """
 os.makedirs("/root/repo/BENCH", exist_ok=True)
 open("/root/repo/BENCH/TASKMETRICS.md", "w").write(md)
-print(json.dumps({"cpu_inflation": inflations,
+print(json.dumps({"cpu_inflation": inflations, "weak_eff": weak_effs,
                   "walls": {str(l): res[l]["wall_sec"] for l in LEVELS}}))
