@@ -85,7 +85,7 @@ def weak_section(lo, hi, res_lo, res_hi, pages_lo, pages_hi):
         cpp_a = a["cpu_ms"] / pages_lo
         cpp_b = b["cpu_ms"] / pages_hi
         infl = cpp_b / cpp_a if cpp_a else float("nan")
-        shape = "shuffle" if b["shuffle_write_b"] > 0 else "narrow"
+        shape = "shuffle" if b["shuffle_write_b"] > (1 << 20) else "narrow"
         lines.append(
             f"| {g} | {shape} | {cpp_a*1000:.1f} | {cpp_b*1000:.1f} | {infl:.2f}x "
             f"| {fmt_b(a['shuffle_write_b'])} | {fmt_b(b['shuffle_write_b'])} |")
