@@ -790,16 +790,24 @@ object EmbeddingOps {
     * exact integer sums of (1000·x_i − m_i)², so the argmin never depends
     * on float summation order.
     */
+  /** `keepVector = true` carries the grid vector + squared norm into the
+    * output (vec_id, cell0, cell, g, n) — consumers that need the vectors
+    * per cell ([[semDedupClusters]]'s within-cell kernels) read them
+    * straight off the assignment instead of shuffling the whole corpus
+    * through a vec_id join, the difference between one exchange and two
+    * at 10^9 vectors.
+    */
   def kmeansRefine(
       embeddings: DataFrame, cells: Int = IvfCells,
       dims: Int = 64, iterations: Int = 1,
       checkpoint: graft.pipeline.CheckpointPolicy =
-        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+        graft.pipeline.CheckpointPolicy.Local,
+      keepVector: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 8, s"iterations=$iterations out of 1..8")
     require(cells >= 1 && cells <= 256, s"cells=$cells out of range")
     val base = gridded(embeddings)
       .withColumn("cell0", ivfCellExpr(cells, dims).cast("long"))
-      .select(col("vec_id"), col("g"), col("cell0"))
+      .select(col("vec_id"), col("g"), col("n"), col("cell0"))
 
     // argmin over quantized centroid literals on the 1000× grid
     def assignExpr(m: Array[Array[Long]]): org.apache.spark.sql.Column = {
@@ -844,8 +852,11 @@ object EmbeddingOps {
     }
     // materialize the (output-sized) result before releasing the cache the
     // lazy plan would otherwise still reference
-    val out = checkpoint.truncate(
-      assigned.select(col("vec_id"), col("cell0"), col("cell")))
+    val outCols =
+      if (keepVector)
+        Seq(col("vec_id"), col("cell0"), col("cell"), col("g"), col("n"))
+      else Seq(col("vec_id"), col("cell0"), col("cell"))
+    val out = checkpoint.truncate(assigned.select(outCols: _*))
     base.unpersist()
     out
   }
@@ -878,10 +889,10 @@ object EmbeddingOps {
     require(blocks >= 1 && blocks <= 1024, s"blocks=$blocks out of range")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val assigned = kmeansRefine(embeddings, cells, dims, iterations, checkpoint)
-      .select(col("vec_id"), col("cell"))
-    val g = gridded(embeddings)
-    val rows = assigned.join(g, Seq("vec_id"))
+    // keepVector: the grid vectors ride the assignment — zero vec_id join
+    // (at 10^9 vectors the join would be a second full-corpus exchange)
+    val rows = kmeansRefine(embeddings, cells, dims, iterations, checkpoint,
+      keepVector = true)
       .select(col("cell"), col("vec_id"), col("g"), col("n"))
       .as[(Long, Long, Array[Long], Long)]
     val b = blocks

@@ -495,4 +495,32 @@ object Materialize {
     read(spark, out)
       .filter(col("pred_hash") === pmod(xxhash64(lit(pred)), lit(predBuckets)) &&
         col("pred") === pred)
+
+  /** [[readPred]] against the MERGED view: both the base and the pending
+    * delta log prune to the predicate's single pred_hash partition before
+    * anything shuffles (PartitionFilters on both scans), tombstones
+    * resolve over just those rows. The per-predicate access path between
+    * compactions — a 1/predBuckets read plus a delta-sized dedup, never a
+    * whole-table merge.
+    */
+  def readMergedPred(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      pred: String,
+      predBuckets: Int = DefaultPredBuckets): DataFrame = {
+    val ph = pmod(xxhash64(lit(pred)), lit(predBuckets))
+    val base = read(spark, out)
+      .filter(col("pred_hash") === ph && col("pred") === pred)
+    if (!pendingDeltas(spark, out)) base
+    else {
+      val deltas = spark.read.parquet(deltaDir(out))
+        .filter(col("pred_hash") === ph && col("pred") === pred)
+      val rows = base
+        .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+        .unionByName(deltas)
+      resolveOps(
+        rows.repartition(col("pred_hash"), col("subj"), col("pred"), col("obj")),
+        Seq("pred_hash", "subj", "pred", "obj"))
+    }
+  }
 }

@@ -659,6 +659,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("<s1>"))
   }
 
+  test("readMergedPred: both sides prune to one pred_hash partition, tombstones resolve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val ts = new java.sql.Timestamp(0L)
+    val out = Files.createTempDirectory("graft-mergedpred").toString
+    try {
+      Materialize.write(Seq(
+        TripleRow("<s1>", "<http://kg.example/p1>", "\"a\"", "u1", ts),
+        TripleRow("<s2>", "<http://kg.example/p1>", "\"b\"", "u2", ts),
+        TripleRow("<s3>", "<http://kg.example/p2>", "\"c\"", "u3", ts)).toDS(), out)
+      Materialize.appendDeltaOps(spark, out,
+        Seq(("<s1>", "<http://kg.example/p1>", "\"a\"", "u1", "del"),
+          ("<s4>", "<http://kg.example/p1>", "\"d\"", "u4", "add"))
+          .toDF("subj", "pred", "obj", "src_url", "op").withColumn("warc_ts", lit(ts)))
+      val m = Materialize.readMergedPred(spark, out, "<http://kg.example/p1>")
+      val plan = m.queryExecution.executedPlan.toString
+      // BOTH scans (base and delta log) carry the pred_hash partition
+      // filter and the pushed pred filter
+      assert("PartitionFilters: \\[[^\\]]*pred_hash".r.findAllIn(plan).size == 2,
+        plan.take(2500))
+      assert("EqualTo\\(pred,".r.findAllIn(plan).size >= 2, plan.take(2500))
+      val got = m.select("subj", "obj").as[(String, String)].collect().toSet
+      assert(got == Set(("<s2>", "\"b\""), ("<s4>", "\"d\"")), s"got $got")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("triple P/R vs single-threaded oracle ≥ 0.95 (exactly 1.0 by construction)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-kg3").toString
