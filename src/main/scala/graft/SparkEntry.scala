@@ -715,6 +715,13 @@ object SparkEntry {
     "kg33_stream_lsm_merge" -> ((s, d) =>
       StreamingOps.streamingGraphMerge(s, d, lsm = true)),
 
+    // streaming RE-CRAWL with retractions: the initial crawl materializes
+    // the full corpus, then re-crawled pages (content grew) arrive as
+    // micro-batches whose old-vs-new parse DIFF applies as a tombstone
+    // delta (dels retract the stale triples); compaction consumes the
+    // tombstones; the merged view must equal a fresh updated-corpus build
+    "kg40_stream_recrawl" -> ((s, d) => StreamingOps.streamingRecrawl(s, d)),
+
     // SPARQL-style BGP over the constructed graph: two triple patterns
     // sharing ?s, numeric FILTER on a typed literal
     "kg18_bgp_star" -> ((s, d) => GraphOps.bgpStar(t(s, d, "documents"))),
@@ -2072,6 +2079,25 @@ object SparkEntry {
       s"""SELECT subj, pred, obj FROM (
          |$kg01Oracle
          |)""".stripMargin,
+
+    // streamed re-crawl (initial crawl + diff-derived tombstone deltas for
+    // the even pages whose n_chars grew by 1) == fresh updated-corpus build
+    "kg40_stream_recrawl" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |  n_chars + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n_chars,
+         |  '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj FROM documents)
+         |SELECT subj, '${GraphOps.PropPrefix}lang' AS pred,
+         |  '"' || lang || '"' AS obj FROM d
+         |UNION ALL
+         |SELECT subj, '${GraphOps.PropPrefix}label' AS pred,
+         |  '"doc ' || doc_id || '"@' || lang AS obj FROM d
+         |UNION ALL
+         |SELECT subj, '${GraphOps.PropPrefix}source' AS pred,
+         |  '"' || source || '"' AS obj FROM d
+         |UNION ALL
+         |SELECT subj, '${GraphOps.PropPrefix}nchars' AS pred,
+         |  '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj
+         |FROM d""".stripMargin,
 
     // v1 + applied diff(v1→v2) must equal the fresh v2 build exactly —
     // retractions actually removed, assertions present, provenance v2's

@@ -454,6 +454,75 @@ object StreamingOps {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  /** Streaming RE-CRAWL with retractions (kg40): the composition every
+    * production crawl loop needs — pages get re-fetched, their new parse
+    * DROPS some triples and adds others, and the stream must retract the
+    * dropped ones. Per micro-batch of re-crawled pages: diff the old parse
+    * against the new (two anti-joins, the [[graft.pipeline.Materialize
+    * .graphDiffProv]] shape on in-flight DataFrames), apply as ONE
+    * tombstone delta batch (bytes ∝ changed triples, never ∝ page), and
+    * compact on the batch-count trigger — tombstones are consumed by the
+    * rewrite. Idempotent at the read surface: a re-delivered batch appends
+    * the same del+add at a later seq, and latest-batch-wins resolution
+    * converges to the same view, so at-least-once delivery composes to
+    * effectively exactly-once like the kg23/kg33 paths.
+    *
+    * Scenario: initial crawl = the full corpus; two re-crawl deliveries
+    * cover the even pages whose content grew by one char — the merged
+    * graph must equal a fresh build of the updated corpus.
+    */
+  def streamingRecrawl(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kg40_").toString
+    try {
+      val (in, graph, chk) = (s"$dir/in", s"$dir/graph", s"$dir/chk")
+      val toRows = (batch: DataFrame) =>
+        graft.ops.GraphOps.parseTurtle(batch).select(
+          col("subj"), col("pred"), col("obj"),
+          concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+          lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+      // initial crawl: the whole corpus, materialized
+      graft.pipeline.Materialize.write(
+        toRows(docs).as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow]),
+        graph)
+      // two re-crawl deliveries: the even pages (doc_id % 4 ∈ {0, 2})
+      (0 until 2).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === i * 2)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1") // one delivery per micro-batch
+        .parquet(in)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val olds = toRows(batch)
+            val news = toRows(batch.withColumn("n_chars", col("n_chars") + 1))
+            val keys = Seq("subj", "pred", "obj")
+            val keyCols = keys.map(col)
+            val ops = news
+              .join(olds.select(keyCols: _*), keys, "left_anti")
+              .withColumn("op", lit(graft.pipeline.Materialize.OpAdd))
+              .unionByName(olds
+                .join(news.select(keyCols: _*), keys, "left_anti")
+                .withColumn("op", lit(graft.pipeline.Materialize.OpDel)))
+            graft.pipeline.Materialize.applyDiff(spark, graph, ops)
+            if (graft.pipeline.Materialize.deltaBatchCount(spark, graph) >= 2)
+              graft.pipeline.Materialize.compact(spark, graph)
+          }
+        }
+        .start()
+      q.awaitTermination()
+      graft.pipeline.Materialize.readMerged(spark, graph)
+        .select(col("subj"), col("pred"), col("obj"))
+        .localCheckpoint() // eager — the scratch dirs are deleted below
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
   /** Custom stateful streaming: per-user sessionization via
