@@ -989,6 +989,32 @@ object SparkEntry {
           regexp_extract(col("n"), "^\"(\\d+)\"", 1).cast("long").as("n_chars"))
     }),
 
+    // SPARQL property path: { ?a coocc+ ?b . ?a elabel ?la } with the
+    // transitive pattern bounded at 3 hops (min-hops) over the REAL KG's
+    // entity co-occurrence edges — the path frame joins the label pattern
+    // on the shared variable like any other BGP part
+    "kg41_bgp_path" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      def eiri(c: org.apache.spark.sql.Column) =
+        concat(lit("<http://graft.example/entity/"), c, lit(">"))
+      val co = GraphOps.entityCooccurrence(docs)
+      val coTriples = co.select(eiri(col("a")).as("subj"),
+        lit(s"${P}coocc").as("pred"), eiri(col("b")).as("obj"))
+        .unionByName(co.select(eiri(col("b")).as("subj"),
+          lit(s"${P}coocc").as("pred"), eiri(col("a")).as("obj")))
+      val labelTriples = GraphOps.mentionCounts(docs).select(col("term")).distinct()
+        .select(eiri(col("term")).as("subj"), lit(s"${P}elabel").as("pred"),
+          concat(lit("\""), col("term"), lit("\"")).as("obj"))
+      val triples = coTriples.unionByName(labelTriples)
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      val paths = GraphOps.bgpPath((_: String) => triples, s"${P}coocc",
+        "a", "b", maxHops = 3)
+      val labels = GraphOps.bgpChain(triples,
+        Seq(GraphOps.ChainPattern("a", s"${P}elabel", oVar = Some("la"))), counts)
+      paths.join(labels, Seq("a")).select(col("a"), col("b"), col("hops"), col("la"))
+    }),
+
     // graph → table round-trip: one wide row per entity via explicit-values
     // pivot over its triples
     "kg19_assemble" -> ((s, d) => GraphOps.assembleEntities(t(s, d, "documents"))),
@@ -2738,6 +2764,30 @@ object SparkEntry {
          |JOIN t n ON n.subj = l.subj AND n.pred = '${GraphOps.PropPrefix}nchars'
          |JOIN v ON v.l = l.obj
          |WHERE l.pred = '${GraphOps.PropPrefix}lang'""".stripMargin,
+
+    // property path over the co-occurrence projection: bounded min-hops
+    // closure (kg24's recursive-CTE shape) joined with the label pattern
+    "kg41_bgp_path" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT doc_id, term
+         |  FROM documents, (VALUES $mentionTermValues) terms(term)
+         |  WHERE len(text) - len(replace(text, term, '')) > 0
+         |), e AS (
+         |  SELECT DISTINCT '<http://graft.example/entity/' || x.term || '>' AS src,
+         |                  '<http://graft.example/entity/' || y.term || '>' AS dst
+         |  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.term <> y.term
+         |), p(src, dst, hops) AS (
+         |  SELECT src, dst, 1 FROM e
+         |  UNION ALL
+         |  SELECT p.src, e.dst, p.hops + 1 FROM p JOIN e ON e.src = p.dst
+         |  WHERE p.hops < 3
+         |), cl AS (
+         |  SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
+         |  FROM p WHERE src <> dst GROUP BY 1, 2
+         |)
+         |SELECT cl.src AS a, cl.dst AS b, cl.hops, '"' || t.term || '"' AS la
+         |FROM cl JOIN (SELECT DISTINCT term FROM m) t
+         |  ON cl.src = '<http://graft.example/entity/' || t.term || '>'""".stripMargin,
 
     // 2-hop chain: en docs → mentioned entities → entity labels; the
     // mention CTE is kg03's oracle re-derivation

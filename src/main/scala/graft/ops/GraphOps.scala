@@ -583,6 +583,32 @@ object GraphOps {
       shared, "left_anti")
   }
 
+  /** SPARQL property path `pred+` (bounded depth) as a BGP pattern: the
+    * solution frame (sVar, oVar, hops) is the transitive closure of the
+    * predicate's edge set up to `maxHops`, with min-hops semantics
+    * (shorter paths win) — joinable with [[bgpChain]] solutions on shared
+    * variables like any other pattern frame. Lowered through the
+    * checkpointed frontier closure ([[GraphAnalytics.pathClosure]]): each
+    * round expands only last round's NEW pairs, anti-joins the reached
+    * set, and truncates lineage via the CheckpointPolicy — an unbounded
+    * `p+` over a web KG is a full closure, so callers opt into depth
+    * explicitly. On a materialized graph pass `Materialize.readPred` as
+    * `patternSource` and the edge scan prunes to one pred_hash partition.
+    */
+  def bgpPath(
+      patternSource: String => DataFrame,
+      pred: String, sVar: String, oVar: String, maxHops: Int,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(sVar != oVar, s"?$sVar $pred+ ?$sVar self-paths are not supported")
+    require(!Set("subj", "pred", "obj")(sVar) && !Set("subj", "pred", "obj")(oVar),
+      "path variable names collide with triple columns")
+    val edges = patternSource(pred).filter(col("pred") === pred)
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    GraphAnalytics.pathClosure(edges, maxHops, checkpoint)
+      .select(col("src").as(sVar), col("dst").as(oVar), col("hops"))
+  }
+
   /** SPARQL UNION over two solution sets: BAG union (no dedup — SPARQL's
     * UNION is multiset) with the variable universe = the union of both
     * sides' variables; a variable unbound on one side is null there
