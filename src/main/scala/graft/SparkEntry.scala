@@ -1015,6 +1015,76 @@ object SparkEntry {
       paths.join(labels, Seq("a")).select(col("a"), col("b"), col("hops"), col("la"))
     }),
 
+    // INCREMENTAL degree maintenance: out-degrees of graph v1 folded with
+    // the v1→v2 tombstone diff must equal a fresh degree computation on
+    // v2 — work ∝ degree table + diff, never ∝ graph
+    "kg42_degrees_delta" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      def tri(f: DataFrame) =
+        GraphOps.parseTurtle(f).select(col("subj"), col("pred"), col("obj"))
+          .unionByName(GraphOps.mentionCounts(f).select(
+            concat(lit(s"<${GraphOps.DocPrefix}"), col("doc_id"), lit(">")).as("subj"),
+            lit(s"${P}mentions").as("pred"),
+            concat(lit("<http://graft.example/entity/"), col("term"), lit(">")).as("obj")))
+      val v1 = tri(docs.filter(col("doc_id") % 3 =!= 0))
+      val v2 = tri(docs.filter(col("doc_id") % 2 =!= 0))
+      val keys = Seq("subj", "pred", "obj")
+      val kc = keys.map(col)
+      val diff = v2.join(v1.select(kc: _*), keys, "left_anti")
+        .withColumn("op", lit(graft.pipeline.Materialize.OpAdd))
+        .unionByName(v1.join(v2.select(kc: _*), keys, "left_anti")
+          .withColumn("op", lit(graft.pipeline.Materialize.OpDel)))
+      GraphAnalytics.degreesDelta(GraphAnalytics.outDegrees(v1), diff)
+    }),
+
+    // INCREMENTAL validation: only diff-touched subjects re-validate;
+    // untouched subjects carry their old violation rows — result must
+    // equal a full validate of v2 (planted enum + bad-integer corruption)
+    "kg43_validate_delta" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      def corrupted(f: DataFrame) = GraphOps.parseTurtle(f)
+        .withColumn("obj",
+          when(col("doc_id") % 37 === 0 && col("pred") === s"${P}lang", lit("\"xx\""))
+            .when(col("doc_id") % 43 === 0 && col("pred") === s"${P}nchars",
+              lit("\"NaN\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+            .otherwise(col("obj")))
+        .select(col("subj"), col("pred"), col("obj"))
+      val rules = Seq(
+        GraphOps.PropRule(s"${P}lang",
+          oneOf = Some(Seq("\"de\"", "\"en\"", "\"es\"", "\"fr\"", "\"zh\""))),
+        GraphOps.PropRule(s"${P}nchars", integerTyped = true))
+      val v1 = corrupted(docs.filter(col("doc_id") % 3 =!= 0))
+      val v2 = corrupted(docs.filter(col("doc_id") % 2 =!= 0))
+      val keys = Seq("subj", "pred", "obj")
+      val kc = keys.map(col)
+      val diff = v2.join(v1.select(kc: _*), keys, "left_anti")
+        .withColumn("op", lit(graft.pipeline.Materialize.OpAdd))
+        .unionByName(v1.join(v2.select(kc: _*), keys, "left_anti")
+          .withColumn("op", lit(graft.pipeline.Materialize.OpDel)))
+      GraphOps.validateGraphDelta(v2, diff, GraphOps.validateGraph(v1, rules), rules)
+    }),
+
+    // SPARQL CONSTRUCT: template triples instantiated from the 2-hop
+    // co-occurrence path solutions (graph → graph, set semantics)
+    "kg44_construct" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      def eiri(c: org.apache.spark.sql.Column) =
+        concat(lit("<http://graft.example/entity/"), c, lit(">"))
+      val co = GraphOps.entityCooccurrence(docs)
+      val coTriples = co.select(eiri(col("a")).as("subj"),
+        lit(s"${P}coocc").as("pred"), eiri(col("b")).as("obj"))
+        .unionByName(co.select(eiri(col("b")).as("subj"),
+          lit(s"${P}coocc").as("pred"), eiri(col("a")).as("obj")))
+      val paths = GraphOps.bgpPath((_: String) => coTriples, s"${P}coocc",
+        "a", "b", maxHops = 2)
+      GraphOps.construct(paths, Seq(
+        GraphOps.ConstructTemplate("a", s"${P}near", "b"),
+        GraphOps.ConstructTemplate("b", s"${P}near", "a")))
+    }),
+
     // graph → table round-trip: one wide row per entity via explicit-values
     // pivot over its triples
     "kg19_assemble" -> ((s, d) => GraphOps.assembleEntities(t(s, d, "documents"))),
@@ -2788,6 +2858,51 @@ object SparkEntry {
          |SELECT cl.src AS a, cl.dst AS b, cl.hops, '"' || t.term || '"' AS la
          |FROM cl JOIN (SELECT DISTINCT term FROM m) t
          |  ON cl.src = '<http://graft.example/entity/' || t.term || '>'""".stripMargin,
+
+    // v1 degrees + diff fold == fresh v2 degrees: 4 parse triples + one
+    // mention triple per distinct mentioned term, per odd doc
+    "kg42_degrees_delta" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, term
+         |  FROM documents, (VALUES $mentionTermValues) terms(term)
+         |  WHERE len(text) - len(replace(text, term, '')) > 0
+         |), c AS (SELECT doc_id, COUNT(*) AS nm FROM m GROUP BY 1)
+         |SELECT '<${GraphOps.DocPrefix}' || d.doc_id || '>' AS subj,
+         |  CAST(4 + COALESCE(c.nm, 0) AS BIGINT) AS degree
+         |FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 <> 0""".stripMargin,
+
+    // delta-scoped validation == full v2 validation, in closed form
+    "kg43_validate_delta" ->
+      s"""SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,
+         |  'enum:${GraphOps.PropPrefix}lang' AS violation
+         |FROM documents WHERE doc_id % 2 <> 0 AND doc_id % 37 = 0
+         |UNION ALL
+         |SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,
+         |  'bad_integer:${GraphOps.PropPrefix}nchars' AS violation
+         |FROM documents WHERE doc_id % 2 <> 0 AND doc_id % 43 = 0""".stripMargin,
+
+    // CONSTRUCT from the 2-hop closure: near-edges both directions
+    // (symmetric input ⇒ the closure already contains both, set dedup)
+    "kg44_construct" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT doc_id, term
+         |  FROM documents, (VALUES $mentionTermValues) terms(term)
+         |  WHERE len(text) - len(replace(text, term, '')) > 0
+         |), e AS (
+         |  SELECT DISTINCT '<http://graft.example/entity/' || x.term || '>' AS src,
+         |                  '<http://graft.example/entity/' || y.term || '>' AS dst
+         |  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.term <> y.term
+         |), p(src, dst, hops) AS (
+         |  SELECT src, dst, 1 FROM e
+         |  UNION ALL
+         |  SELECT p.src, e.dst, p.hops + 1 FROM p JOIN e ON e.src = p.dst
+         |  WHERE p.hops < 2
+         |)
+         |SELECT DISTINCT subj, '${GraphOps.PropPrefix}near' AS pred, obj FROM (
+         |  SELECT src AS subj, dst AS obj FROM p WHERE src <> dst
+         |  UNION
+         |  SELECT dst AS subj, src AS obj FROM p WHERE src <> dst)""".stripMargin,
 
     // 2-hop chain: en docs → mentioned entities → entity labels; the
     // mention CTE is kg03's oracle re-derivation

@@ -77,6 +77,33 @@ object GraphAnalytics {
     }
   }
 
+  /** Out-degree per SUBJECT of a triple table — the per-entity statistic
+    * every KG serves ("how many facts about X"). One map-side-combined
+    * groupBy.
+    */
+  def outDegrees(triples: DataFrame): DataFrame =
+    triples.groupBy(col("subj")).agg(count(lit(1)).as("degree"))
+
+  /** INCREMENTAL out-degree maintenance under a tombstone diff
+    * ([[graft.pipeline.Materialize.graphDiff]] rows, op ∈ {add, del}):
+    * the delta collapses to per-subject ±counts (one diff-sized
+    * map-side-combined aggregate) and folds into the old degree table with
+    * a full-outer join — work ∝ |degree table| + |diff|, never ∝ |graph|,
+    * which is the whole point: re-deriving degrees after a daily delta
+    * re-scans 100 TB, maintaining them touches the entity-sized stat
+    * table. Subjects whose degree reaches 0 drop out (fully retracted).
+    */
+  def degreesDelta(oldDegrees: DataFrame, diff: DataFrame): DataFrame = {
+    val d = diff
+      .groupBy(col("subj"))
+      .agg(sum(when(col("op") === graft.pipeline.Materialize.OpAdd, 1L)
+        .otherwise(-1L)).as("_d"))
+    oldDegrees.join(d, Seq("subj"), "full_outer")
+      .select(col("subj"),
+        (coalesce(col("degree"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("degree"))
+      .filter(col("degree") > 0)
+  }
+
   /** Per-node triangle counts via degree-oriented wedge enumeration.
     *
     * Orient every undirected edge from its (degree, id)-smaller endpoint;

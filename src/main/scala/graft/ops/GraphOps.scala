@@ -737,6 +737,53 @@ object GraphOps {
       explode(filter(array(vioCols: _*), v => v.isNotNull)).as("violation"))
   }
 
+  /** INCREMENTAL graph validation under a tombstone diff: only subjects
+    * the diff touches re-validate — untouched subjects carry their old
+    * violation rows forward (anti-join on the diff's subject set), touched
+    * ones re-run [[validateGraph]]'s one-pass rule aggregate over just
+    * their rows (semi-join prune). The validate AGGREGATE — the expensive
+    * per-subject rule machinery — runs on diff-sized input; the semi-join
+    * is one pruned pass over the new graph (pred_hash/bucket layouts keep
+    * it a scan, not a reshuffle-the-world). This is the nightly-QA shape:
+    * a daily delta re-certifies its touched entities, not the KG.
+    */
+  def validateGraphDelta(
+      newTriples: DataFrame,
+      diff: DataFrame,
+      oldViolations: DataFrame,
+      rules: Seq[PropRule]): DataFrame = {
+    val touched = diff.select(col("subj")).distinct()
+    val keep = oldViolations.join(touched, Seq("subj"), "left_anti")
+    val fresh = validateGraph(
+      newTriples.join(touched, Seq("subj"), "left_semi"), rules)
+    keep.unionByName(fresh)
+  }
+
+  /** One CONSTRUCT template triple: subject/object name solution
+    * variables, the predicate is a constant IRI.
+    */
+  final case class ConstructTemplate(sVar: String, pred: String, oVar: String)
+
+  /** SPARQL CONSTRUCT: instantiate template triples from a solution set —
+    * each template is a projection of the solutions, the union dedups
+    * because CONSTRUCT emits a GRAPH (set semantics). Zero joins: the
+    * solution plan is reused per template and the only exchange is the
+    * final distinct. Feed the result to [[exportTurtleDir]] or
+    * [[graft.pipeline.Materialize]] like any other triple table.
+    */
+  def construct(sol: DataFrame, templates: Seq[ConstructTemplate]): DataFrame = {
+    require(templates.nonEmpty, "CONSTRUCT needs at least one template")
+    templates.foreach { t =>
+      require(sol.columns.contains(t.sVar) && sol.columns.contains(t.oVar),
+        s"template ?${t.sVar} <${t.pred}> ?${t.oVar} references unbound variables")
+    }
+    templates
+      .map(t => sol.select(col(t.sVar).as("subj"), lit(t.pred).as("pred"),
+        col(t.oVar).as("obj")))
+      .reduce(_.unionByName(_))
+      .distinct()
+  }
+
   /** Synthetic forest over doc ids: d (> 0, d % 3 ≠ 0) — edge to d / 2.
     * Distributed CC (hash-to-min self-joins) labels every doc with the min
     * id of its component; singletons keep their own id.

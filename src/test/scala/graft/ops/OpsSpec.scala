@@ -212,6 +212,48 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental maintenance: degreesDelta drops zeroed subjects, validateGraphDelta carries untouched") {
+    val s = spark
+    import s.implicits._
+    // degrees: s1 fully retracted (degree 0 drops out), s2 gains one,
+    // s3 appears fresh
+    val old = Seq(("s1", 2L), ("s2", 1L)).toDF("subj", "degree")
+    val diff = Seq(
+      ("del", "s1", "p", "a"), ("del", "s1", "p", "b"),
+      ("add", "s2", "q", "c"), ("add", "s3", "p", "d"))
+      .toDF("op", "subj", "pred", "obj")
+    val got = GraphAnalytics.degreesDelta(old, diff)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s2" -> 2L, "s3" -> 1L), got.toString)
+
+    // validation: untouched s_keep carries its OLD violation row without
+    // re-running rules; touched s_fix re-validates clean; touched s_new
+    // violates fresh
+    val rules = Seq(GraphOps.PropRule("p", integerTyped = true))
+    val intLit = "\"3\"^^<http://www.w3.org/2001/XMLSchema#integer>"
+    val newTriples = Seq(
+      ("s_keep", "p", "\"bad\""), ("s_fix", "p", intLit), ("s_new", "p", "\"nope\""))
+      .toDF("subj", "pred", "obj")
+    val oldViolations = Seq(("s_keep", "bad_integer:p"), ("s_fix", "bad_integer:p"))
+      .toDF("subj", "violation")
+    val vdiff = Seq(("add", "s_fix", "p", intLit), ("add", "s_new", "p", "\"nope\""))
+      .toDF("op", "subj", "pred", "obj")
+    val v = GraphOps.validateGraphDelta(newTriples, vdiff, oldViolations, rules)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(v == Set(("s_keep", "bad_integer:p"), ("s_new", "bad_integer:p")), v.toString)
+
+    // CONSTRUCT: set semantics (dedup), unbound template variables rejected
+    val sol = Seq(("x", "y"), ("x", "y"), ("y", "x")).toDF("a", "b")
+    val c = GraphOps.construct(sol, Seq(
+      GraphOps.ConstructTemplate("a", "near", "b"),
+      GraphOps.ConstructTemplate("b", "near", "a")))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(c == Set(("x", "y"), ("y", "x")))
+    intercept[IllegalArgumentException] {
+      GraphOps.construct(sol, Seq(GraphOps.ConstructTemplate("a", "near", "zz")))
+    }
+  }
+
   test("lang-id predicts correctly on real multilingual snippets") {
     val d = docs(
       (1L, "the cat sat on the mat and it is a good day to be in the sun", "x", "s", 0L),
