@@ -1085,6 +1085,37 @@ object SparkEntry {
         GraphOps.ConstructTemplate("b", s"${P}near", "a")))
     }),
 
+    // CONSTRUCT → .ttl EXPORT → dir-source INGEST: the derived graph kg44
+    // builds round-trips through the serializer and comes back value-exact
+    // — query surface, writer, and source composed end-to-end
+    "kg45_construct_export" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      def eiri(c: org.apache.spark.sql.Column) =
+        concat(lit("<http://graft.example/entity/"), c, lit(">"))
+      val co = GraphOps.entityCooccurrence(docs)
+      val coTriples = co.select(eiri(col("a")).as("subj"),
+        lit(s"${P}coocc").as("pred"), eiri(col("b")).as("obj"))
+        .unionByName(co.select(eiri(col("b")).as("subj"),
+          lit(s"${P}coocc").as("pred"), eiri(col("a")).as("obj")))
+      val paths = GraphOps.bgpPath((_: String) => coTriples, s"${P}coocc",
+        "a", "b", maxHops = 2)
+      val derived = GraphOps.construct(paths, Seq(
+        GraphOps.ConstructTemplate("a", s"${P}near", "b"),
+        GraphOps.ConstructTemplate("b", s"${P}near", "a")))
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg45_").toString
+      try {
+        GraphOps.exportTurtleDir(derived, s"$dir/ttl",
+          Map("p" -> P, "e" -> "http://graft.example/entity/"))
+        val (rows, rejects) = GraphOps.readTurtleDir(s, s"$dir/ttl")
+        if (rejects.count() > 0)
+          throw new IllegalStateException("export produced unparseable files")
+        rows.toDF().select(col("subj"), col("pred"), col("obj"))
+          .localCheckpoint() // eager — the scratch dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // graph → table round-trip: one wide row per entity via explicit-values
     // pivot over its triples
     "kg19_assemble" -> ((s, d) => GraphOps.assembleEntities(t(s, d, "documents"))),
@@ -2885,6 +2916,27 @@ object SparkEntry {
     // CONSTRUCT from the 2-hop closure: near-edges both directions
     // (symmetric input ⇒ the closure already contains both, set dedup)
     "kg44_construct" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT doc_id, term
+         |  FROM documents, (VALUES $mentionTermValues) terms(term)
+         |  WHERE len(text) - len(replace(text, term, '')) > 0
+         |), e AS (
+         |  SELECT DISTINCT '<http://graft.example/entity/' || x.term || '>' AS src,
+         |                  '<http://graft.example/entity/' || y.term || '>' AS dst
+         |  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.term <> y.term
+         |), p(src, dst, hops) AS (
+         |  SELECT src, dst, 1 FROM e
+         |  UNION ALL
+         |  SELECT p.src, e.dst, p.hops + 1 FROM p JOIN e ON e.src = p.dst
+         |  WHERE p.hops < 2
+         |)
+         |SELECT DISTINCT subj, '${GraphOps.PropPrefix}near' AS pred, obj FROM (
+         |  SELECT src AS subj, dst AS obj FROM p WHERE src <> dst
+         |  UNION
+         |  SELECT dst AS subj, src AS obj FROM p WHERE src <> dst)""".stripMargin,
+
+    // the derived CONSTRUCT graph survives export + re-ingest verbatim
+    "kg45_construct_export" ->
       s"""WITH RECURSIVE m AS (
          |  SELECT doc_id, term
          |  FROM documents, (VALUES $mentionTermValues) terms(term)
