@@ -487,6 +487,11 @@ object SparkEntry {
     // corpus association statistic, hash-exact over integer counts
     "td25_pmi_pairs" -> ((s, d) => TextOps.pmiPairs(t(s, d, "documents"), minCount = 5L)),
 
+    // perplexity-proxy LM quality gate (CCNet/Gopher shape, log-free):
+    // mean bigram conditional probability per doc under corpus counts,
+    // decimal-summed so the score is hash-exact cross-engine
+    "td28_lm_score" -> ((s, d) => TextOps.lmScores(t(s, d, "documents"))),
+
     // BM25-family ranked retrieval (rational idf — log-free, hash-exact):
     // top-20 docs for a 4-term query; per-term contributions summed as
     // DECIMAL(18,6) so cross-term addition is order-independent
@@ -2468,6 +2473,37 @@ object SparkEntry {
 
     // the planted 560-word vocabulary's training run in closed form: rank
     // k merges word k's two letters with count (600−k)·|documents|
+    // mean bigram conditional probability per doc: per-distinct-gram
+    // probability rounded to 6, weighted decimal sum, mean rounded to 4
+    "td28_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS tk FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |    i -> tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1])) AS g
+        |  FROM t
+        |), dg AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS k FROM g GROUP BY 1, 2
+        |), pc AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pair FROM g GROUP BY 1
+        |), uc AS (
+        |  SELECT unnest(tk) AS a FROM t
+        |), ua AS (
+        |  SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM uc GROUP BY 1
+        |), scored AS (
+        |  SELECT dg.doc_id,
+        |    SUM(dg.k * CAST(round(CAST(pc.n_pair AS DOUBLE) / ua.c_a, 6) AS DECIMAL(18,6)))
+        |      AS sum_dec,
+        |    CAST(SUM(dg.k) AS BIGINT) AS n_grams
+        |  FROM dg JOIN pc ON pc.g = dg.g
+        |  JOIN ua ON ua.a = split_part(dg.g, ' ', 1)
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_grams, 0) AS n_grams,
+        |  COALESCE(round(CAST(s.sum_dec AS DOUBLE) / s.n_grams, 4), 0.0) AS lm_score
+        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""".stripMargin,
+
     "td26_bpe_train_512" ->
       """WITH nd AS (SELECT COUNT(*) AS nd FROM documents)
         |SELECT CAST(k AS BIGINT) AS rank,

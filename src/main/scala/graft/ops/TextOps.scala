@@ -558,6 +558,55 @@ object TextOps {
       .select(col("a"), col("b"), col("n_pair"), col("pmi_ratio"))
   }
 
+  // ------------------------------------------------ bigram-LM quality score
+
+  /** Perplexity-proxy QUALITY FILTERING (the CCNet/Gopher-style LM gate,
+    * log-free): per document, the mean bigram conditional probability
+    * `avg over adjacent (a,b) of P(b|a) = c_ab / c_a` under corpus-wide
+    * counts — fluent text scores high, token soup scores near zero. Here
+    * the corpus is its own reference model (self-scoring); a production
+    * gate feeds counts trained on a trusted reference corpus through the
+    * same plan.
+    *
+    * Determinism discipline (the BM25 shape): each DISTINCT gram's
+    * probability rounds to 6 decimals, per-doc contributions weight by the
+    * gram's in-doc count and SUM as DECIMAL (order-independent under
+    * partial aggregation), the final mean rounds to 4 — hash-exact
+    * cross-engine. Scale shape: one pass builds per-(doc, gram) counts
+    * (map-side combined), the corpus gram/unigram tables aggregate from
+    * the same exploded stream, and the scoring join is keyed on the gram
+    * (pair table ∝ vocabulary², never corpus). Docs with < 2 tokens score
+    * 0 over 0 grams. The td25 zip_with/slice rule applies: the token
+    * array is referenced only in once-per-row argument positions.
+    */
+  def lmScores(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokensCol(col("text")).as("tks"))
+    val n = greatest(size(col("tks")) - 1, lit(0))
+    val grams = toks.select(col("doc_id"),
+      explode(zip_with(slice(col("tks"), lit(1), n), slice(col("tks"), lit(2), n),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+    val docGramCounts = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("k"))
+    val pairCounts = grams.groupBy(col("g")).agg(count(lit(1)).as("n_pair"))
+    val uniCounts = documents
+      .select(explode(tokensCol(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_a"))
+    val scored = docGramCounts
+      .join(pairCounts, Seq("g"))
+      .join(uniCounts.withColumnRenamed("t", "_a"),
+        split(col("g"), " ").getItem(0) === col("_a"))
+      .withColumn("p6",
+        round(col("n_pair").cast("double") / col("c_a"), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("p6")).as("sum_dec"), sum(col("k")).as("n_grams"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(round(col("sum_dec").cast("double") / col("n_grams"), 4), lit(0.0))
+          .as("lm_score"))
+  }
+
   // ----------------------------------------------------- BM25 ranked search
 
   val Bm25K1 = 1.2

@@ -254,6 +254,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM score: hand-computed means, fluent > soup, short docs score 0") {
+    // corpus: unigrams a:3 b:3, grams "a b":3 "b a":1
+    // doc1 "a b a b": p(a b)=3/3=1.0 ×2, p(b a)=1/3=0.333333 ×1
+    //   → (2·1.000000 + 0.333333)/3 = 0.7778
+    // doc2 "a b": 1.0; doc3 "x": no grams → 0 over 0
+    val d = docs((1L, "a b a b", "en", "s", 0L), (2L, "a b", "en", "s", 0L),
+      (3L, "x", "en", "s", 0L))
+    val got = TextOps.lmScores(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ((3L, 0.7778)), 2L -> ((1L, 1.0)), 3L -> ((0L, 0.0))),
+      got.toString)
+    // the gate's point: repeated fluent text outscores token soup drawn
+    // from the same vocabulary
+    val mixed = docs(
+      (1L, "the cat sat on the mat " * 4, "en", "s", 0L),
+      (2L, "mat the on sat the cat cat mat on the sat mat on cat sat the mat on", "en", "s", 0L))
+    val sc = TextOps.lmScores(mixed).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(1L) > sc(2L), sc.toString)
+  }
+
   test("lang-id predicts correctly on real multilingual snippets") {
     val d = docs(
       (1L, "the cat sat on the mat and it is a good day to be in the sun", "x", "s", 0L),
