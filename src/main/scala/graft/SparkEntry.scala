@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{EmbeddingOps, GraphAnalytics, GraphOps, MultimodalOps, TextOps}
+import graft.ops.{EmbeddingOps, GraphAnalytics, GraphOps, MultimodalOps, RdfsOps, TextOps}
 import graft.streaming.StreamingOps
 
 /** Driver contract: one entry per implemented operator, each paired (where
@@ -1119,6 +1119,35 @@ object SparkEntry {
           .localCheckpoint() // eager — the scratch dir is deleted below
       } finally
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
+    // RDFS inference materialization: TBox (subClassOf/subPropertyOf
+    // transitive closure, domain, range) closed on the DRIVER
+    // (ontology-sized, require-bounded) and BROADCAST; ABox extended by
+    // rdfs2/3/5/7/9/11 in ONE pass — the WebPIE split. The only exchange
+    // in the whole plan is the final set-semantics distinct (plan-guarded
+    // in OpsSpec); rdfs7 property aliases feed the domain rule, the range
+    // rule fires on the IRI-object sameSite edges, and both derived type
+    // sets lift through the 2-level class hierarchy
+    "kg46_rdfs_closure" -> ((s, d) => {
+      import s.implicits._
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      val instance = GraphOps.parseTurtle(docs)
+        .select(col("subj"), col("pred"), col("obj"))
+        .unionByName(GraphOps.siteTriples(docs))
+      val schema = Seq(
+        (s"${P}lang", RdfsOps.RdfsSubPropertyOf, s"${P}attr"),
+        (s"${P}attr", RdfsOps.RdfsSubPropertyOf, s"${P}meta"),
+        (s"${P}nchars", RdfsOps.RdfsDomain, s"${P}Sized"),
+        (s"${P}attr", RdfsOps.RdfsDomain, s"${P}Attributed"),
+        (s"${P}sameSite", RdfsOps.RdfsDomain, s"${P}Doc"),
+        (s"${P}sameSite", RdfsOps.RdfsRange, s"${P}Doc"),
+        (s"${P}Sized", RdfsOps.RdfsSubClassOf, s"${P}Thing"),
+        (s"${P}Doc", RdfsOps.RdfsSubClassOf, s"${P}Resource"),
+        (s"${P}Resource", RdfsOps.RdfsSubClassOf, s"${P}Thing"))
+        .toDF("subj", "pred", "obj")
+      RdfsOps.rdfsClosure(instance, schema)
     }),
 
     // graph → table round-trip: one wide row per entity via explicit-values
@@ -2991,6 +3020,66 @@ object SparkEntry {
          |  SELECT src AS subj, dst AS obj FROM p WHERE src <> dst
          |  UNION
          |  SELECT dst AS subj, src AS obj FROM p WHERE src <> dst)""".stripMargin,
+
+    // RDFS entailment re-derived rule-by-rule: recursive CTEs close the
+    // VALUES TBox, joins apply rdfs7 → rdfs2/3 → rdfs9, DISTINCT seals
+    // set semantics — term-for-term the staged closure of RdfsOps
+    "kg46_rdfs_closure" -> {
+      val P = GraphOps.PropPrefix
+      val D = GraphOps.DocPrefix
+      s"""WITH base AS (
+         |$kg01Oracle
+         |), inst AS (
+         |  SELECT subj, pred, obj FROM base
+         |  UNION ALL
+         |  SELECT '<$D' || doc_id || '>' AS subj,
+         |    '${P}sameSite' AS pred,
+         |    '<$D' || (doc_id % 10) || '>' AS obj
+         |  FROM documents
+         |), spc0(sub, sup) AS (
+         |  VALUES ('${P}lang', '${P}attr'), ('${P}attr', '${P}meta')
+         |), spc(sub, sup) AS (
+         |  -- one squaring step closes the depth-2 planted hierarchy exactly
+         |  -- (nested-WITH inside WITH RECURSIVE trips DuckDB 1.0, so the
+         |  -- closure is unrolled instead of recursive)
+         |  SELECT sub, sup FROM spc0
+         |  UNION
+         |  SELECT s.sub, e.sup FROM spc0 s JOIN spc0 e ON s.sup = e.sub
+         |), scc0(sub, sup) AS (
+         |  VALUES ('${P}Sized', '${P}Thing'), ('${P}Doc', '${P}Resource'),
+         |         ('${P}Resource', '${P}Thing')
+         |), scc(sub, sup) AS (
+         |  SELECT sub, sup FROM scc0
+         |  UNION
+         |  SELECT s.sub, e.sup FROM scc0 s JOIN scc0 e ON s.sup = e.sub
+         |), dm(prop, cls) AS (
+         |  VALUES ('${P}nchars', '${P}Sized'), ('${P}attr', '${P}Attributed'),
+         |         ('${P}sameSite', '${P}Doc')
+         |), rng(prop, cls) AS (
+         |  VALUES ('${P}sameSite', '${P}Doc')
+         |), d7 AS (
+         |  SELECT i.subj, s.sup AS pred, i.obj FROM inst i JOIN spc s ON i.pred = s.sub
+         |), alltr AS (
+         |  SELECT * FROM inst UNION ALL SELECT * FROM d7
+         |), t0 AS (
+         |  SELECT a.subj, dm.cls FROM alltr a JOIN dm ON a.pred = dm.prop
+         |  UNION ALL
+         |  SELECT a.obj AS subj, r.cls FROM alltr a JOIN rng r ON a.pred = r.prop
+         |  WHERE a.obj LIKE '<%'
+         |  UNION ALL
+         |  SELECT subj, substring(obj, 2, length(obj) - 2) AS cls FROM alltr
+         |  WHERE pred = '${RdfsOps.RdfType}' AND obj LIKE '<%'
+         |), tall AS (
+         |  SELECT * FROM t0
+         |  UNION ALL
+         |  SELECT t.subj, s.sup AS cls FROM t0 t JOIN scc s ON t.cls = s.sub
+         |)
+         |SELECT DISTINCT subj, pred, obj FROM (
+         |  SELECT * FROM alltr
+         |  UNION ALL
+         |  SELECT subj, '${RdfsOps.RdfType}' AS pred, '<' || cls || '>' AS obj
+         |  FROM tall)""".stripMargin
+    },
 
     // 2-hop chain: en docs → mentioned entities → entity labels; the
     // mention CTE is kg03's oracle re-derivation

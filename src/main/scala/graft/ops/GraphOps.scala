@@ -686,6 +686,19 @@ object GraphOps {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Deterministic IRI-object edge triples over the corpus — each doc
+    * links to the `doc_id % 10` hub doc via `p:sameSite` (rendered terms,
+    * closed over the id universe at every scale factor; the ≤10 self-loops
+    * are legal RDF and kept). The IRI→IRI predicate the literal-only
+    * [[turtleForDoc]] corpus lacks, used by the RDFS range rule (kg46)
+    * and the property-path algebra (kg48).
+    */
+  def siteTriples(documents: DataFrame): DataFrame =
+    documents.select(
+      concat(lit(s"<$DocPrefix"), col("doc_id"), lit(">")).as("subj"),
+      lit(s"${PropPrefix}sameSite").as("pred"),
+      concat(lit(s"<$DocPrefix"), col("doc_id") % 10, lit(">")).as("obj"))
+
   /** One property rule of a SHACL-lite shape: cardinality bounds for
     * `pred` per subject, optionally a well-formed `xsd:integer` object
     * check and/or an allowed-value enumeration (object terms in rendered

@@ -1625,4 +1625,64 @@ class OpsSpec extends AnyFunSuite {
       GraphAnalytics.syntheticEdges(d), Seq(0L).toDF("id")).count()
     assert(hops == 21)
   }
+
+  test("closeTransitive: chains close fully, cycles entail reflexive pairs") {
+    val chain = RdfsOps.closeTransitive(Seq("a" -> "b", "b" -> "c", "c" -> "d")).toSet
+    assert(chain == Set("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d"))
+    val cyc = RdfsOps.closeTransitive(Seq("a" -> "b", "b" -> "a")).toSet
+    assert(cyc == Set("a" -> "b", "b" -> "a", "a" -> "a", "b" -> "b"))
+    assert(RdfsOps.closeTransitive(Nil).isEmpty)
+  }
+
+  test("rdfsClosure: staged rules entail the hand-computed closure") {
+    val s = spark
+    import s.implicits._
+    val tpe = RdfsOps.RdfType
+    // p ⊑ q with q's domain C: rdfs7 must feed rdfs2; range only fires on
+    // the IRI object; D ⊑ E lifts both derived and explicit types
+    val instance = Seq(
+      ("<u:x>", "u:p", "\"lit\""),
+      ("<u:x>", "u:r", "<u:y>"),
+      ("<u:z>", tpe, "<u:D>")).toDF("subj", "pred", "obj")
+    val schema = Seq(
+      ("u:p", RdfsOps.RdfsSubPropertyOf, "u:q"),
+      ("u:q", RdfsOps.RdfsDomain, "u:C"),
+      ("u:r", RdfsOps.RdfsRange, "u:D"),
+      ("u:D", RdfsOps.RdfsSubClassOf, "u:E")).toDF("subj", "pred", "obj")
+    val got = RdfsOps.rdfsClosure(instance, schema)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val expected = Set(
+      ("<u:x>", "u:p", "\"lit\""),
+      ("<u:x>", "u:r", "<u:y>"),
+      ("<u:z>", tpe, "<u:D>"),
+      ("<u:x>", "u:q", "\"lit\""),   // rdfs7
+      ("<u:x>", tpe, "<u:C>"),       // rdfs2 via the rdfs7-derived triple
+      ("<u:y>", tpe, "<u:D>"),       // rdfs3 (IRI object)
+      ("<u:y>", tpe, "<u:E>"),       // rdfs9 over the range-derived type
+      ("<u:z>", tpe, "<u:E>"))       // rdfs9 over the explicit type
+    assert(got == expected)
+  }
+
+  test("rdfsClosure plan: all rule joins broadcast, one exchange (the distinct)") {
+    val s = spark
+    import s.implicits._
+    val instance = (0L until 200L).map(i =>
+      (s"<u:s$i>", if (i % 2 == 0) "u:p" else "u:r", s"<u:o${i % 7}>"))
+      .toDF("subj", "pred", "obj")
+    val schema = Seq(
+      ("u:p", RdfsOps.RdfsSubPropertyOf, "u:q"),
+      ("u:q", RdfsOps.RdfsDomain, "u:C"),
+      ("u:r", RdfsOps.RdfsRange, "u:D"),
+      ("u:D", RdfsOps.RdfsSubClassOf, "u:E")).toDF("subj", "pred", "obj")
+    val out = RdfsOps.rdfsClosure(instance, schema)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "TBox joins must broadcast:\n" + plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly the distinct's exchange, got $exchanges:\n${plan.take(1200)}")
+    assert(out.count() > 0)
+  }
 }
