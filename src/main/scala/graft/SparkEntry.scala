@@ -1150,6 +1150,40 @@ object SparkEntry {
       RdfsOps.rdfsClosure(instance, schema)
     }),
 
+    // SPARQL MINUS: { ?d lang ?l } MINUS { ?d source "src1" . ?d nchars ?n }
+    // — the minus side is a full 2-pattern BGP solved independently and
+    // anti-joined on the SHARED variables only (?d); the spec's
+    // disjoint-domain rule (MINUS removes nothing) is OpsSpec-pinned
+    "kg47_bgp_minus" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      GraphOps.bgpChainMinus((_: String) => triples,
+        Seq(GraphOps.ChainPattern("d", s"${P}lang", oVar = Some("l"))),
+        Seq(GraphOps.ChainPattern("d", s"${P}source", oConst = Some("\"src1\"")),
+          GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))),
+        counts)
+        .select(col("d"), col("l"))
+    }),
+
+    // SPARQL property-path ALGEBRA: (link/link) | ^link | link+≤2 over the
+    // synthetic edge predicate — sequence, inverse, alternative and the
+    // bounded closure composed in one expression; overlapping branches make
+    // the set-semantics distinct observable
+    "kg48_path_algebra" -> ((s, d) => {
+      val link = s"${GraphOps.PropPrefix}link"
+      val D = GraphOps.DocPrefix
+      val linkTriples = GraphAnalytics.syntheticEdges(t(s, d, "documents"))
+        .select(concat(lit(s"<$D"), col("src"), lit(">")).as("subj"),
+          lit(link).as("pred"),
+          concat(lit(s"<$D"), col("dst"), lit(">")).as("obj"))
+      import GraphOps.PathExpr._
+      GraphOps.evalPath((_: String) => linkTriples,
+        Alt(Sequence(Pred(link), Pred(link)),
+          Alt(Inv(Pred(link)), Plus(Pred(link), maxHops = 2))))
+    }),
+
     // graph → table round-trip: one wide row per entity via explicit-values
     // pivot over its triples
     "kg19_assemble" -> ((s, d) => GraphOps.assembleEntities(t(s, d, "documents"))),
@@ -3080,6 +3114,29 @@ object SparkEntry {
          |  SELECT subj, '${RdfsOps.RdfType}' AS pred, '<' || cls || '>' AS obj
          |  FROM tall)""".stripMargin
     },
+
+    // MINUS is a conjunctive anti-filter on the doc table here: a doc
+    // survives iff its source is not src1 (every doc binds nchars)
+    "kg47_bgp_minus" ->
+      s"""SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS d,
+         |  '"' || lang || '"' AS l
+         |FROM documents
+         |WHERE source <> 'src1'""".stripMargin,
+
+    // the three path branches in closed form over the synthetic edges:
+    // link² (midpoint join, self-pairs kept), reversed link, and the
+    // ≤2-hop closure (⊆ link ∪ link²) — the outer DISTINCT is the
+    // algebra's set semantics
+    "kg48_path_algebra" ->
+      s"""WITH $graphEdgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |e2 AS (SELECT DISTINCT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src)
+         |SELECT DISTINCT '<${GraphOps.DocPrefix}' || x.src || '>' AS src,
+         |  '<${GraphOps.DocPrefix}' || x.dst || '>' AS dst
+         |FROM (
+         |  SELECT src, dst FROM e
+         |  UNION ALL SELECT src, dst FROM e2
+         |  UNION ALL SELECT dst AS src, src AS dst FROM e) x""".stripMargin,
 
     // 2-hop chain: en docs → mentioned entities → entity labels; the
     // mention CTE is kg03's oracle re-derivation

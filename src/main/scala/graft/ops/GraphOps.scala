@@ -609,6 +609,80 @@ object GraphOps {
       .select(col("src").as(sVar), col("dst").as(oVar), col("hops"))
   }
 
+  /** SPARQL MINUS: remove required-BGP solutions COMPATIBLE with some
+    * solution of the minus-side BGP. Differs from FILTER NOT EXISTS
+    * ([[bgpChainNotExists]]) exactly where the SPARQL algebra does: the
+    * minus side is a full multi-pattern BGP solved independently, and if
+    * its variable domain is DISJOINT from the required side's, MINUS
+    * removes NOTHING (the spec's incompatibility rule) — where NOT EXISTS
+    * would empty the result whenever the anti pattern has any match.
+    * Lowered to a LEFT ANTI join on the shared variables; the minus-side
+    * plan keeps its own pred-pruned scans and sketch-driven join order.
+    */
+  def bgpChainMinus(
+      patternSource: String => DataFrame,
+      required: Seq[ChainPattern],
+      minus: Seq[ChainPattern],
+      predCounts: Map[String, Long]): DataFrame = {
+    val base = bgpChain(patternSource, required, predCounts)
+    val shared = (required.flatMap(_.vars).toSet & minus.flatMap(_.vars).toSet)
+      .toSeq.sorted
+    if (shared.isEmpty) base // disjoint domains: every solution survives
+    else {
+      val minusSol = bgpChain(patternSource, minus, predCounts)
+      base.join(minusSol.select(shared.map(col): _*), shared, "left_anti")
+    }
+  }
+
+  /** SPARQL property-path ALGEBRA — the composable path expressions beyond
+    * the bare `pred+` of [[bgpPath]]: `^p` (inverse), `p1/p2` (sequence),
+    * `p1|p2` (alternative), `p+` bounded (via the checkpointed frontier
+    * closure). Every expression evaluates to a distinct (src, dst) frame —
+    * SET semantics throughout (SPARQL's bag duplicates for closure-free
+    * paths are deliberately collapsed so any subexpression can feed a `+`
+    * closure, whose semantics the spec itself defines as distinct).
+    *
+    * Scale shapes: `Pred` is a pred-pruned scan (on a Materialize table
+    * pass `readPred` and it reads one pred_hash partition); `Inv` is a
+    * free projection; `Sequence` is one equi-join on the midpoint;
+    * `Alt` a union + distinct; `Plus` the per-round-bounded closure of
+    * [[GraphAnalytics.pathClosure]] with its explicit depth opt-in.
+    */
+  sealed trait PathExpr
+  object PathExpr {
+    final case class Pred(pred: String) extends PathExpr
+    final case class Inv(p: PathExpr) extends PathExpr
+    final case class Sequence(a: PathExpr, b: PathExpr) extends PathExpr
+    final case class Alt(a: PathExpr, b: PathExpr) extends PathExpr
+    final case class Plus(p: PathExpr, maxHops: Int) extends PathExpr
+  }
+
+  /** Evaluate a [[PathExpr]] to its distinct (src, dst) endpoint frame. */
+  def evalPath(
+      patternSource: String => DataFrame, path: PathExpr,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = path match {
+    case PathExpr.Pred(p) =>
+      patternSource(p).filter(col("pred") === p)
+        .select(col("subj").as("src"), col("obj").as("dst")).distinct()
+    case PathExpr.Inv(p) =>
+      evalPath(patternSource, p, checkpoint)
+        .select(col("dst").as("src"), col("src").as("dst"))
+    case PathExpr.Sequence(a, b) =>
+      evalPath(patternSource, a, checkpoint)
+        .select(col("src"), col("dst").as("_mid"))
+        .join(evalPath(patternSource, b, checkpoint)
+          .select(col("src").as("_mid"), col("dst")), Seq("_mid"))
+        .select(col("src"), col("dst")).distinct()
+    case PathExpr.Alt(a, b) =>
+      evalPath(patternSource, a, checkpoint)
+        .unionByName(evalPath(patternSource, b, checkpoint)).distinct()
+    case PathExpr.Plus(p, maxHops) =>
+      GraphAnalytics.pathClosure(
+        evalPath(patternSource, p, checkpoint), maxHops, checkpoint)
+        .select(col("src"), col("dst"))
+  }
+
   /** SPARQL UNION over two solution sets: BAG union (no dedup — SPARQL's
     * UNION is multiset) with the variable universe = the union of both
     * sides' variables; a variable unbound on one side is null there

@@ -1626,6 +1626,53 @@ class OpsSpec extends AnyFunSuite {
     assert(hops == 21)
   }
 
+  test("bgpChainMinus: shared-var anti semantics and the disjoint-domain rule") {
+    val s = spark
+    import s.implicits._
+    val triples = Seq(
+      ("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3"),
+      ("a", "q", "x"), ("x", "r", "y")).toDF("subj", "pred", "obj")
+    val counts = Map("p" -> 3L, "q" -> 1L, "r" -> 1L)
+    def src: String => org.apache.spark.sql.DataFrame = _ => triples
+    // shared ?d: docs with a q binding are removed
+    val got = GraphOps.bgpChainMinus(src,
+      Seq(GraphOps.ChainPattern("d", "p", oVar = Some("v"))),
+      Seq(GraphOps.ChainPattern("d", "q", oVar = Some("w"))),
+      counts).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("b", "2"), ("c", "3")))
+    // disjoint domains: MINUS removes NOTHING (where NOT EXISTS would not
+    // even be expressible without a shared var — the algebra difference)
+    val disjoint = GraphOps.bgpChainMinus(src,
+      Seq(GraphOps.ChainPattern("d", "p", oVar = Some("v"))),
+      Seq(GraphOps.ChainPattern("e", "r", oVar = Some("z"))),
+      counts).count()
+    assert(disjoint == 3)
+  }
+
+  test("evalPath: every combinator against hand-computed endpoint sets") {
+    val s = spark
+    import s.implicits._
+    import GraphOps.PathExpr._
+    // p cycles a→b→c→a; q is the single chord a→c
+    val triples = Seq(
+      ("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"),
+      ("a", "q", "c")).toDF("subj", "pred", "obj")
+    def ev(e: GraphOps.PathExpr): Set[(String, String)] =
+      GraphOps.evalPath((_: String) => triples, e)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ev(Pred("p")) == Set("a" -> "b", "b" -> "c", "c" -> "a"))
+    assert(ev(Inv(Pred("q"))) == Set("c" -> "a"))
+    // p then q: only c→a→c — sequence KEEPS self-pairs (SPARQL does)
+    assert(ev(Sequence(Pred("p"), Pred("q"))) == Set("c" -> "c"))
+    assert(ev(Alt(Pred("q"), Inv(Pred("q")))) == Set("a" -> "c", "c" -> "a"))
+    // cycle closure ≤3: all ordered non-self pairs (3-hop terms are self)
+    assert(ev(Plus(Pred("p"), 3)) ==
+      Set("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "b" -> "a", "c" -> "b"))
+    // closure over a composed subexpression — the algebra nests
+    assert(ev(Plus(Alt(Pred("p"), Pred("q")), 2)) ==
+      Set("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "b" -> "a", "c" -> "b"))
+  }
+
   test("closeTransitive: chains close fully, cycles entail reflexive pairs") {
     val chain = RdfsOps.closeTransitive(Seq("a" -> "b", "b" -> "c", "c" -> "d")).toSet
     assert(chain == Set("a" -> "b", "a" -> "c", "a" -> "d",
