@@ -492,6 +492,12 @@ object SparkEntry {
     // decimal-summed so the score is hash-exact cross-engine
     "td28_lm_score" -> ((s, d) => TextOps.lmScores(t(s, d, "documents"))),
 
+    // CCNet-style segment dedup: 3-token segments, global first occurrence
+    // wins; per-doc counts + md5 of the RECONSTRUCTED surviving text —
+    // one segment-keyed exchange, one groupBy back to docs
+    "td29_segment_dedup" -> ((s, d) =>
+      TextOps.segmentDedup(t(s, d, "documents"), segLen = 3)),
+
     // BM25-family ranked retrieval (rational idf — log-free, hash-exact):
     // top-20 docs for a 4-term query; per-term contributions summed as
     // DECIMAL(18,6) so cross-term addition is order-independent
@@ -2538,6 +2544,34 @@ object SparkEntry {
     // k merges word k's two letters with count (600−k)·|documents|
     // mean bigram conditional probability per doc: per-distinct-gram
     // probability rounded to 6, weighted decimal sum, mean rounded to 4
+    // segment explosion via parallel unnests (position + segment zip),
+    // first-occurrence window, and the surviving text re-joined in doc
+    // order — md5 pins the reconstruction, not just the counts
+    "td29_segment_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS tk FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, CAST(ceil(len(tk) / 3.0) AS BIGINT)),
+        |      i -> array_to_string(tk[CAST((i - 1) * 3 + 1 AS INTEGER):CAST(i * 3 AS INTEGER)], ' ')) AS segs
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(segs))) AS pos,
+        |    unnest(segs) AS seg
+        |  FROM g
+        |), k AS (
+        |  SELECT doc_id, pos, seg,
+        |    CASE WHEN row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM e
+        |)
+        |SELECT doc_id, COUNT(*) AS n_segs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  round(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 4) AS kept_ratio,
+        |  md5(coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY pos), ''))
+        |    AS kept_md5
+        |FROM k GROUP BY 1""".stripMargin,
+
     "td28_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS tk FROM documents

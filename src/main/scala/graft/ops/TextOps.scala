@@ -607,6 +607,59 @@ object TextOps {
           .as("lm_score"))
   }
 
+  // ------------------------------------------- segment-level corpus dedup
+
+  /** CCNet-style SEGMENT-LEVEL corpus deduplication: split every document
+    * into consecutive `segLen`-token segments, count each distinct segment
+    * corpus-wide, and keep only its GLOBAL FIRST occurrence (smallest
+    * (doc_id, position) — the deterministic stand-in for CCNet's
+    * keep-one-copy paragraph rule). Output per doc: segment counts, how
+    * many survived, and the md5 of the surviving text (segments re-joined
+    * in document order), so the oracle value-checks the reconstructed
+    * documents, not just the counts. Boilerplate — nav bars, footers,
+    * license blocks — is exactly what this removes from web text.
+    *
+    * Scale shape: segmentation is a per-row flatMap (mapPartitions — the
+    * regex runs once per document by construction, which the
+    * transform-lambda shape cannot guarantee under CollapseProject
+    * inlining, the td25 rule); then ONE exchange keyed on the segment
+    * (window picks the first occurrence; segment keys are
+    * content-distributed, no skew hub) and one map-side-combined groupBy
+    * back to docs. Nothing is ever all-pairs and no driver collect
+    * exists. Docs with zero tokens drop out (no segments — same on the
+    * oracle side).
+    */
+  def segmentDedup(documents: DataFrame, segLen: Int = 3): DataFrame = {
+    require(segLen >= 1 && segLen <= 1024, s"segLen=$segLen out of 1..1024")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val segs = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile(TokenPattern)
+        it.flatMap { case (id, text) =>
+          val m = re.matcher(text)
+          val toks = Vector.newBuilder[String]
+          while (m.find()) toks += m.group()
+          toks.result().grouped(segLen).zipWithIndex
+            .map { case (g, i) => (id, i.toLong, g.mkString(" ")) }
+        }
+      }.toDF("doc_id", "pos", "seg")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("doc_id"), col("pos"))
+    segs.withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        round(sum(col("keep")).cast("double") / count(lit(1)), 4).as("kept_ratio"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep") === 1,
+              struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")),
+          " ")).as("kept_md5"))
+  }
+
   // ----------------------------------------------------- BM25 ranked search
 
   val Bm25K1 = 1.2

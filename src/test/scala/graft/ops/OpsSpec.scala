@@ -1626,6 +1626,23 @@ class OpsSpec extends AnyFunSuite {
     assert(hops == 21)
   }
 
+  test("segmentDedup: global first occurrence wins, reconstruction md5 exact") {
+    val d = docs(
+      (1L, "x y z a b c", "en", "web", 11L),
+      (2L, "x y z q r s", "en", "web", 11L), // shares segment "x y z" with doc 1
+      (3L, "a b c x y z", "en", "web", 11L), // both its segments seen earlier
+      (4L, "p q", "en", "web", 3L),          // one short (2-token) segment
+      (5L, "", "en", "web", 0L))             // zero tokens → dropped
+    val got = TextOps.segmentDedup(d, segLen = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    def m(s0: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s0)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((2L, 2L, m("x y z a b c"))))
+    assert(got(2L) == ((2L, 1L, m("q r s"))))
+    assert(got(3L) == ((2L, 0L, m(""))))
+    assert(got(4L) == ((1L, 1L, m("p q"))))
+  }
+
   test("bgpChainMinus: shared-var anti semantics and the disjoint-domain rule") {
     val s = spark
     import s.implicits._
