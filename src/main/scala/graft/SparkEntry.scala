@@ -564,6 +564,13 @@ object SparkEntry {
     "emb09_ann_pq" -> ((s, d) =>
       EmbeddingOps.annPq(t(s, d, "embeddings"), nQueries = 10, k = 5)),
 
+    // SQ8 scalar quantization: per-dim 8-bit levels under corpus (min,
+    // span), asymmetric query-vs-dequantized distance on a ×255 common
+    // integer scale — the codebook-free memory tier below PQ; codes,
+    // reconstructions, distances and ranking all integer-exact
+    "emb14_ann_sq8" -> ((s, d) =>
+      EmbeddingOps.annSq8(t(s, d, "embeddings"), nQueries = 10, k = 5)),
+
     // the FULL IVF+PQ stack: coarse cells prune candidates (nprobe=2),
     // PQ codes rank them via the ADC table — candidates ~N/4, scan
     // touches 8-byte codes; ranking integer-exact on both engines
@@ -1811,6 +1818,40 @@ object SparkEntry {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** DuckDB twin of [[EmbeddingOps.annSq8]]: per-dim (min, span) from the
+    * exploded grid, 8-bit levels by the same floor division, dequantized
+    * reconstruction and the asymmetric distance on the ×255 scale — every
+    * value an exact integer, ranking reproduced verbatim.
+    */
+  private val sq8Oracle: String =
+    """WITH g AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+      |  FROM embeddings
+      |), ex AS (
+      |  SELECT vec_id, unnest(generate_series(1, len(g[1:64]))) AS i,
+      |    unnest(g[1:64]) AS x FROM g
+      |), st AS (
+      |  SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS span FROM ex GROUP BY 1
+      |), recon AS (
+      |  SELECT e.vec_id, e.i,
+      |    st.mn * 255 + (CASE WHEN st.span = 0 THEN 0
+      |      ELSE CAST(floor(CAST((e.x - st.mn) * 255 AS DOUBLE) / st.span) AS BIGINT)
+      |      END) * st.span AS r
+      |  FROM ex e JOIN st USING (i)
+      |), q AS (
+      |  SELECT vec_id AS qid, i, x * 255 AS q255 FROM ex WHERE vec_id < 10
+      |), d AS (
+      |  SELECT q.qid, r.vec_id AS vid,
+      |    CAST(SUM((q.q255 - r.r) * (q.q255 - r.r)) AS BIGINT) AS sq_dist
+      |  FROM q JOIN recon r ON r.i = q.i AND r.vec_id <> q.qid
+      |  GROUP BY 1, 2
+      |)
+      |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, vid AS neighbor_id, sq_dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sq_dist ASC, vid ASC) rn
+      |      FROM d)
+      |WHERE rn <= 5""".stripMargin
+
   /** DuckDB twin of [[EmbeddingOps.annIvfPq]] — the ivfNprobe cell-ranking
     * CTEs composed with the PQ code/ADC CTEs; candidates restricted to the
     * query's nprobe=2 nearest cells, ranked by exact-integer ADC.
@@ -2801,6 +2842,7 @@ object SparkEntry {
          |GROUP BY v.vec_id""".stripMargin,
 
     "emb09_ann_pq" -> pqOracle,
+    "emb14_ann_sq8" -> sq8Oracle,
 
     "emb10_ann_ivfpq" -> ivfPqOracle,
 

@@ -526,6 +526,95 @@ object EmbeddingOps {
         col("neighbor_id"), col("adc_dist"))
   }
 
+  /** Per-dimension SQ8 statistics over the corpus grid: (min, span) per
+    * dimension from ONE tiny map-side-combined aggregate (64 groups); the
+    * collect is bounded by the DIMS parameter, never data-sized.
+    */
+  def sq8Stats(embeddings: DataFrame, dims: Int = 64): (Array[Long], Array[Long]) = {
+    val rows = gridded(embeddings)
+      .select(posexplode(slice(col("g"), 1, dims)).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val n = rows.map(_.getInt(0)).max + 1
+    val mn = new Array[Long](n)
+    val span = new Array[Long](n)
+    rows.foreach { r =>
+      mn(r.getInt(0)) = r.getLong(1)
+      span(r.getInt(0)) = r.getLong(2) - r.getLong(1)
+    }
+    (mn, span)
+  }
+
+  /** SQ8 SCALAR QUANTIZATION (emb14): each dimension is affinely mapped to
+    * an 8-bit level `code = ⌊(x − min_d)·255 / span_d⌋` under per-dim
+    * corpus (min, max) — the memory tier BELOW product quantization
+    * (1 byte/dim, no codebook training) that real vector stores ship as
+    * their default compression. Query-time distance is asymmetric: the
+    * uncompressed query against the DEQUANTIZED corpus levels
+    * `recon = min_d·255 + code·span_d` on a ×255 common integer scale, so
+    * every code, reconstruction and distance is an exact integer and the
+    * oracle replays the ranking verbatim (the emb09 discipline; the
+    * floor-of-double division is exact here because the true quotient is
+    * ≥ 1/span > 2⁻¹¹ away from any integer it doesn't equal, far beyond
+    * double rounding at these magnitudes).
+    *
+    * Scale shape: stats are one 64-group aggregate; corpus encode is a
+    * zero-shuffle projection reading codes only (raw vectors never flow
+    * into the scan); queries broadcast (bounded by
+    * [[MaxBroadcastQueries]]); the only exchange is the top-k window on
+    * (query_id) — identical to [[annPq]].
+    */
+  def annSq8(embeddings: DataFrame, nQueries: Int, k: Int, dims: Int = 64): DataFrame = {
+    require(nQueries <= MaxBroadcastQueries,
+      s"annSq8 broadcasts the query side; nQueries=$nQueries exceeds $MaxBroadcastQueries")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (mn, span) = sq8Stats(embeddings, dims)
+    val queries = gridded(embeddings.filter(col("vec_id") < nQueries))
+      .select(col("vec_id"), slice(col("g"), 1, dims).as("g"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+      .map { case (qid, g) => (qid, g.map(_ * 255L)) }
+    val statsBc = spark.sparkContext.broadcast((mn, span))
+    val qBc = spark.sparkContext.broadcast(queries)
+    val scored = gridded(embeddings)
+      .select(col("vec_id"), slice(col("g"), 1, dims).as("g"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val (mnA, spanA) = statsBc.value
+        val qs = qBc.value
+        it.flatMap { case (vid, g) =>
+          // stored representation: the 8-bit levels (encode once per row)
+          val nD = math.min(g.length, mnA.length)
+          val recon = new Array[Long](nD)
+          var i = 0
+          while (i < nD) {
+            val c = if (spanA(i) == 0L) 0L
+              else math.floor(((g(i) - mnA(i)) * 255L).toDouble / spanA(i)).toLong
+            recon(i) = mnA(i) * 255L + c * spanA(i)
+            i += 1
+          }
+          qs.iterator.filter(_._1 != vid).map { case (qid, q255) =>
+            var d = 0L
+            var j = 0
+            val nn = math.min(nD, q255.length)
+            while (j < nn) {
+              val diff = q255(j) - recon(j)
+              d += diff * diff
+              j += 1
+            }
+            (qid, vid, d)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "sq_dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sq_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sq_dist"))
+  }
+
   /** The FULL IVF+PQ stack (emb10): the coarse quantizer prunes each
     * query's candidates to its `nprobe` nearest cells (~N·nprobe/cells),
     * and PQ asymmetric distance ranks those candidates through the M×K

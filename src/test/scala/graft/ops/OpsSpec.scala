@@ -1626,6 +1626,23 @@ class OpsSpec extends AnyFunSuite {
     assert(hops == 21)
   }
 
+  test("annSq8: hand-computed levels, span-0 dimension, exact distances") {
+    val s = spark
+    import s.implicits._
+    // dim 1 spans the corpus (codes 0/127/255); dim 2 is constant (span=0
+    // → code 0, reconstruction exact, contributes nothing)
+    val emb = Seq(
+      (0L, Seq(0.0, 0.3)), (1L, Seq(0.5, 0.3)), (2L, Seq(1.0, 0.3)))
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.annSq8(emb, nQueries = 1, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // recon on the ×255 scale: code·span = 0 / 127000 / 255000;
+    // q255(v0)=0 → d(v1)=127000², d(v2)=255000²
+    assert(got == List(
+      (0L, 1L, 1L, 16129000000L),
+      (0L, 2L, 2L, 65025000000L)))
+  }
+
   test("segmentDedup: global first occurrence wins, reconstruction md5 exact") {
     val d = docs(
       (1L, "x y z a b c", "en", "web", 11L),
