@@ -715,6 +715,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("lbl").as("label"))
     }),
 
+    // bounded 2-core peeling, 3 synchronous rounds (deterministic — the
+    // oracle unrolls them): leaves peel off layer by layer, the chord
+    // triangles and the dense tree interior survive with their subgraph
+    // degrees
+    "kg49_kcore" -> ((s, d) =>
+      GraphAnalytics.kCoreBounded(
+        GraphAnalytics.syntheticEdges(t(s, d, "documents")), k = 2, rounds = 3)
+        .select(col("id").as("doc_id"), col("degree"))),
+
     // SPARQL property-path p+ bounded to 3 hops: directed transitive
     // closure by frontier iteration, min path length per reached pair
     "kg24_path_closure" -> ((s, d) =>
@@ -2358,6 +2367,27 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'del' AS op, subj, pred, obj FROM t
          |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0""".stripMargin,
+
+    // three peel rounds unrolled term-for-term (degree → survivors →
+    // restricted edges), final degrees over the surviving subgraph
+    "kg49_kcore" -> {
+      val iters = (1 to 3).map { t =>
+        s"""d$t AS (
+           |  SELECT id, COUNT(*) AS c FROM (
+           |    SELECT u AS id FROM e${t - 1} UNION ALL SELECT v AS id FROM e${t - 1})
+           |  GROUP BY 1),
+           |e$t AS (
+           |  SELECT e.u, e.v FROM e${t - 1} e
+           |  JOIN (SELECT id FROM d$t WHERE c >= 2) a ON a.id = e.u
+           |  JOIN (SELECT id FROM d$t WHERE c >= 2) b ON b.id = e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphEdgesCte,
+         |e0 AS (SELECT u, v FROM und),
+         |$iters
+         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+         |  SELECT u AS id FROM e3 UNION ALL SELECT v AS id FROM e3)
+         |GROUP BY 1""".stripMargin
+    },
 
     // bounded-depth closure with min path length: recursive CTE twin
     "kg24_path_closure" ->

@@ -182,6 +182,40 @@ object GraphAnalytics {
     labels
   }
 
+  /** Bounded k-CORE peeling: `rounds` synchronous rounds of "drop every
+    * node with undirected degree < k, restrict the edge set to survivors".
+    * Fixed rounds keep the run deterministic and let the DuckDB oracle
+    * unroll it (the kg31 label-propagation discipline); on real graphs the
+    * peel converges in a few rounds and the caller raises `rounds` until
+    * the output is a fixpoint (a converged run IS the k-core). Output:
+    * (id, degree) of the surviving subgraph — nodes isolated by the last
+    * restriction drop out.
+    *
+    * Per round: one map-side-combined degree aggregate + two semi-joins
+    * restricting the edge set (survivor side is degree-filtered, usually a
+    * small fraction); lineage truncates per round through the
+    * [[graft.pipeline.CheckpointPolicy]] like every iterative loop here.
+    */
+  def kCoreBounded(
+      edges: DataFrame, k: Int, rounds: Int,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(k >= 1 && k <= (1 << 20), s"k=$k out of range")
+    require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of 1..16")
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    var e = canonicalUndirected(edges)
+    for (_ <- 1 to rounds) {
+      val surv = degreesOf(e).filter(col("degree") >= k).select(col("id"))
+      e = checkpoint.truncate(
+        e.join(surv.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(surv.select(col("id").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+    }
+    degreesOf(e)
+  }
+
   /** Minimum hop distance from `sources` to every reachable vertex over
     * the UNDIRECTED graph. Frontier-based BFS: each round joins only the
     * frontier (nodes first reached last round) against the adjacency,

@@ -1626,6 +1626,21 @@ class OpsSpec extends AnyFunSuite {
     assert(hops == 21)
   }
 
+  test("kCoreBounded: leaves peel layer by layer, triangle survives at k=2") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4 + triangle 3-4-5: round 1 drops leaf 1, round 2 drops
+    // the newly-exposed leaf 2, round 3 is the fixpoint {3,4,5}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)).toDF("src", "dst")
+    val r3 = GraphAnalytics.kCoreBounded(e, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(3L -> 2L, 4L -> 2L, 5L -> 2L))
+    // after one round only the original leaf is gone
+    val r1 = GraphAnalytics.kCoreBounded(e, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
+  }
+
   test("annSq8: hand-computed levels, span-0 dimension, exact distances") {
     val s = spark
     import s.implicits._
