@@ -715,6 +715,37 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("lbl").as("label"))
     }),
 
+    // SPARQL SELECT modifiers: DISTINCT (l, n) pairs ordered by the
+    // rendered literal (n DESC, l ASC), LIMIT 20, 1-based rank appended —
+    // the Project/Distinct/OrderBy/Slice algebra pipeline; lowers to
+    // TakeOrderedAndProject (no full sort at scale)
+    "kg50_bgp_select" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      val sol = GraphOps.bgpChain((_: String) => triples,
+        Seq(GraphOps.ChainPattern("d", s"${P}lang", oVar = Some("l")),
+          GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))),
+        counts)
+      GraphOps.bgpSelect(sol, project = Seq("l", "n"), distinct = true,
+        orderBy = Seq(GraphOps.OrderKey("n", ascending = false),
+          GraphOps.OrderKey("l")),
+        limit = Some(20), rankVar = Some("rk"))
+    }),
+
+    // personalized PageRank from the doc_id % 50 seed set, 3 iterations
+    // (oracle-unrolled): teleport mass lands on the seeds, rank decays
+    // with distance, unreachable nodes stay 0
+    "kg51_ppr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ids = docs.select(col("doc_id").as("id"))
+      GraphAnalytics.personalizedPageRank(
+        GraphAnalytics.syntheticEdges(docs), ids,
+        ids.filter(col("id") % 50 === 0), iterations = 3)
+        .select(col("id").as("doc_id"), col("rank"))
+    }),
+
     // bounded 2-core peeling, 3 synchronous rounds (deterministic — the
     // oracle unrolls them): leaves peel off layer by layer, the chord
     // triangles and the dense tree interior survive with their subgraph
@@ -2367,6 +2398,42 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'del' AS op, subj, pred, obj FROM t
          |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0""".stripMargin,
+
+    // the modifier pipeline in closed form: distinct rendered pairs,
+    // lexicographic (n DESC, l ASC) on the ASCII literals, top-20 + rank
+    "kg50_bgp_select" ->
+      s"""WITH p AS (
+         |  SELECT DISTINCT '"' || lang || '"' AS l,
+         |    '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS n
+         |  FROM documents)
+         |SELECT l, n, CAST(row_number() OVER (ORDER BY n DESC, l ASC) AS BIGINT) AS rk
+         |FROM p ORDER BY n DESC, l ASC LIMIT 20""".stripMargin,
+
+    // personalized teleport: p = 1/|S| on the seed set, 0 elsewhere;
+    // three power iterations unrolled over the same edge CTEs as kg15
+    "kg51_ppr" -> {
+      def iter(prev: String, t: Int): String =
+        s"""c$t AS (
+           |  SELECT e.dst AS id, SUM(r.rank / od.deg) AS c
+           |  FROM edges e JOIN $prev r ON r.id = e.src
+           |  JOIN outdeg od ON od.id = e.src
+           |  GROUP BY 1),
+           |r$t AS (
+           |  SELECT b.id, 0.15 * b.p + 0.85 * coalesce(c$t.c, 0) AS rank
+           |  FROM base b LEFT JOIN c$t ON c$t.id = b.id)""".stripMargin
+      s"""WITH $graphEdgesCte,
+         |src AS (SELECT id FROM ids WHERE id % 50 = 0),
+         |scnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM src),
+         |base AS (
+         |  SELECT i.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / scnt.n ELSE 0 END AS p
+         |  FROM ids i CROSS JOIN scnt LEFT JOIN src s ON s.id = i.id),
+         |outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, p AS rank FROM base),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT id AS doc_id, round(rank, 6) AS rank FROM r3""".stripMargin
+    },
 
     // three peel rounds unrolled term-for-term (degree → survivors →
     // restricted edges), final degrees over the surviving subgraph

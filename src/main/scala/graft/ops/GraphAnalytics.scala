@@ -318,6 +318,53 @@ object GraphAnalytics {
     } finally e.unpersist()
   }
 
+  /** Fixed-iteration PERSONALIZED PageRank: identical power method to
+    * [[pageRank]] but the teleport mass lands on the `sources` set instead
+    * of uniformly — r₀ = p; r_{t+1}(v) = 0.15·p(v) + 0.85·Σ contribs,
+    * with p = 1/|S| on S and 0 elsewhere. The per-seed-set relevance
+    * ranking every KG serves ("entities related to THESE") — rank decays
+    * with distance from the seeds and unreachable nodes stay at 0. Same
+    * scale shape as pageRank: loop-invariant degree-annotated edges
+    * persisted once, one shuffle per iteration, both sides
+    * partial-aggregated; the restart vector rides the persisted node frame
+    * as a column (never re-joined per round).
+    */
+  def personalizedPageRank(
+      edges: DataFrame, nodes: DataFrame, sources: DataFrame, iterations: Int = 3,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(iterations >= 1 && iterations <= 10, s"iterations=$iterations out of 1..10")
+    val src = sources.select(col("id")).distinct()
+    val nS = src.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty source set")
+    val base = nodes.select(col("id"))
+      .join(src.withColumn("_s", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("_s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("p"))
+      .persist()
+    val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(outdeg, col("src") === outdeg("id"))
+      .select(col("src"), col("dst"), col("deg")).persist()
+    try {
+      var ranks = base.select(col("id"), col("p").as("rank"))
+      for (_ <- 1 to iterations) {
+        val contribs = ranks
+          .join(withDeg, col("id") === col("src"))
+          .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("c"))
+        ranks = checkpoint.truncateLazy(
+          base.join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (lit(0.15) * col("p") + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank")))
+      }
+      checkpoint.truncate(
+        ranks.select(col("id"), round(col("rank"), 6).as("rank")))
+    } finally {
+      base.unpersist()
+      withDeg.unpersist()
+    }
+  }
+
   /** Fixed-iteration PageRank (damping 0.85) over the DIRECTED edge set:
     * r₀ = 1/N; r_{t+1}(v) = 0.15/N + 0.85·Σ_{u→v} r_t(u)/outdeg(u).
     * Power method with one shuffle per iteration (join ranks⋈edges on src,

@@ -609,6 +609,44 @@ object GraphOps {
       .select(col("src").as(sVar), col("dst").as(oVar), col("hops"))
   }
 
+  /** One SPARQL ORDER BY key over a solution variable. */
+  final case class OrderKey(variable: String, ascending: Boolean = true)
+
+  /** SPARQL SELECT solution modifiers — the algebra's Project / Distinct /
+    * OrderBy / Slice pipeline over a solution set, applied in the spec's
+    * order. `rankVar` (optional) appends the 1-based position under the
+    * given total order — it requires BOTH an order and a limit, because
+    * the rank window runs AFTER the slice on a parameter-bounded row set
+    * (a global rank over unbounded solutions would serialize the corpus
+    * through one task; the top-k path lowers to TakeOrderedAndProject, so
+    * no full sort or single-partition exchange ever sees the full data —
+    * plan-guarded in OpsSpec).
+    */
+  def bgpSelect(
+      sol: DataFrame, project: Seq[String], distinct: Boolean = false,
+      orderBy: Seq[OrderKey] = Nil, limit: Option[Int] = None,
+      rankVar: Option[String] = None): DataFrame = {
+    require(project.nonEmpty, "SELECT needs at least one variable")
+    val missing = project.filterNot(sol.columns.contains)
+    require(missing.isEmpty, s"projected variables not bound: $missing")
+    val badKeys = orderBy.map(_.variable).filterNot(project.contains)
+    require(badKeys.isEmpty, s"order keys must be projected: $badKeys")
+    var out = sol.select(project.map(col): _*)
+    if (distinct) out = out.distinct()
+    val sortCols = orderBy.map(o =>
+      if (o.ascending) col(o.variable).asc else col(o.variable).desc)
+    if (sortCols.nonEmpty) out = out.orderBy(sortCols: _*)
+    limit.foreach(n => out = out.limit(n))
+    rankVar.foreach { rv =>
+      require(orderBy.nonEmpty && limit.isDefined,
+        s"rank variable $rv needs a total order and a bounded slice")
+      require(!project.contains(rv), s"rank variable $rv collides with a projection")
+      out = out.withColumn(rv, row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)).cast("long"))
+    }
+    out
+  }
+
   /** SPARQL MINUS: remove required-BGP solutions COMPATIBLE with some
     * solution of the minus-side BGP. Differs from FILTER NOT EXISTS
     * ([[bgpChainNotExists]]) exactly where the SPARQL algebra does: the

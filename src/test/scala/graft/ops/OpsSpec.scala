@@ -1626,6 +1626,40 @@ class OpsSpec extends AnyFunSuite {
     assert(hops == 21)
   }
 
+  test("bgpSelect: modifier pipeline semantics and the TakeOrdered lowering") {
+    val s = spark
+    import s.implicits._
+    val sol = Seq(("a", "2"), ("a", "2"), ("b", "1"), ("c", "3"), ("d", "3"))
+      .toDF("x", "y")
+    val out = GraphOps.bgpSelect(sol, project = Seq("x", "y"), distinct = true,
+      orderBy = Seq(GraphOps.OrderKey("y", ascending = false), GraphOps.OrderKey("x")),
+      limit = Some(3), rankVar = Some("rk"))
+    // distinct collapses the dup, (y desc, x asc) ranks c,d,a
+    assert(out.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("c", "3", 1L), ("d", "3", 2L), ("a", "2", 3L)))
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "ordered+limited select must lower to TakeOrderedAndProject")
+    // rank without a bounded total order is refused
+    intercept[IllegalArgumentException] {
+      GraphOps.bgpSelect(sol, Seq("x"), rankVar = Some("rk"))
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.bgpSelect(sol, Seq("x"), orderBy = Seq(GraphOps.OrderKey("y")))
+    }
+  }
+
+  test("personalizedPageRank: teleport lands on seeds, unreachable stays 0") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val got = GraphAnalytics.personalizedPageRank(
+      edges, nodes, Seq(1L).toDF("id"), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r0=(1,0,0); r1=(0.15, 0.85, 0); r2=(0.15, 0.85·0.15, 0)
+    assert(got == Map(1L -> 0.15, 2L -> 0.1275, 3L -> 0.0))
+  }
+
   test("kCoreBounded: leaves peel layer by layer, triangle survives at k=2") {
     val s = spark
     import s.implicits._
