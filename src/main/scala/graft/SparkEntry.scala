@@ -746,6 +746,34 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank"))
     }),
 
+    // HITS hubs & authorities, 2 unnormalized rounds (BIGINT-exact, the
+    // oracle unrolls the half-steps term for term); dangling nodes score 0
+    "kg52_hits" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      GraphAnalytics.hits(GraphAnalytics.syntheticEdges(docs),
+        docs.select(col("doc_id").as("id")), iterations = 2)
+        .select(col("id").as("doc_id"), col("hub"), col("auth"))
+    }),
+
+    // owl:sameAs canonicalization: chain equivalences d ~ d-1 broken at
+    // multiples of 7 partition the docs into 7-wide classes; CC labels each
+    // with its min IRI, every fact rewrites onto the canonical entity, and
+    // facts-per-canonical-entity is closed-form (4 triples per member doc)
+    "kg53_sameas_canon" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val triples = GraphOps.parseTurtle(docs)
+        .select(col("subj"), col("pred"), col("obj"))
+      val iri = concat(lit(s"<${GraphOps.DocPrefix}"), col("doc_id"), lit(">"))
+      val ids = docs.select(iri.as("iri"), col("doc_id"))
+      val sameAs = ids.filter(col("doc_id") > 0 && col("doc_id") % 7 =!= 0)
+        .select(col("iri").as("src"),
+          concat(lit(s"<${GraphOps.DocPrefix}"), col("doc_id") - 1, lit(">")).as("dst"))
+        .join(ids.select(col("iri").as("dst")), Seq("dst"), "left_semi")
+      GraphOps.sameAsCanonicalize(triples, sameAs)
+        .groupBy(col("subj").as("canon_subj"))
+        .agg(count(lit(1)).as("n_facts"))
+    }),
+
     // bounded 2-core peeling, 3 synchronous rounds (deterministic — the
     // oracle unrolls them): leaves peel off layer by layer, the chord
     // triangles and the dense tree interior survive with their subgraph
@@ -2434,6 +2462,40 @@ object SparkEntry {
          |${iter("r2", 3)}
          |SELECT id AS doc_id, round(rank, 6) AS rank FROM r3""".stripMargin
     },
+
+    // two unnormalized HITS rounds unrolled: a(v) = Σ h(u) over in-edges,
+    // then h(u) = Σ a(v) over out-edges with the FRESH authorities; sums
+    // cast back to BIGINT (DuckDB SUM(BIGINT) widens to HUGEINT)
+    "kg52_hits" -> {
+      def half(inScores: String, t: Int): String =
+        s"""a$t AS (
+           |  SELECT e.dst AS id, CAST(SUM(s.v) AS BIGINT) AS v
+           |  FROM edges e JOIN $inScores s ON s.id = e.src GROUP BY 1),
+           |af$t AS (SELECT i.id, coalesce(a$t.v, 0) AS v
+           |  FROM ids i LEFT JOIN a$t ON a$t.id = i.id),
+           |h$t AS (
+           |  SELECT e.src AS id, CAST(SUM(s.v) AS BIGINT) AS v
+           |  FROM edges e JOIN af$t s ON s.id = e.dst GROUP BY 1),
+           |hf$t AS (SELECT i.id, coalesce(h$t.v, 0) AS v
+           |  FROM ids i LEFT JOIN h$t ON h$t.id = i.id)""".stripMargin
+      s"""WITH $graphEdgesCte,
+         |hf0 AS (SELECT id, CAST(1 AS BIGINT) AS v FROM ids),
+         |${half("hf0", 1)},
+         |${half("hf1", 2)}
+         |SELECT i.id AS doc_id, hf2.v AS hub, af2.v AS auth
+         |FROM ids i JOIN hf2 ON hf2.id = i.id JOIN af2 ON af2.id = i.id""".stripMargin
+    },
+
+    // closed form: doc_ids are contiguous 0..N-1 (TESTDATA invariant), so
+    // the d ~ d-1 chains broken at multiples of 7 partition ids into
+    // classes doc_id // 7; the CC representative is the MIN IRI STRING of
+    // the class and each member contributes its 4 parsed triples
+    "kg53_sameas_canon" ->
+      s"""WITH d AS (SELECT doc_id, doc_id // 7 AS g,
+         |  '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj FROM documents),
+         |c AS (SELECT g, MIN(subj) AS canon FROM d GROUP BY 1)
+         |SELECT c.canon AS canon_subj, CAST(4 * COUNT(*) AS BIGINT) AS n_facts
+         |FROM d JOIN c ON c.g = d.g GROUP BY 1""".stripMargin,
 
     // three peel rounds unrolled term-for-term (degree → survivors →
     // restricted edges), final degrees over the surviving subgraph

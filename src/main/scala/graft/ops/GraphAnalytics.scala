@@ -365,6 +365,53 @@ object GraphAnalytics {
     }
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999) hubs & authorities over the
+    * DIRECTED edge set, UNNORMALIZED so every score stays integer-exact:
+    * h₀ ≡ 1; per round a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v) with
+    * the freshly-updated authorities (the classic in-round ordering).
+    * Skipping the per-round L2 normalization trades the usual convergent
+    * fixed point for BIGINT-exact scores a SQL oracle can unroll term for
+    * term — the kg15/kg31/kg49 determinism discipline; the RANKING each
+    * round is identical to the normalized iterate (normalization is a
+    * positive scalar). `iterations` is capped low because unnormalized
+    * scores grow like (principal eigenvalue)^2t.
+    *
+    * Scale shape: the edge set is persisted once and reused 2·t times;
+    * each half-step is one join on the persisted edges + one map-side-
+    * combined groupBy — the pageRank shuffle budget exactly. Dangling
+    * nodes (no out-edges / no in-edges) ride `nodes` with score 0.
+    */
+  def hits(
+      edges: DataFrame, nodes: DataFrame, iterations: Int = 2,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(iterations >= 1 && iterations <= 4,
+      s"iterations=$iterations out of 1..4 (unnormalized scores grow geometrically)")
+    val ids = nodes.select(col("id")).persist()
+    val e = edges.select(col("src"), col("dst")).persist()
+    try {
+      var hub = ids.select(col("id"), lit(1L).as("hub"))
+      var auth = ids.select(col("id"), lit(0L).as("auth"))
+      for (_ <- 1 to iterations) {
+        val aSum = e.join(hub.select(col("id").as("src"), col("hub")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("a"))
+        auth = checkpoint.truncateLazy(
+          ids.join(aSum, Seq("id"), "left")
+            .select(col("id"), coalesce(col("a"), lit(0L)).as("auth")))
+        val hSum = e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(sum(col("auth")).as("h"))
+        hub = checkpoint.truncateLazy(
+          ids.join(hSum, Seq("id"), "left")
+            .select(col("id"), coalesce(col("h"), lit(0L)).as("hub")))
+      }
+      checkpoint.truncate(
+        hub.join(auth, Seq("id")).select(col("id"), col("hub"), col("auth")))
+    } finally {
+      ids.unpersist()
+      e.unpersist()
+    }
+  }
+
   /** Fixed-iteration PageRank (damping 0.85) over the DIRECTED edge set:
     * r₀ = 1/N; r_{t+1}(v) = 0.15/N + 0.85·Σ_{u→v} r_t(u)/outdeg(u).
     * Power method with one shuffle per iteration (join ranks⋈edges on src,

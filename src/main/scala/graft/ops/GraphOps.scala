@@ -909,6 +909,40 @@ object GraphOps {
       .distinct()
   }
 
+  /** owl:sameAs ENTITY CANONICALIZATION — the KG-construction merge step:
+    * given the triple table and a set of sameAs equivalence assertions
+    * (src, dst) over entity IRIs, rewrite every subject AND every object
+    * to its equivalence-class representative (the MIN IRI of the connected
+    * component, [[graft.pipeline.Canonical.connectedComponents]]' label).
+    * Facts asserted about any alias of an entity land on one canonical
+    * node; IRIs outside the sameAs universe (and all literals) pass
+    * through unchanged via the left-join coalesce.
+    *
+    * Scale shape: CC is the checkpointed hash-to-min loop shared with the
+    * linking pipeline (rounds ∝ log component diameter); the rewrite is
+    * two left joins against the ENTITY-SIZED representative map — at web
+    * scale that map is still ~10⁹ rows, so the joins are plain shuffled
+    * hash joins on the natural subj/obj keys (broadcast would not fit);
+    * no other exchange is added. Output keeps the input schema, so it
+    * feeds Materialize / export / BGP unchanged.
+    */
+  def sameAsCanonicalize(
+      triples: DataFrame, sameAs: DataFrame,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    val rep = Canonical.connectedComponents(sameAs, checkpoint = checkpoint)
+    triples
+      .join(rep.select(col("id").as("subj"), col("component").as("_cs")),
+        Seq("subj"), "left")
+      .join(rep.select(col("id").as("obj"), col("component").as("_co")),
+        Seq("obj"), "left")
+      .select(triples.columns.map {
+        case "subj" => coalesce(col("_cs"), col("subj")).as("subj")
+        case "obj"  => coalesce(col("_co"), col("obj")).as("obj")
+        case c      => col(c)
+      }.toSeq: _*)
+  }
+
   /** Synthetic forest over doc ids: d (> 0, d % 3 ≠ 0) — edge to d / 2.
     * Distributed CC (hash-to-min self-joins) labels every doc with the min
     * id of its component; singletons keep their own id.

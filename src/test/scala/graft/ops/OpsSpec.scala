@@ -1675,6 +1675,41 @@ class OpsSpec extends AnyFunSuite {
     assert(r1 == Map(2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
   }
 
+  test("hits: hand-computed 2-round unnormalized scores, dangling nodes 0") {
+    val s = spark
+    import s.implicits._
+    // star into 3 (1→3, 2→3) + 3→4: classic hub/authority split
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val n = Seq(1L, 2L, 3L, 4L, 9L).toDF("id") // 9 is isolated
+    // round 1: a = indeg (3→2, 4→1); h(1)=h(2)=a(3)=2, h(3)=a(4)=1
+    // round 2: a(3)=h(1)+h(2)=4, a(4)=h(3)=1; h(1)=h(2)=4, h(3)=1
+    val got = GraphAnalytics.hits(e, n, iterations = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 0L)), 2L -> ((4L, 0L)), 3L -> ((1L, 4L)),
+      4L -> ((0L, 1L)), 9L -> ((0L, 0L))))
+  }
+
+  test("sameAsCanonicalize: facts merge onto the min-IRI rep, literals untouched") {
+    val s = spark
+    import s.implicits._
+    val triples = Seq(
+      ("<e:b>", "p:x", "\"lit\""),   // subj aliased: b ~ a
+      ("<e:a>", "p:x", "\"lit2\""),  // rep itself
+      ("<e:c>", "p:y", "<e:b>"),     // obj aliased too
+      ("<e:z>", "p:y", "\"keep\"")) // outside the sameAs universe
+      .toDF("subj", "pred", "obj")
+    val sameAs = Seq(("<e:a>", "<e:b>")).toDF("src", "dst")
+    val got = GraphOps.sameAsCanonicalize(triples, sameAs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("<e:a>", "p:x", "\"lit\""), ("<e:a>", "p:x", "\"lit2\""),
+      ("<e:c>", "p:y", "<e:a>"), ("<e:z>", "p:y", "\"keep\"")))
+    // column order of the input schema is preserved
+    assert(GraphOps.sameAsCanonicalize(triples, sameAs).columns.toSeq ==
+      Seq("subj", "pred", "obj"))
+  }
+
   test("annSq8: hand-computed levels, span-0 dimension, exact distances") {
     val s = spark
     import s.implicits._
