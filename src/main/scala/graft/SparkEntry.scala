@@ -746,6 +746,55 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rank"))
     }),
 
+    // SPARQL ASK: two probes — a satisfiable BGP (some "fr" doc with a
+    // nchars binding) and an unsatisfiable one (lang "zz") — each lowered
+    // to a short-circuiting CollectLimit(1); output (probe, result 0/1)
+    "kg54_bgp_ask" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      def ask(langTerm: String) = GraphOps.bgpAsk((_: String) => triples,
+        Seq(GraphOps.ChainPattern("d", s"${P}lang", oConst = Some(langTerm)),
+          GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))),
+        counts)
+      ask("\"fr\"").select(lit("fr").as("probe"), col("result"))
+        .unionByName(ask("\"zz\"").select(lit("zz").as("probe"), col("result")))
+    }),
+
+    // SPARQL DESCRIBE: the full outgoing description of every resource the
+    // selector BGP matches (docs with lang "fr") — one semi join against
+    // the triple table, 4 triples per matched doc
+    "kg55_describe" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      val matched = GraphOps.bgpChain((_: String) => triples,
+        Seq(GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"fr\""))),
+        counts).select(col("d"))
+      GraphOps.describe(triples, matched)
+    }),
+
+    // GRAPH-scoped BGP over quads: docs shard into 10 named graphs
+    // (doc_id % 10); GRAPH ?g { ?d p:lang "en" . ?d p:nchars ?n } joins
+    // carry ?g, then solutions aggregate to matches-per-graph
+    "kg56_bgp_graph" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      val quads = GraphOps.parseTurtle(docs)
+        .withColumn("graph",
+          concat(lit("<http://graft.example/graph/"), col("doc_id") % 10, lit(">")))
+        .select(col("graph"), col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(quads)
+      val sol = GraphOps.bgpChainGraph(quads,
+        Seq(GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"en\"")),
+          GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))),
+        counts)
+      GraphOps.bgpAggregate(sol, Seq("g"),
+        Seq(count(lit(1)).as("n_matches")))
+    }),
+
     // HITS hubs & authorities, 2 unnormalized rounds (BIGINT-exact, the
     // oracle unrolls the half-steps term for term); dangling nodes score 0
     "kg52_hits" -> ((s, d) => {
@@ -2462,6 +2511,30 @@ object SparkEntry {
          |${iter("r2", 3)}
          |SELECT id AS doc_id, round(rank, 6) AS rank FROM r3""".stripMargin
     },
+
+    // boolean probes in closed form: "fr" docs exist (and every doc binds
+    // nchars), "zz" docs never do
+    "kg54_bgp_ask" ->
+      """SELECT 'fr' AS probe,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM documents WHERE lang = 'fr')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS result
+        |UNION ALL
+        |SELECT 'zz' AS probe,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM documents WHERE lang = 'zz')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS result""".stripMargin,
+
+    // the full 4-triple description of every lang='fr' doc
+    "kg55_describe" ->
+      s"""SELECT subj, pred, obj FROM (
+         |$kg01Oracle
+         |) WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')""".stripMargin,
+
+    // per-named-graph match counts: both patterns of a doc live in the
+    // doc's graph (doc_id % 10), so matches per graph = en docs per shard
+    "kg56_bgp_graph" ->
+      """SELECT '<http://graft.example/graph/' || (doc_id % 10) || '>' AS g,
+        |  COUNT(*) AS n_matches
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
 
     // two unnormalized HITS rounds unrolled: a(v) = Σ h(u) over in-edges,
     // then h(u) = Σ a(v) over out-edges with the FRESH authorities; sums

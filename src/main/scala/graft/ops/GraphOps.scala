@@ -761,6 +761,88 @@ object GraphOps {
     sol.groupBy(groupVars.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** SPARQL ASK — "does any solution exist": the BGP solved by
+    * [[bgpChain]] with a `limit(1)` on top, so the physical plan is a
+    * CollectLimit that SHORT-CIRCUITS — tasks stop as soon as one
+    * solution surfaces, never materializing the full solution set (the
+    * property that makes ASK cheap on 100 TB when the answer is yes
+    * almost immediately, and bounded by the BGP's pruned scans when it
+    * is no). Output is the SPARQL boolean as one row (result 0/1
+    * BIGINT) so it flows through the same result machinery as SELECT.
+    */
+  def bgpAsk(
+      patternSource: String => DataFrame,
+      patterns: Seq[ChainPattern],
+      predCounts: Map[String, Long]): DataFrame = {
+    val any = bgpChain(patternSource, patterns, predCounts).limit(1)
+      .select(lit(1L).as("result"))
+    val spark = any.sparkSession
+    import spark.implicits._
+    Seq(0L).toDF("_z").join(any, lit(true), "left")
+      .select(coalesce(col("result"), lit(0L)).as("result"))
+  }
+
+  /** SPARQL DESCRIBE — every triple about each resource in `subjects`
+    * (Concise Bounded Description restricted to outgoing arcs, the
+    * common store behaviour): ONE left-semi join of the triple table
+    * against the resource set. On a materialized graph pass the
+    * pred-partitioned table directly — the semi join build side is the
+    * (small) resource set, so AQE broadcasts it and the scan stays a
+    * single pruned pass; no exchange of the triple table itself.
+    */
+  def describe(triples: DataFrame, subjects: DataFrame): DataFrame =
+    triples.join(subjects.select(col(subjects.columns.head).as("subj")),
+      Seq("subj"), "left_semi")
+
+  /** GRAPH-scoped BGP over a QUAD table (graph, subj, pred, obj) — SPARQL
+    * `GRAPH ?g { … }`: identical algebra to [[bgpChain]] except every
+    * pattern additionally binds the graph variable, and every join
+    * carries it — patterns only combine WITHIN one named graph. The
+    * graph column rides each pattern's projection (no extra join or
+    * shuffle vs the triple-table plan; join keys grow by one column).
+    * Pattern connectivity is still required on the non-graph variables:
+    * `GRAPH ?g` alone does not license a per-graph cartesian product.
+    */
+  def bgpChainGraph(
+      quads: DataFrame,
+      patterns: Seq[ChainPattern],
+      predCounts: Map[String, Long],
+      gVar: String = "g"): DataFrame = {
+    require(patterns.nonEmpty, "bgpChainGraph needs at least one pattern")
+    val oVars = patterns.flatMap(_.oVar)
+    require(oVars.distinct.size == oVars.size,
+      s"duplicate object-variable binds: $oVars")
+    val allVars = patterns.flatMap(_.vars).toSet
+    require(!allVars.contains(gVar), s"graph variable ?$gVar collides with a pattern variable")
+    require(!(allVars + gVar).exists(Set("graph", "subj", "pred", "obj")),
+      "variable names collide with quad columns")
+
+    def frame(p: ChainPattern): DataFrame = {
+      val base = quads.filter(col("pred") === p.pred)
+      val filtered = p.oConst.map(o => base.filter(col("obj") === o)).getOrElse(base)
+      val cols = col("graph").as(gVar) +: col("subj").as(p.sVar) +:
+        p.oVar.map(v => col("obj").as(v)).toSeq
+      filtered.select(cols: _*)
+    }
+
+    val remaining = scala.collection.mutable.ArrayBuffer(patterns: _*)
+    val seed = remaining.minBy(_.estimate(predCounts))
+    remaining -= seed
+    var acc = frame(seed)
+    var bound = seed.vars
+    while (remaining.nonEmpty) {
+      val connected = remaining.filter(p => (p.vars & bound).nonEmpty)
+      require(connected.nonEmpty,
+        s"disconnected BGP: ${remaining.map(_.pred)} share no variable with $bound")
+      val next = connected.minBy(_.estimate(predCounts))
+      remaining -= next
+      val shared = gVar +: (next.vars & bound).toSeq.sorted
+      acc = acc.join(frame(next), shared)
+      bound ++= next.vars
+    }
+    acc
+  }
+
   /** Inverse of triple emission: re-assemble one wide row per entity from
     * its triples (graph → table round-trip) with an explicit-values pivot
     * — one shuffle on subj, no extra distinct-values pass, deterministic

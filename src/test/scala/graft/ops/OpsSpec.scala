@@ -1710,6 +1710,59 @@ class OpsSpec extends AnyFunSuite {
       Seq("subj", "pred", "obj"))
   }
 
+  test("bgpAsk: satisfiable → 1, unsatisfiable → 0, plan short-circuits via limit") {
+    val s = spark
+    import s.implicits._
+    val triples = Seq(
+      ("<d:1>", "p:lang", "\"en\""), ("<d:1>", "p:n", "\"3\""))
+      .toDF("subj", "pred", "obj")
+    def ask(o: String) = GraphOps.bgpAsk((_: String) => triples,
+      Seq(GraphOps.ChainPattern("d", "p:lang", oConst = Some(o)),
+        GraphOps.ChainPattern("d", "p:n", oVar = Some("n"))), Map.empty)
+    assert(ask("\"en\"").collect().map(_.getLong(0)).toList == List(1L))
+    assert(ask("\"zz\"").collect().map(_.getLong(0)).toList == List(0L))
+    // the existence probe declares limit(1) — on real scans that lowers
+    // to a short-circuiting CollectLimit (local relations here constant-
+    // fold through it, so pin the analyzed plan)
+    assert(ask("\"en\"").queryExecution.analyzed.toString.contains("GlobalLimit 1"))
+  }
+
+  test("describe: outgoing description only, one semi join") {
+    val s = spark
+    import s.implicits._
+    val triples = Seq(
+      ("<d:1>", "p:x", "\"a\""), ("<d:1>", "p:y", "\"b\""),
+      ("<d:2>", "p:x", "\"c\""), ("<d:3>", "p:z", "<d:1>"))
+      .toDF("subj", "pred", "obj")
+    val got = GraphOps.describe(triples, Seq("<d:1>").toDF("d")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // incoming arc <d:3> → <d:1> is NOT part of the outgoing description
+    assert(got == Set(("<d:1>", "p:x", "\"a\""), ("<d:1>", "p:y", "\"b\"")))
+  }
+
+  test("bgpChainGraph: patterns only combine within one named graph") {
+    val s = spark
+    import s.implicits._
+    // d1's lang lives in g1 but its n lives in g2 → NO solution for d1;
+    // d2 has both in g1 → one solution
+    val quads = Seq(
+      ("<g:1>", "<d:1>", "p:lang", "\"en\""),
+      ("<g:2>", "<d:1>", "p:n", "\"7\""),
+      ("<g:1>", "<d:2>", "p:lang", "\"en\""),
+      ("<g:1>", "<d:2>", "p:n", "\"9\""))
+      .toDF("graph", "subj", "pred", "obj")
+    val got = GraphOps.bgpChainGraph(quads,
+      Seq(GraphOps.ChainPattern("d", "p:lang", oConst = Some("\"en\"")),
+        GraphOps.ChainPattern("d", "p:n", oVar = Some("n"))), Map.empty)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("<g:1>", "<d:2>", "\"9\"")))
+    // graph var collision is rejected
+    intercept[IllegalArgumentException] {
+      GraphOps.bgpChainGraph(quads,
+        Seq(GraphOps.ChainPattern("g", "p:lang", oVar = Some("l"))), Map.empty)
+    }
+  }
+
   test("annSq8: hand-computed levels, span-0 dimension, exact distances") {
     val s = spark
     import s.implicits._
