@@ -571,6 +571,18 @@ object SparkEntry {
     "emb14_ann_sq8" -> ((s, d) =>
       EmbeddingOps.annSq8(t(s, d, "embeddings"), nQueries = 10, k = 5)),
 
+    // ColBERT-style MaxSim: 4 sub-vector "tokens" per vector, score =
+    // Σ_i max_j ⟨q_i, d_j⟩ on the integer grid — BIGINT-exact ranking
+    "emb15_ann_maxsim" -> ((s, d) =>
+      EmbeddingOps.annMaxSim(t(s, d, "embeddings"), nQueries = 8, k = 5,
+        tokens = 4)),
+
+    // Matryoshka two-stage: 16-dim prefix cosine shortlists 20/query off a
+    // narrow scan, full 64-dim exact cosine reranks the shortlist
+    "emb16_ann_matryoshka" -> ((s, d) =>
+      EmbeddingOps.annMatryoshka(t(s, d, "embeddings"), nQueries = 8, k = 5,
+        prefixDims = 16, shortlist = 20)),
+
     // the FULL IVF+PQ stack: coarse cells prune candidates (nprobe=2),
     // PQ codes rank them via the ADC table — candidates ~N/4, scan
     // touches 8-byte codes; ranking integer-exact on both engines
@@ -3075,6 +3087,68 @@ object SparkEntry {
 
     "emb09_ann_pq" -> pqOracle,
     "emb14_ann_sq8" -> sq8Oracle,
+
+    // per-token 16-dim slices via list slicing, max-of-dots per query
+    // token then summed — the whole score stays BIGINT
+    "emb15_ann_maxsim" ->
+      """WITH g AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+        |  FROM embeddings
+        |), tok AS (
+        |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+        |    g[CAST(i * 16 + 1 AS INTEGER):CAST(i * 16 + 16 AS INTEGER)] AS s
+        |  FROM g, generate_series(0, 3) t(i)
+        |), dots AS (
+        |  SELECT qt.vec_id AS query_id, ct.vec_id AS neighbor_id, qt.i AS qi,
+        |    CAST(list_sum(list_transform(list_zip(qt.s, ct.s), p -> p[1] * p[2])) AS BIGINT) AS dot
+        |  FROM tok qt JOIN tok ct ON ct.vec_id <> qt.vec_id
+        |  WHERE qt.vec_id < 8
+        |), mx AS (
+        |  SELECT query_id, neighbor_id, qi, MAX(dot) AS m FROM dots GROUP BY 1, 2, 3
+        |), scored AS (
+        |  SELECT query_id, neighbor_id, CAST(SUM(m) AS BIGINT) AS score
+        |  FROM mx GROUP BY 1, 2)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, neighbor_id ASC) rn FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+
+    // stage 1 on g[1:16] prefix cosine (top-20 shortlist, neighbor-id
+    // tiebreak), stage 2 full-width exact cosine over the shortlist
+    "emb16_ann_matryoshka" ->
+      """WITH g AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, g, CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS nn FROM g
+        |), p AS (
+        |  SELECT vec_id, g[1:16] AS pg FROM g
+        |), pn AS (
+        |  SELECT vec_id, pg, CAST(list_sum(list_transform(pg, x -> x * x)) AS BIGINT) AS pnn FROM p
+        |), coarse AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(CAST(list_sum(list_transform(list_zip(q.pg, c.pg), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(q.pnn * c.pnn AS DOUBLE)) AS ccos
+        |  FROM pn q JOIN pn c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8
+        |), short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ccos DESC, neighbor_id ASC) rn FROM coarse)
+        |  WHERE rn <= 20
+        |), rr AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    CAST(CAST(list_sum(list_transform(list_zip(q.g, c.g), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(q.nn * c.nn AS DOUBLE)) AS cos
+        |  FROM short s
+        |  JOIN n q ON q.vec_id = s.query_id
+        |  JOIN n c ON c.vec_id = s.neighbor_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id ASC) rn FROM rr)
+        |WHERE rn <= 5""".stripMargin,
 
     "emb10_ann_ivfpq" -> ivfPqOracle,
 

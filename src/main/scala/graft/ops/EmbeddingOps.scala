@@ -615,6 +615,140 @@ object EmbeddingOps {
         col("neighbor_id"), col("sq_dist"))
   }
 
+  /** MAXSIM late-interaction scoring (the ColBERT retrieval shape,
+    * Khattab & Zaharia 2020): each vector is treated as a BAG of `tokens`
+    * sub-vectors (contiguous dims/tokens-dim slices of the stored
+    * embedding — the layout a multi-vector encoder would store), and
+    * score(q, d) = Σ_i max_j ⟨q_i, d_j⟩ — every query token matches its
+    * best document token, matches summed. Grid-integer dot products keep
+    * the whole score BIGINT-exact (no cosine division), so ranking is
+    * bit-reproducible cross-engine.
+    *
+    * Scale shape: identical to [[annBruteForce]] — queries broadcast
+    * (bounded by [[MaxBroadcastQueries]]), one zero-shuffle corpus pass
+    * with a primitive-array kernel (M² sub-dots per pair costs exactly
+    * one full-dim dot), one top-k window exchange on query_id. The
+    * IVF/PQ tiers compose in front unchanged (shortlist by pooled
+    * single-vector ANN, MaxSim-rerank the shortlist) — this op IS that
+    * rerank stage.
+    */
+  def annMaxSim(
+      embeddings: DataFrame, nQueries: Int, k: Int, tokens: Int = 4): DataFrame = {
+    require(nQueries <= MaxBroadcastQueries,
+      s"annMaxSim broadcasts the query side; nQueries=$nQueries exceeds $MaxBroadcastQueries")
+    require(tokens >= 1 && tokens <= 64, s"tokens=$tokens out of 1..64")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val g = gridded(embeddings).select(col("vec_id"), col("g")).as[(Long, Array[Long])]
+    val queries = spark.sparkContext.broadcast(
+      gridded(embeddings.filter(col("vec_id") < nQueries))
+        .select(col("vec_id"), col("g")).as[(Long, Array[Long])]
+        .collect().sortBy(_._1))
+    val m = tokens
+    val scored = g.mapPartitions { it =>
+      val qs = queries.value
+      it.flatMap { case (cid, cg) =>
+        qs.iterator.filter(_._1 != cid).map { case (qid, qg) =>
+          val sub = math.min(qg.length, cg.length) / m
+          var total = 0L
+          var i = 0
+          while (i < m) {
+            var best = Long.MinValue
+            var j = 0
+            while (j < m) {
+              var dot = 0L
+              var t = 0
+              while (t < sub) { dot += qg(i * sub + t) * cg(j * sub + t); t += 1 }
+              if (dot > best) best = dot
+              j += 1
+            }
+            total += best
+            i += 1
+          }
+          (qid, cid, total)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /** MATRYOSHKA two-stage ANN (Kusupati et al. 2022 representation
+    * shape): stage 1 scores the corpus on only the FIRST `prefixDims`
+    * dimensions — an MRL-trained embedding packs most of the signal
+    * there, and the scan-side projection (`slice` before gridding) means
+    * the coarse pass READS prefix bytes only, a dims/prefixDims bandwidth
+    * cut on the dominant full-corpus stage; stage 2 joins the raw vectors
+    * back for ONLY the per-query `shortlist` survivors and reranks with
+    * the exact full-dim cosine. Both stages integer-grid-exact; shortlist
+    * membership (not order) is what stage 2 consumes, and coarse ties
+    * break on neighbor_id so the shortlist is deterministic.
+    *
+    * Scale shape: coarse = broadcast queries × one narrow corpus pass +
+    * one top-R window; rerank = one shortlist-sized join (R·nQueries
+    * rows) against the full-width table + one top-k window. No
+    * full-width cross join anywhere.
+    */
+  def annMatryoshka(
+      embeddings: DataFrame, nQueries: Int, k: Int,
+      prefixDims: Int = 16, shortlist: Int = 20): DataFrame = {
+    require(nQueries <= MaxBroadcastQueries,
+      s"annMatryoshka broadcasts the query side; nQueries=$nQueries exceeds $MaxBroadcastQueries")
+    require(shortlist >= k, s"shortlist=$shortlist must be ≥ k=$k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // coarse pass: slice BEFORE gridding — the stored prefix is all the
+    // stage reads (column-pruned at a real column store)
+    val prefix = embeddings.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+    val gP = gridded(prefix).as[(Long, Array[Long], Long)]
+    val qP = spark.sparkContext.broadcast(
+      gridded(prefix.filter(col("vec_id") < nQueries))
+        .as[(Long, Array[Long], Long)].collect().sortBy(_._1))
+    val coarse = gP.mapPartitions { it =>
+      val qs = qP.value
+      it.flatMap { case (cid, cg, cn) =>
+        qs.iterator.filter(_._1 != cid).map { case (qid, qg, qn) =>
+          (qid, cid, cosKernel(qg, qn, cg, cn))
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "ccos")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("neighbor_id").asc)
+    val short = coarse.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // rerank: full-width vectors for shortlist rows only
+    val qF = spark.sparkContext.broadcast(
+      gridded(embeddings.filter(col("vec_id") < nQueries))
+        .as[(Long, Array[Long], Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap)
+    val joined = short
+      .join(gridded(embeddings).withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("g"), col("n"))
+      .as[(Long, Long, Array[Long], Long)]
+    val exact = joined.mapPartitions { it =>
+      val qs = qF.value
+      it.map { case (qid, cid, cg, cn) =>
+        val (qg, qn) = qs(qid)
+        (qid, cid, cosKernel(qg, qn, cg, cn))
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** The FULL IVF+PQ stack (emb10): the coarse quantizer prunes each
     * query's candidates to its `nprobe` nearest cells (~N·nprobe/cells),
     * and PQ asymmetric distance ranks those candidates through the M×K

@@ -1763,6 +1763,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("annMaxSim: per-token best match summed, BIGINT-exact ranking") {
+    val s = spark
+    import s.implicits._
+    // 2 tokens × 2 dims; q = v0 has tokens [1,0] and [0,1]
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(1.0, 0.0, 1.0, 0.0)),  // both tokens match q's token 0 → 1e6
+      (2L, Seq(0.0, 2.0, 0.0, 1.0)))  // token 1 matches q's token 1 ×2 → 2e6
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingOps.annMaxSim(emb, nQueries = 1, k = 2, tokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((0L, 1L, 2L, 2000000L), (0L, 2L, 1L, 1000000L)))
+  }
+
+  test("annMatryoshka: prefix shortlist prunes honestly, rerank reorders within it") {
+    val s = spark
+    import s.implicits._
+    // prefix dim 1: v1 and v2 tie at cos 1.0 → neighbor-id tiebreak
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 10.0)), (2L, Seq(2.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    // shortlist=1 keeps only v1; stage 2 never sees v2 even though its
+    // full cosine (1.0) is higher — pruning is honest
+    val s1 = EmbeddingOps.annMatryoshka(emb, nQueries = 1, k = 1,
+      prefixDims = 1, shortlist = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(s1.map(t => (t._1, t._2, t._3)) == List((0L, 1L, 1L)))
+    assert(math.abs(s1.head._4 - 0.099504) < 1e-6)
+    // shortlist=2 admits v2; exact full-dim rerank puts it first
+    val s2 = EmbeddingOps.annMatryoshka(emb, nQueries = 1, k = 2,
+      prefixDims = 1, shortlist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(s2.map(t => (t._1, t._2, t._3)) == List((0L, 1L, 2L), (0L, 2L, 1L)))
+    assert(s2.head._4 == 1.0)
+  }
+
   test("annSq8: hand-computed levels, span-0 dimension, exact distances") {
     val s = spark
     import s.implicits._
