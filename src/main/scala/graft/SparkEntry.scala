@@ -498,6 +498,11 @@ object SparkEntry {
     "td29_segment_dedup" -> ((s, d) =>
       TextOps.segmentDedup(t(s, d, "documents"), segLen = 3)),
 
+    // ExactSubstr-style duplicate-span accounting: corpus-wide duplicated
+    // 5-token windows, per-doc dup-window counts + merged span coverage
+    "td30_dup_spans" -> ((s, d) =>
+      TextOps.duplicateSpans(t(s, d, "documents"), window = 5)),
+
     // BM25-family ranked retrieval (rational idf — log-free, hash-exact):
     // top-20 docs for a 4-term query; per-term contributions summed as
     // DECIMAL(18,6) so cross-term addition is order-independent
@@ -2832,6 +2837,34 @@ object SparkEntry {
     // segment explosion via parallel unnests (position + segment zip),
     // first-occurrence window, and the surviving text re-joined in doc
     // order — md5 pins the reconstruction, not just the counts
+    // 1-based DuckDB window starts (tk[s : s+w-1] inclusive slices) vs
+    // the engine's 0-based positions — only counts surface, both engines
+    // are internally consistent
+    "td30_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS tk FROM documents
+        |), w AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS pos,
+        |    array_to_string(tk[CAST(s AS INTEGER):CAST(s + 4 AS INTEGER)], ' ') AS gram
+        |  FROM (SELECT doc_id, tk,
+        |          unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS s
+        |        FROM t)
+        |), d AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY gram) AS n FROM w
+        |), dup AS (
+        |  SELECT doc_id, pos FROM d WHERE n > 1
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos + o AS p FROM dup, generate_series(0, 4) q(o)
+        |), base AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CAST(coalesce(dw.c, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(coalesce(cv.c, 0) AS BIGINT) AS n_covered,
+        |  round(CAST(coalesce(cv.c, 0) AS DOUBLE) / greatest(b.n_tokens, 1), 4) AS dup_ratio
+        |FROM base b
+        |LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM dup GROUP BY 1) dw ON dw.doc_id = b.doc_id
+        |LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM cov GROUP BY 1) cv ON cv.doc_id = b.doc_id""".stripMargin,
+
     "td29_segment_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS tk FROM documents

@@ -660,6 +660,65 @@ object TextOps {
           " ")).as("kept_md5"))
   }
 
+  // ------------------------------------------ duplicate-substring spans
+
+  /** DUPLICATE-SUBSTRING span accounting (the ExactSubstr shape of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — token-window approximation of their
+    * suffix-array pass): every `window`-token sliding w-gram that occurs
+    * MORE THAN ONCE corpus-wide (including twice within one document)
+    * marks its token span as duplicated; per doc the op reports the
+    * window count, how many windows were duplicated, and how many TOKENS
+    * the union of duplicated spans covers (overlapping spans merged by
+    * position-distinct counting) — n_covered/n_tokens is the fraction an
+    * ExactSubstr cut pass would remove.
+    *
+    * Scale shape: window emission is a per-row mapPartitions slide (the
+    * regex tokenizes ONCE per document — the td25 rule); duplicate
+    * detection is ONE exchange keyed on the gram (a count window, no
+    * join-back); span coverage explodes only DUPLICATED windows (×w rows
+    * bounded by the dup set, not the corpus) into a position-distinct
+    * per-doc aggregate. Gram keys are content-distributed; a pathological
+    * boilerplate gram concentrates its copies on one key, which is the
+    * same hot-segment profile [[segmentDedup]] carries — cap-and-audit
+    * upstream if a corpus is boilerplate-dominated.
+    */
+  def duplicateSpans(documents: DataFrame, window: Int = 5): DataFrame = {
+    require(window >= 2 && window <= 64, s"window=$window out of 2..64")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val wins = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile(TokenPattern)
+        it.flatMap { case (id, text) =>
+          val m = re.matcher(text)
+          val toks = Vector.newBuilder[String]
+          while (m.find()) toks += m.group()
+          toks.result().sliding(window).zipWithIndex
+            .filter(_._1.size == window)
+            .map { case (g, i) => (id, i.toLong, g.mkString(" ")) }
+        }
+      }.toDF("doc_id", "pos", "gram")
+    val wDup = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val dup = wins.withColumn("n", count(lit(1)).over(wDup))
+      .filter(col("n") > 1)
+      .select(col("doc_id"), col("pos"))
+    val dupPerDoc = dup.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    val covPerDoc = dup
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (window - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    documents
+      .select(col("doc_id"), size(tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .join(covPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 4).as("dup_ratio"))
+  }
+
   // ----------------------------------------------------- BM25 ranked search
 
   val Bm25K1 = 1.2

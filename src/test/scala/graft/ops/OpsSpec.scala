@@ -1816,6 +1816,22 @@ class OpsSpec extends AnyFunSuite {
       (0L, 2L, 2L, 65025000000L)))
   }
 
+  test("duplicateSpans: cross-doc + within-doc dups, overlapping spans merge") {
+    val d = docs(
+      (1L, "a b c d e", "en", "web", 9L),  // "a b c" duplicated with doc 2
+      (2L, "x a b c y", "en", "web", 9L),
+      (3L, "z z", "en", "web", 3L),        // shorter than the window
+      (4L, "q q q q", "en", "web", 7L))    // duplicated WITHIN the doc
+    val got = TextOps.duplicateSpans(d, window = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((5L, 1L, 3L, 0.6)),   // span 0..2 covered
+      2L -> ((5L, 1L, 3L, 0.6)),   // span 1..3 covered
+      3L -> ((2L, 0L, 0L, 0.0)),
+      4L -> ((4L, 2L, 4L, 1.0))))  // spans 0..2 and 1..3 merge to 4 tokens
+  }
+
   test("segmentDedup: global first occurrence wins, reconstruction md5 exact") {
     val d = docs(
       (1L, "x y z a b c", "en", "web", 11L),
