@@ -503,6 +503,12 @@ object SparkEntry {
     "td30_dup_spans" -> ((s, d) =>
       TextOps.duplicateSpans(t(s, d, "documents"), window = 5)),
 
+    // per-domain quota curation: top-5 docs per source by the quality
+    // proxy (n_chars DESC, doc_id tiebreak) — the CCNet/RefinedWeb
+    // domain-balancing step; one source-keyed window exchange
+    "td31_domain_quota" -> ((s, d) =>
+      TextOps.domainQuota(t(s, d, "documents"), quota = 5)),
+
     // BM25-family ranked retrieval (rational idf — log-free, hash-exact):
     // top-20 docs for a 4-term query; per-term contributions summed as
     // DECIMAL(18,6) so cross-term addition is order-independent
@@ -587,6 +593,12 @@ object SparkEntry {
     "emb16_ann_matryoshka" -> ((s, d) =>
       EmbeddingOps.annMatryoshka(t(s, d, "embeddings"), nQueries = 8, k = 5,
         prefixDims = 16, shortlist = 20)),
+
+    // filtered ANN: each query ranks only corpus vectors sharing its
+    // label (pre-filter, not post-filter — k results whenever the
+    // filtered set has k members)
+    "emb17_ann_filtered" -> ((s, d) =>
+      EmbeddingOps.annFiltered(t(s, d, "embeddings"), nQueries = 8, k = 5)),
 
     // the FULL IVF+PQ stack: coarse cells prune candidates (nprobe=2),
     // PQ codes rank them via the ADC table — candidates ~N/4, scan
@@ -810,6 +822,26 @@ object SparkEntry {
         counts)
       GraphOps.bgpAggregate(sol, Seq("g"),
         Seq(count(lit(1)).as("n_matches")))
+    }),
+
+    // SPARQL 1.1 subquery: { SELECT ?l (MAX(?nv) AS ?mx) GROUP BY ?l }
+    // joined back into the outer solutions, FILTER ?nv = ?mx — per-lang
+    // argmax docs (ties all surface, the correct bag semantics); the
+    // inner aggregate is bgpAggregate, the join rides the shared ?l
+    "kg57_bgp_subquery" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      val sol = GraphOps.bgpChain((_: String) => triples,
+        Seq(GraphOps.ChainPattern("d", s"${P}lang", oVar = Some("l")),
+          GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))),
+        counts)
+        .withColumn("nv", regexp_extract(col("n"), "^\"(\\d+)\"", 1).cast("long"))
+      val inner = GraphOps.bgpAggregate(sol, Seq("l"),
+        Seq(max(col("nv")).as("mx")))
+      sol.join(inner, Seq("l")).filter(col("nv") === col("mx"))
+        .select(col("l"), col("d"), col("nv"))
     }),
 
     // HITS hubs & authorities, 2 unnormalized rounds (BIGINT-exact, the
@@ -2529,6 +2561,14 @@ object SparkEntry {
          |SELECT id AS doc_id, round(rank, 6) AS rank FROM r3""".stripMargin
     },
 
+    // per-lang numeric argmax over the rendered solutions, ties kept
+    "kg57_bgp_subquery" ->
+      s"""WITH s AS (SELECT '"' || lang || '"' AS l,
+         |  '<${GraphOps.DocPrefix}' || doc_id || '>' AS d,
+         |  CAST(n_chars AS BIGINT) AS nv FROM documents),
+         |m AS (SELECT l, MAX(nv) AS mx FROM s GROUP BY 1)
+         |SELECT s.l, s.d, s.nv FROM s JOIN m ON m.l = s.l AND s.nv = m.mx""".stripMargin,
+
     // boolean probes in closed form: "fr" docs exist (and every doc binds
     // nchars), "zz" docs never do
     "kg54_bgp_ask" ->
@@ -2837,6 +2877,15 @@ object SparkEntry {
     // segment explosion via parallel unnests (position + segment zip),
     // first-occurrence window, and the surviving text re-joined in doc
     // order — md5 pins the reconstruction, not just the counts
+    // top-5 per source by (n_chars DESC, doc_id ASC)
+    "td31_domain_quota" ->
+      """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT source, doc_id, n_chars, row_number() OVER (
+        |        PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |      FROM documents)
+        |WHERE rk <= 5""".stripMargin,
+
     // 1-based DuckDB window starts (tk[s : s+w-1] inclusive slices) vs
     // the engine's 0-based positions — only counts surface, both engines
     // are internally consistent
@@ -3120,6 +3169,26 @@ object SparkEntry {
 
     "emb09_ann_pq" -> pqOracle,
     "emb14_ann_sq8" -> sq8Oracle,
+
+    // emb01's brute-force cosine restricted to label-equal pairs
+    "emb17_ann_filtered" ->
+      """WITH g AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, g,
+        |    CAST(list_sum(list_transform(g, x -> x * x)) AS BIGINT) AS nn FROM g
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(CAST(list_sum(list_transform(list_zip(q.g, c.g), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(q.nn * c.nn AS DOUBLE)) AS cos
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.label = q.label
+        |  WHERE q.vec_id < 8)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, round(cos, 6) AS cos
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id ASC) rn FROM scored)
+        |WHERE rn <= 5""".stripMargin,
 
     // per-token 16-dim slices via list slicing, max-of-dots per query
     // token then summed — the whole score stays BIGINT

@@ -678,6 +678,51 @@ object EmbeddingOps {
         col("neighbor_id"), col("score"))
   }
 
+  /** FILTERED ANN — vector search under a metadata predicate, here "same
+    * `label` as the query" (the tenant/category/language isolation shape
+    * every production vector store serves): each query ranks only corpus
+    * vectors sharing its label, exact cosine top-k within the filtered
+    * set. Post-filtering a plain top-k is WRONG at low selectivity (k
+    * survivors may not exist); this is pre-filtering — candidates are
+    * restricted BEFORE ranking, so k results surface whenever the
+    * filtered set has k members.
+    *
+    * Scale shape: queries broadcast grouped by label; the corpus pass
+    * scores each row against only its own label's query list (hash-map
+    * lookup, zero work for unmatched labels — at a real deployment the
+    * label is a partition column and the scan prunes to matching
+    * partitions); one top-k window. No exchange beyond the window.
+    */
+  def annFiltered(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    require(nQueries <= MaxBroadcastQueries,
+      s"annFiltered broadcasts the query side; nQueries=$nQueries exceeds $MaxBroadcastQueries")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def withLabel(df: DataFrame) =
+      df.select(col("vec_id"), col("label").cast("int").as("label"), gridCol.as("g"))
+        .withColumn("n", aggregate(col("g"), lit(0L), (acc, v) => acc + v * v))
+        .as[(Long, Int, Array[Long], Long)]
+    val queries = spark.sparkContext.broadcast(
+      withLabel(embeddings.filter(col("vec_id") < nQueries))
+        .collect().sortBy(_._1).groupBy(_._2))
+    val scored = withLabel(embeddings).mapPartitions { it =>
+      val byLabel = queries.value
+      it.flatMap { case (cid, lbl, cg, cn) =>
+        byLabel.getOrElse(lbl, Array.empty[(Long, Int, Array[Long], Long)])
+          .iterator.filter(_._1 != cid).map { case (qid, _, qg, qn) =>
+            (qid, cid, cosKernel(qg, qn, cg, cn))
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** MATRYOSHKA two-stage ANN (Kusupati et al. 2022 representation
     * shape): stage 1 scores the corpus on only the FIRST `prefixDims`
     * dimensions — an MRL-trained embedding packs most of the signal

@@ -660,6 +660,34 @@ object TextOps {
           " ")).as("kept_md5"))
   }
 
+  // ------------------------------------------- per-domain quota curation
+
+  /** DOMAIN-QUOTA curation — the per-source balancing step of a web-text
+    * pipeline (CCNet/RefinedWeb keep per-domain caps so one crawler-
+    * friendly site cannot dominate the corpus): rank each source's docs
+    * by the quality proxy (n_chars DESC, doc_id ASC for determinism) and
+    * keep the top `quota`. Output is the KEPT set with its within-source
+    * rank, ready to semi-join the corpus.
+    *
+    * Scale shape: ONE exchange keyed on source for the rank window.
+    * Domains are the canonical skew key of web data (one domain can be
+    * 1%+ of a crawl); the window only needs the top `quota` rows per
+    * source, so at scale the same op runs as groupBy(source) +
+    * bounded-heap aggregation — here rank-then-filter keeps the plan
+    * declarative and lets AQE handle moderate skew.
+    */
+  def domainQuota(documents: DataFrame, quota: Int = 5): DataFrame = {
+    require(quota >= 1 && quota <= (1 << 20), s"quota=$quota out of range")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    documents.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("source"), col("doc_id"),
+        col("rk").cast("long").as("rk"), col("n_chars").cast("long").as("n_chars"))
+  }
+
   // ------------------------------------------ duplicate-substring spans
 
   /** DUPLICATE-SUBSTRING span accounting (the ExactSubstr shape of Lee et

@@ -1763,6 +1763,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("annFiltered: pre-filter restricts candidates before ranking") {
+    val s = spark
+    import s.implicits._
+    // q0 (label 1) must ignore v2 (label 2) even though it is the
+    // globally nearest vector
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 1), (1L, Seq(0.0, 1.0), 1), (2L, Seq(1.0, 0.1), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = EmbeddingOps.annFiltered(emb, nQueries = 1, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((0L, 1L, 1L))) // only the same-label vector surfaces
+  }
+
+  test("domainQuota: per-source top-N by n_chars with doc_id tiebreak") {
+    val d = docs(
+      (1L, "a", "en", "s1", 10L), (2L, "b", "en", "s1", 30L),
+      (3L, "c", "en", "s1", 30L), (4L, "d", "en", "s2", 5L))
+    val got = TextOps.domainQuota(d, quota = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // s1: 30-char docs rank 1,2 (doc 2 before doc 3); doc 1 cut; s2 keeps its only doc
+    assert(got == Set(("s1", 2L, 1L), ("s1", 3L, 2L), ("s2", 4L, 1L)))
+  }
+
   test("annMaxSim: per-token best match summed, BIGINT-exact ranking") {
     val s = spark
     import s.implicits._
