@@ -844,6 +844,32 @@ object SparkEntry {
         .select(col("l"), col("d"), col("nv"))
     }),
 
+    // SPARQL term functions as codegen'd Columns: BIND(STR/LANG/DATATYPE)
+    // + FILTER STRSTARTS(STR(?o), 'doc 1') over the label/nchars solutions
+    "kg58_term_fns" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      val sol = GraphOps.bgpChain((_: String) => triples,
+        Seq(GraphOps.ChainPattern("d", s"${P}label", oVar = Some("o")),
+          GraphOps.ChainPattern("d", s"${P}nchars", oVar = Some("n"))),
+        counts)
+      import GraphOps.TermFns._
+      sol.filter(strStarts(col("o"), "doc 1"))
+        .select(col("d"),
+          termStr(col("o")).as("s"),
+          termLang(col("o")).as("lang_tag"),
+          termDatatype(col("n")).as("dt"),
+          termIsIri(col("d")).cast("long").as("d_is_iri"))
+    }),
+
+    // N-Quads round trip: doc triples serialize with shard-graph labels,
+    // re-parse through the graph-KEEPING quad parser, terms re-render —
+    // the quad-store ingest path feeding kg56's GRAPH queries
+    "kg59_nquads_roundtrip" -> ((s, d) =>
+      GraphOps.nquadsRoundTrip(t(s, d, "documents"))),
+
     // HITS hubs & authorities, 2 unnormalized rounds (BIGINT-exact, the
     // oracle unrolls the half-steps term for term); dangling nodes score 0
     "kg52_hits" -> ((s, d) => {
@@ -2560,6 +2586,22 @@ object SparkEntry {
          |${iter("r2", 3)}
          |SELECT id AS doc_id, round(rank, 6) AS rank FROM r3""".stripMargin
     },
+
+    // term accessors in closed form over the planted corpus: label lexical
+    // form 'doc N', its lang tag, nchars' integer datatype IRI
+    "kg58_term_fns" ->
+      s"""SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS d,
+         |  'doc ' || doc_id AS s, lang AS lang_tag,
+         |  'http://www.w3.org/2001/XMLSchema#integer' AS dt,
+         |  CAST(1 AS BIGINT) AS d_is_iri
+         |FROM documents WHERE starts_with('doc ' || doc_id, 'doc 1')""".stripMargin,
+
+    // the quad table in closed form: kg01's triples + the shard graph
+    "kg59_nquads_roundtrip" ->
+      s"""SELECT '<http://graft.example/graph/' || (doc_id % 10) || '>' AS graph,
+         |  subj, pred, obj FROM (
+         |$kg01Oracle
+         |)""".stripMargin,
 
     // per-lang numeric argmax over the rendered solutions, ties kept
     "kg57_bgp_subquery" ->

@@ -991,6 +991,41 @@ object GraphOps {
       .distinct()
   }
 
+  // -------------------------------------------- SPARQL term functions
+
+  /** SPARQL 1.1 term accessor/filter functions over RENDERED term columns
+    * — each one a plain Column expression (regexp_extract / when chains,
+    * whole-stage-codegen'd, never a UDF), so FILTER and BIND clauses stay
+    * inside the pruned scans. Term syntax: IRIs `<iri>`, plain literals
+    * `"lex"`, language literals `"lex"@tag`, typed `"lex"^^<dt>`.
+    */
+  object TermFns {
+    import org.apache.spark.sql.Column
+    /** STR(): lexical form of a literal, the IRI text of an IRI. */
+    def termStr(c: Column): Column =
+      when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1))
+        .otherwise(regexp_extract(c, "^\"(.*)\"", 1))
+    /** LANG(): the language tag, '' when none (SPARQL's behaviour). */
+    def termLang(c: Column): Column =
+      regexp_extract(c, "^\".*\"@([A-Za-z0-9-]+)$", 1)
+    /** DATATYPE(): typed → its IRI; lang → rdf:langString; plain →
+      * xsd:string; IRIs/blanks → '' (SPARQL errors there; '' keeps the
+      * expression total).
+      */
+    def termDatatype(c: Column): Column =
+      when(c.rlike("^\".*\"\\^\\^<.*>$"), regexp_extract(c, "\\^\\^<(.*)>$", 1))
+        .when(c.rlike("^\".*\"@[A-Za-z0-9-]+$"),
+          lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+        .when(c.startsWith("\""), lit("http://www.w3.org/2001/XMLSchema#string"))
+        .otherwise(lit(""))
+    /** isIRI() / isLiteral() / isBlank(). */
+    def termIsIri(c: Column): Column = c.startsWith("<")
+    def termIsLiteral(c: Column): Column = c.startsWith("\"")
+    def termIsBlank(c: Column): Column = c.startsWith("_:")
+    /** STRSTARTS(STR(term), prefix). */
+    def strStarts(c: Column, prefix: String): Column = termStr(c).startsWith(prefix)
+  }
+
   /** owl:sameAs ENTITY CANONICALIZATION — the KG-construction merge step:
     * given the triple table and a set of sameAs equivalence assertions
     * (src, dst) over entity IRIs, rewrite every subject AND every object
@@ -1023,6 +1058,33 @@ object GraphOps {
         case "obj"  => coalesce(col("_co"), col("obj")).as("obj")
         case c      => col(c)
       }.toSeq: _*)
+  }
+
+  /** N-QUADS round trip of the parsed KG through the REAL quad parser:
+    * each doc's triples serialize as N-Quads statements labeled with the
+    * doc's shard graph (`…/graph/{doc_id % 10}`), partitions of lines
+    * re-parse with [[graft.turtle.NTriples.parseQuads]] (graph labels
+    * KEPT), and terms re-render — the quad-store ingest path
+    * (graph, subj, pred, obj) ready for [[bgpChainGraph]]. Everything is
+    * per-partition (serialize → parse → render inside one mapPartitions);
+    * the only exchange is whatever the caller does next.
+    */
+  def nquadsRoundTrip(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val lines = parseTurtle(documents).select(
+      concat(col("subj"), lit(" <"), col("pred"), lit("> "), col("obj"),
+        lit(" <http://graft.example/graph/"), col("doc_id") % 10, lit("> ."))
+        .as("line"))
+    lines.as[String].mapPartitions { it =>
+      val text = it.mkString("\n")
+      graft.turtle.NTriples.parseQuads(text)
+        .fold(e => throw e, identity).iterator.map { case (tr, g) =>
+          (g.map(graft.turtle.NTriples.renderTerm).getOrElse(""),
+            graft.turtle.NTriples.renderTerm(tr.subj), tr.pred,
+            graft.turtle.NTriples.renderTerm(tr.obj))
+        }
+    }.toDF("graph", "subj", "pred", "obj")
   }
 
   /** Synthetic forest over doc ids: d (> 0, d % 3 ≠ 0) — edge to d / 2.

@@ -52,6 +52,17 @@ object NTriples {
   def renderTriple(t: Triple): String =
     renderTerm(t.subj) + " <" + t.pred + "> " + renderTerm(t.obj) + " ."
 
+  /** N-Quads statement: the triple with its graph label (IRI or blank)
+    * before the terminator; `None` renders the default-graph N-Triples
+    * form (legal N-Quads — the graph label is optional per statement).
+    */
+  def renderQuad(t: Triple, graph: Option[Term]): String = graph match {
+    case None    => renderTriple(t)
+    case Some(g) =>
+      renderTerm(t.subj) + " <" + t.pred + "> " + renderTerm(t.obj) + " " +
+        renderTerm(g) + " ."
+  }
+
   /** Serialize a whole document, one triple per line. */
   def render(triples: Seq[Triple]): String =
     triples.iterator.map(renderTriple).mkString("", "\n", if (triples.nonEmpty) "\n" else "")
@@ -63,6 +74,14 @@ object NTriples {
     */
   def parse(text: String): Either[TurtleError, Vector[Triple]] =
     try Right(new NtParser(text).parseAll())
+    catch { case e: TurtleError => Left(e) }
+
+  /** Parse an N-Quads document KEEPING each statement's graph label
+    * (None = default graph). Same grammar as [[parse]] — that entry
+    * point is this one with the labels dropped.
+    */
+  def parseQuads(text: String): Either[TurtleError, Vector[(Triple, Option[Term])]] =
+    try Right(new NtParser(text).parseAllQuads())
     catch { case e: TurtleError => Left(e) }
 
   private final class NtParser(input: String) {
@@ -208,8 +227,10 @@ object NTriples {
       }
     }
 
-    def parseAll(): Vector[Triple] = {
-      val out = mutable.ArrayBuffer.empty[Triple]
+    def parseAll(): Vector[Triple] = parseAllQuads().map(_._1)
+
+    def parseAllQuads(): Vector[(Triple, Option[Term])] = {
+      val out = mutable.ArrayBuffer.empty[(Triple, Option[Term])]
       skipWs()
       while (peekCp() >= 0) {
         val start = byteOff
@@ -221,10 +242,14 @@ object NTriples {
         }
         val o = parseTerm(allowLiteral = true)
         skipWs()
-        // optional graph label (N-Quads) — parsed and dropped
-        if (peekCp() == '<' || peekCp() == '_') { parseTerm(allowLiteral = false); skipWs() }
+        // optional graph label (N-Quads)
+        val g = if (peekCp() == '<' || peekCp() == '_') {
+          val t = parseTerm(allowLiteral = false)
+          skipWs()
+          Some(t)
+        } else None
         if (nextCp() != '.') err("expected '.'")
-        out += Triple(s, p, o, Span(start, byteOff))
+        out += ((Triple(s, p, o, Span(start, byteOff)), g))
         skipWs()
       }
       out.toVector

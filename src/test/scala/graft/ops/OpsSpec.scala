@@ -1763,6 +1763,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TermFns: STR/LANG/DATATYPE/isIRI over every rendered term shape") {
+    val s = spark
+    import s.implicits._
+    import GraphOps.TermFns._
+    val terms = Seq("<http://e/x>", "\"plain\"", "\"hi\"@en-GB",
+      "\"7\"^^<http://www.w3.org/2001/XMLSchema#integer>", "_:b0").toDF("t")
+    val got = terms.select(col("t"), termStr(col("t")).as("s"),
+      termLang(col("t")).as("l"), termDatatype(col("t")).as("d"),
+      termIsIri(col("t")).as("iri"), termIsLiteral(col("t")).as("lit"),
+      termIsBlank(col("t")).as("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(got("<http://e/x>") == (("http://e/x", "", "", true, false, false)))
+    assert(got("\"plain\"") ==
+      (("plain", "", "http://www.w3.org/2001/XMLSchema#string", false, true, false)))
+    assert(got("\"hi\"@en-GB") ==
+      (("hi", "en-GB", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+        false, true, false)))
+    assert(got("\"7\"^^<http://www.w3.org/2001/XMLSchema#integer>") ==
+      (("7", "", "http://www.w3.org/2001/XMLSchema#integer", false, true, false)))
+    assert(got("_:b0") == (("", "", "", false, false, true)))
+  }
+
   test("annFiltered: pre-filter restricts candidates before ranking") {
     val s = spark
     import s.implicits._

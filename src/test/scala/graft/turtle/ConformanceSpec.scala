@@ -97,6 +97,25 @@ class ConformanceSpec extends AnyFunSuite {
     assert(spans(p18) == Vector.fill(9)(coll) ++ Vector(st1, st2))
   }
 
+  test("N-Quads: graph labels kept by parseQuads, render∘parse fixpoint, escapes") {
+    val doc =
+      "<http://e/s> <http://e/p> \"a\\u0022b\" <http://e/g> .\n" +
+        "_:b0 <http://e/p> \"x\"@en _:g1 .\n" +
+        "<http://e/s> <http://e/p> \"7\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n"
+    val quads = NTriples.parseQuads(doc).fold(e => fail(s"parse: $e"), identity)
+    assert(quads.map(_._2) == Vector(
+      Some(Term.TIri("http://e/g")), Some(Term.TBlank("_:g1")), None))
+    // the escaped quote decodes into the lexical form
+    assert(quads(0)._1.obj == Term.TLit("a\"b", LitType.Dt(Vocab.XsdString)))
+    // render∘parse is a fixpoint statement-for-statement
+    val rendered = quads.map { case (t, g) => NTriples.renderQuad(t, g) }.mkString("\n") + "\n"
+    val reparsed = NTriples.parseQuads(rendered).fold(e => fail(s"reparse: $e"), identity)
+    assert(reparsed.map { case (t, g) => (t.subj, t.pred, t.obj, g) } ==
+      quads.map { case (t, g) => (t.subj, t.pred, t.obj, g) })
+    // parse (triple view) is parseQuads with labels dropped
+    assert(NTriples.parse(doc).fold(e => fail(s"$e"), identity) == quads.map(_._1))
+  }
+
   test("negative: space inside IRIREF is a lex error with a span (examples/syntax_error.ttl)") {
     val src = {
       val url = getClass.getResource("/turtle/syntax_error.ttl")
