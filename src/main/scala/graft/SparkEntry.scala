@@ -1019,6 +1019,32 @@ object SparkEntry {
     // the diff against a fresh v2 build (docs %2≠0) applied as ONE delta
     // batch (adds assert, dels RETRACT — the re-crawl path where a page's
     // new parse drops triples); the merged view must equal the v2 build
+    // TIME TRAVEL over the LSM delta log: base = docs %3≠0, batch 1 adds
+    // the rest, batch 2 retracts the %5=0 docs' triples; readAsOf(0/1/2)
+    // must reproduce each historical state (2 == readMerged "now")
+    "kg60_time_travel" -> ((s, d) => {
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      def rows(df: DataFrame) = df.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg60_").toString
+      try {
+        val M = graft.pipeline.Materialize
+        M.write(rows(tri.filter(col("doc_id") % 3 =!= 0)), s"$dir/g")
+        M.appendDelta(s, s"$dir/g", rows(tri.filter(col("doc_id") % 3 === 0)))
+        M.appendDeltaOps(s, s"$dir/g",
+          rows(tri.filter(col("doc_id") % 5 === 0)).toDF()
+            .withColumn("op", lit(M.OpDel)))
+        def view(seq: Long) = M.readAsOf(s, s"$dir/g", seq)
+          .select(lit(seq).as("as_of"), col("subj"), col("pred"), col("obj"))
+        view(0).unionByName(view(1)).unionByName(view(2))
+          .localCheckpoint() // eager — the scratch graph dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     "kg36_lsm_tombstones" -> ((s, d) => {
       val tri = GraphOps.parseTurtle(t(s, d, "documents"))
       def rows(df: DataFrame) = df.select(
@@ -2602,6 +2628,18 @@ object SparkEntry {
          |  subj, pred, obj FROM (
          |$kg01Oracle
          |)""".stripMargin,
+
+    // the three historical states in closed form: base (%3≠0), +batch-1
+    // adds (all), +batch-2 retractions (%5≠0 survives)
+    "kg60_time_travel" ->
+      s"""WITH tr AS (
+         |$kg01Oracle
+         |)
+         |SELECT CAST(0 AS BIGINT) AS as_of, subj, pred, obj FROM tr WHERE doc_id % 3 <> 0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS as_of, subj, pred, obj FROM tr
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS as_of, subj, pred, obj FROM tr WHERE doc_id % 5 <> 0""".stripMargin,
 
     // per-lang numeric argmax over the rendered solutions, ties kept
     "kg57_bgp_subquery" ->

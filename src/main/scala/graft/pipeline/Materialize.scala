@@ -340,23 +340,49 @@ object Materialize {
     * (plan-guarded: the untouched branch has no Exchange). The touched set
     * is bounded by predBuckets, never by data.
     */
-  def readMerged(spark: org.apache.spark.sql.SparkSession, out: String): DataFrame = {
+  def readMerged(spark: org.apache.spark.sql.SparkSession, out: String): DataFrame =
+    mergedView(spark, out, None)
+
+  /** TIME-TRAVEL read: the graph as of delta batch `asOfSeq` — the base
+    * plus only delta batches with `batch_seq` ≤ `asOfSeq`, tombstones
+    * resolved by the same latest-batch-wins rule. `asOfSeq = 0` is the
+    * bare base; [[deltaBatchCount]] is "now". The travel window is the
+    * CURRENT delta log: [[compact]] consumes history (the rewritten base
+    * becomes the new seq-0), exactly a lakehouse VACUUM/retention
+    * trade-off — callers that need deeper history compact less often.
+    * Same bounded merge-on-read plan as [[readMerged]]: only partitions
+    * touched by the ≤ asOfSeq batches pay the resolution exchange.
+    */
+  def readAsOf(
+      spark: org.apache.spark.sql.SparkSession, out: String, asOfSeq: Long): DataFrame = {
+    require(asOfSeq >= 0L, s"asOfSeq=$asOfSeq must be ≥ 0")
+    mergedView(spark, out, Some(asOfSeq))
+  }
+
+  private def mergedView(
+      spark: org.apache.spark.sql.SparkSession, out: String,
+      asOf: Option[Long]): DataFrame = {
     val base = read(spark, out)
-    if (!pendingDeltas(spark, out)) base
+    if (!pendingDeltas(spark, out) || asOf.contains(0L)) base
     else {
-      val deltas = spark.read.parquet(deltaDir(out))
-      // partition discovery types pred_hash as int — align before isin
+      val deltas = asOf.foldLeft(spark.read.parquet(deltaDir(out)))(
+        (d, seq) => d.filter(col("batch_seq") <= seq))
+      // partition discovery types pred_hash as int — align before isin;
+      // under an asOf cut the touched set shrinks to the CUT's partitions
       val touched = deltas.select(col("pred_hash").cast("int")).distinct()
         .collect().map(_.getInt(0)) // bounded by predBuckets, never by data
       val outCols = Seq("subj", "pred", "obj", "src_url", "warc_ts", "pred_hash").map(col)
-      val untouched = base.filter(!col("pred_hash").isin(touched: _*)).select(outCols: _*)
-      val rows = base.filter(col("pred_hash").isin(touched: _*))
-        .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
-        .unionByName(deltas)
-      val merged = resolveOps(
-        rows.repartition(col("pred_hash"), col("subj"), col("pred"), col("obj")),
-        Seq("pred_hash", "subj", "pred", "obj"))
-      untouched.unionByName(merged)
+      if (touched.isEmpty) base // the asOf cut excludes every pending batch
+      else {
+        val untouched = base.filter(!col("pred_hash").isin(touched: _*)).select(outCols: _*)
+        val rows = base.filter(col("pred_hash").isin(touched: _*))
+          .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+          .unionByName(deltas)
+        val merged = resolveOps(
+          rows.repartition(col("pred_hash"), col("subj"), col("pred"), col("obj")),
+          Seq("pred_hash", "subj", "pred", "obj"))
+        untouched.unionByName(merged)
+      }
     }
   }
 

@@ -554,6 +554,32 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("readAsOf: every historical state reproducible; compact consumes history") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val out = Files.createTempDirectory("graft_asof_").toString
+    def ops(rows: (String, String, String, String, String)*) =
+      rows.toDF("subj", "pred", "obj", "src_url", "op")
+        .withColumn("warc_ts", org.apache.spark.sql.functions.lit(ts))
+    def view(seq: Long) = Materialize.readAsOf(spark, out, seq)
+      .select("subj").as[String].collect().toSet
+    try {
+      Materialize.write(Seq(TripleRow("<a>", "<p>", "\"1\"", "u", ts)).toDS(), out)
+      Materialize.appendDeltaOps(spark, out, ops(("<b>", "<p>", "\"2\"", "u", "add")))
+      Materialize.appendDeltaOps(spark, out, ops(("<a>", "<p>", "\"1\"", "u", "del")))
+      assert(view(0) == Set("<a>"))          // bare base
+      assert(view(1) == Set("<a>", "<b>"))   // after the add batch
+      assert(view(2) == Set("<b>"))          // after the retraction
+      assert(view(99) == Set("<b>"))         // beyond "now" clamps to now
+      assert(Materialize.readMerged(spark, out)
+        .select("subj").as[String].collect().toSet == view(2))
+      // compaction consumes the log: every as-of view is the new seq-0
+      Materialize.compact(spark, out)
+      assert(view(0) == Set("<b>") && view(1) == Set("<b>"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("applyDiff brings an LSM table to the new snapshot; empty appends are no-ops") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
