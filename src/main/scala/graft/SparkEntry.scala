@@ -898,6 +898,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_facts"))
     }),
 
+    // bounded weighted SSSP: 4 Bellman-Ford relaxation rounds from the
+    // %97 seed set over undirected edges weighted (u % 7) + 1 —
+    // integer-exact min-path-weight within ≤ 4 edges, oracle-unrolled
+    "kg61_sssp" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val und = GraphAnalytics.syntheticEdges(docs).select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val weighted = und.select(col("u").as("src"), col("v").as("dst"),
+        (col("u") % 7 + 1).cast("long").as("w"))
+      GraphAnalytics.ssspBounded(weighted,
+        docs.select(col("doc_id").as("id")).filter(col("id") % 97 === 0),
+        rounds = 4)
+        .select(col("id").as("doc_id"), col("dist"))
+    }),
+
     // bounded 2-core peeling, 3 synchronous rounds (deterministic — the
     // oracle unrolls them): leaves peel off layer by layer, the chord
     // triangles and the dense tree interior survive with their subgraph
@@ -2706,6 +2723,29 @@ object SparkEntry {
          |c AS (SELECT g, MIN(subj) AS canon FROM d GROUP BY 1)
          |SELECT c.canon AS canon_subj, CAST(4 * COUNT(*) AS BIGINT) AS n_facts
          |FROM d JOIN c ON c.g = d.g GROUP BY 1""".stripMargin,
+
+    // four min-plus relaxation rounds unrolled over the weighted
+    // undirected adjacency; sums cast back to BIGINT
+    "kg61_sssp" -> {
+      def relax(prev: String, t: Int): String =
+        s"""d$t AS (
+           |  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT id, dist FROM $prev
+           |    UNION ALL
+           |    SELECT adj.b AS id, p.dist + adj.w AS dist
+           |    FROM $prev p JOIN adj ON adj.a = p.id)
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH $graphEdgesCte,
+         |wt AS (SELECT u, v, (u % 7) + 1 AS w FROM und),
+         |adj AS (SELECT u AS a, v AS b, w FROM wt
+         |  UNION ALL SELECT v AS a, u AS b, w FROM wt),
+         |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM ids WHERE id % 97 = 0),
+         |${relax("d0", 1)},
+         |${relax("d1", 2)},
+         |${relax("d2", 3)},
+         |${relax("d3", 4)}
+         |SELECT id AS doc_id, dist FROM d4""".stripMargin
+    },
 
     // three peel rounds unrolled term-for-term (degree → survivors →
     // restricted edges), final degrees over the surviving subgraph

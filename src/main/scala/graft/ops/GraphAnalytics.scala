@@ -365,6 +365,43 @@ object GraphAnalytics {
     }
   }
 
+  /** Bounded WEIGHTED single-source shortest paths — `rounds` synchronous
+    * Bellman-Ford relaxations over the UNDIRECTED weighted edge set
+    * (src, dst, w): dist₀ = 0 on the source set; each round every reached
+    * node offers dist+w to its neighbours and every node keeps its MIN
+    * offer. After R rounds dist(v) = the exact min-weight path from any
+    * source using ≤ R edges — deterministic, integer-exact, and
+    * SQL-unrollable (the kg49/kg52 fixed-round discipline); callers raise
+    * `rounds` to the weighted diameter for the full fixpoint.
+    *
+    * Scale shape: the symmetrized edge set persists once; each round is
+    * one join (reached ⋈ edges) + one map-side-combined min-groupBy —
+    * the frontier-less textbook distributed Bellman-Ford (a Δ-stepping
+    * refinement only pays off once rounds ≫ diameter); lineage truncates
+    * per round through the [[graft.pipeline.CheckpointPolicy]].
+    */
+  def ssspBounded(
+      edges: DataFrame, sources: DataFrame, rounds: Int,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of 1..16")
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
+      .persist()
+    try {
+      var dist = checkpoint.truncate(
+        sources.select(col("id"), lit(0L).as("dist")))
+      for (_ <- 1 to rounds) {
+        val relaxed = dist.join(sym, dist("id") === sym("a"))
+          .select(col("b").as("id"), (col("dist") + col("w")).as("dist"))
+        dist = checkpoint.truncate(
+          dist.unionByName(relaxed)
+            .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+      }
+      dist
+    } finally sym.unpersist()
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999) hubs & authorities over the
     * DIRECTED edge set, UNNORMALIZED so every score stays integer-exact:
     * h₀ ≡ 1; per round a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v) with

@@ -1675,6 +1675,21 @@ class OpsSpec extends AnyFunSuite {
     assert(r1 == Map(2L -> 1L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
   }
 
+  test("ssspBounded: weighted detour beats the direct edge, rounds bound path length") {
+    val s = spark
+    import s.implicits._
+    // 1→4 direct costs 10; detour 1→2→3→4 costs 3 but needs 3 edges
+    val e = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("id")
+    def run(r: Int) = GraphAnalytics.ssspBounded(e, src, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 1 round: only direct edges relax
+    assert(run(1) == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    // 3 rounds: the cheap 3-edge detour wins at node 4
+    assert(run(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("hits: hand-computed 2-round unnormalized scores, dangling nodes 0") {
     val s = spark
     import s.implicits._
