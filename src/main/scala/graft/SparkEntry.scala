@@ -1032,10 +1032,25 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
-    // TOMBSTONE deletes through the LSM path: graph v1 (docs %3≠0) gets
-    // the diff against a fresh v2 build (docs %2≠0) applied as ONE delta
-    // batch (adds assert, dels RETRACT — the re-crawl path where a page's
-    // new parse drops triples); the merged view must equal the v2 build
+    // characteristic sets (Neumann & Moerkotte 2011): predicate-set
+    // profiles over a heterogenized graph — %5 docs lose p:source, %7
+    // docs lose p:label, so four distinct sets emerge with closed-form
+    // counts; the star-join cardinality statistic
+    "kg62_char_sets" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+        .filter(!(col("doc_id") % 5 === 0 && col("pred") === s"${P}source"))
+        .filter(!(col("doc_id") % 7 === 0 && col("pred") === s"${P}label"))
+        .select(col("subj"), col("pred"), col("obj"))
+      GraphOps.characteristicSets(tri)
+    }),
+
+    // streaming trending terms: three document deliveries fold into the
+    // state-store token-count aggregate, final state ranks to top-20 —
+    // must equal the batch top-k exactly
+    "q41_stream_trending" -> ((s, d) =>
+      StreamingOps.streamingTrendingTerms(s, d, k = 20)),
+
     // TIME TRAVEL over the LSM delta log: base = docs %3≠0, batch 1 adds
     // the rest, batch 2 retracts the %5=0 docs' triples; readAsOf(0/1/2)
     // must reproduce each historical state (2 == readMerged "now")
@@ -1062,6 +1077,10 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // TOMBSTONE deletes through the LSM path: graph v1 (docs %3≠0) gets
+    // the diff against a fresh v2 build (docs %2≠0) applied as ONE delta
+    // batch (adds assert, dels RETRACT — the re-crawl path where a page's
+    // new parse drops triples); the merged view must equal the v2 build
     "kg36_lsm_tombstones" -> ((s, d) => {
       val tri = GraphOps.parseTurtle(t(s, d, "documents"))
       def rows(df: DataFrame) = df.select(
@@ -2645,6 +2664,29 @@ object SparkEntry {
          |  subj, pred, obj FROM (
          |$kg01Oracle
          |)""".stripMargin,
+
+    // the four predicate sets in closed form from the removal arithmetic
+    // (sorted IRI order: label < lang < nchars < source)
+    "kg62_char_sets" -> {
+      val P = GraphOps.PropPrefix
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 35 = 0 THEN '${P}lang ${P}nchars'
+         |       WHEN doc_id % 5 = 0 THEN '${P}label ${P}lang ${P}nchars'
+         |       WHEN doc_id % 7 = 0 THEN '${P}lang ${P}nchars ${P}source'
+         |       ELSE '${P}label ${P}lang ${P}nchars ${P}source' END AS char_set
+         |  FROM documents)
+         |SELECT char_set, COUNT(*) AS n_subjects FROM d GROUP BY 1""".stripMargin
+    },
+
+    // the streamed running aggregate must equal the batch top-k
+    "q41_stream_trending" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS token
+        |  FROM documents
+        |), c AS (SELECT token, COUNT(*) AS n FROM tk GROUP BY 1)
+        |SELECT token, CAST(n AS BIGINT) AS n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rk
+        |FROM c ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
     // the three historical states in closed form: base (%3≠0), +batch-1
     // adds (all), +batch-2 retractions (%5≠0 survives)

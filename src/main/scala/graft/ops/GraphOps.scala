@@ -1060,6 +1060,27 @@ object GraphOps {
       }.toSeq: _*)
   }
 
+  /** CHARACTERISTIC SETS (Neumann & Moerkotte, ICDE 2011): group subjects
+    * by the exact SET of predicates asserted about them — the classic RDF
+    * structure-discovery statistic, doubling as the cardinality-estimation
+    * table star-join optimizers use (a BGP star's result size reads off
+    * the matching sets' counts) and as an emergent-schema profile of a
+    * heterogeneous web KG. Output: one row per distinct predicate set
+    * (sorted, space-joined) with its subject count.
+    *
+    * Scale shape: distinct (subj, pred) → per-subject sorted set →
+    * per-set count: the first exchange carries one row per (subj, pred)
+    * — bounded by the graph's S×P surface, not its triples; the second
+    * is map-side-combined on the (few thousand, even on the open web)
+    * set keys. No joins.
+    */
+  def characteristicSets(triples: DataFrame): DataFrame =
+    triples.select(col("subj"), col("pred")).distinct()
+      .groupBy(col("subj"))
+      .agg(array_sort(collect_set(col("pred"))).as("cs"))
+      .groupBy(col("cs")).agg(count(lit(1)).as("n_subjects"))
+      .select(array_join(col("cs"), " ").as("char_set"), col("n_subjects"))
+
   /** N-QUADS round trip of the parsed KG through the REAL quad parser:
     * each doc's triples serialize as N-Quads statements labeled with the
     * doc's shard graph (`…/graph/{doc_id % 10}`), partitions of lines

@@ -563,4 +563,48 @@ object StreamingOps {
 
     spark.table(name).localCheckpoint()
   }
+
+  /** STREAMING TRENDING TERMS — the text×streaming composition: document
+    * deliveries arrive as micro-batches (one file per trigger), each
+    * batch's tokens fold into a RUNNING token-count aggregate (Structured
+    * Streaming keeps the counts in the state store — partial aggregation
+    * within the batch, state merge across batches), and the final state
+    * ranks into a top-k. Complete-mode memory sink is the bounded-
+    * vocabulary surface for the oracle; at web scale the same aggregate
+    * runs in update mode into a keyed sink and top-k moves to the
+    * consumer (complete mode re-emits the vocabulary per trigger — fine
+    * for a vocab, wrong for an unbounded key space).
+    */
+  def streamingTrendingTerms(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val name = s"graft_trend_${counter.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_q41_").toString
+    try {
+      val in = s"$dir/in"
+      (0 until 3).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val counts = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .select(explode(graft.ops.TextOps.tokensCol(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val q = counts.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"$dir/chk")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)
+      spark.table(name)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("token"), col("n"), col("rk"))
+        .localCheckpoint() // eager — the scratch stream dir is deleted below
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

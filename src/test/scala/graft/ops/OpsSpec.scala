@@ -1725,6 +1725,36 @@ class OpsSpec extends AnyFunSuite {
       Seq("subj", "pred", "obj"))
   }
 
+  test("streamingTrendingTerms: state-store aggregate equals the batch top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend_").toString
+    try {
+      docs(
+        (0L, "a b a", "en", "s", 5L),
+        (1L, "b c", "en", "s", 3L),
+        (2L, "a c c b", "en", "s", 7L))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.streaming.StreamingOps.streamingTrendingTerms(spark, dir, k = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      // a=3 b=3 c=3 — full tie, token-asc break, top 2
+      assert(got == List(("a", 3L, 1L), ("b", 3L, 2L)), got.toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("characteristicSets: duplicate assertions collapse, sets keyed exactly") {
+    val s = spark
+    import s.implicits._
+    val tri = Seq(
+      ("<a>", "p:x", "\"1\""), ("<a>", "p:y", "\"2\""),
+      ("<a>", "p:x", "\"3\""), // duplicate pred on <a> — one set member
+      ("<b>", "p:y", "\"4\""), ("<b>", "p:x", "\"5\""),
+      ("<c>", "p:x", "\"6\""))
+      .toDF("subj", "pred", "obj")
+    val got = GraphOps.characteristicSets(tri).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("p:x p:y" -> 2L, "p:x" -> 1L))
+  }
+
   test("bgpAsk: satisfiable → 1, unsatisfiable → 0, plan short-circuits via limit") {
     val s = spark
     import s.implicits._
