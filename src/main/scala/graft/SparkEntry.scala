@@ -1101,6 +1101,39 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // SPARQL 1.1 UPDATE over the LSM graph: DELETE { ?d p:source ?src }
+    // INSERT { ?d p:archived ?src } WHERE { ?d p:source ?src .
+    // ?d p:lang "en" } — English docs' source triples move to p:archived
+    // via ONE tombstone delta batch; merged view == closed-form rewrite
+    "kg63_sparql_update" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      val rows = tri.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg63_").toString
+      try {
+        val M = graft.pipeline.Materialize
+        M.write(rows, s"$dir/g")
+        val counts = M.sketchPredCounts(
+          tri.select(col("subj"), col("pred"), col("obj")))
+        GraphOps.updateWhere(s, s"$dir/g",
+          delete = Seq(GraphOps.ConstructTemplate("d", s"${P}source", "src")),
+          insert = Seq(GraphOps.ConstructTemplate("d", s"${P}archived", "src")),
+          where = Seq(
+            GraphOps.ChainPattern("d", s"${P}source", oVar = Some("src")),
+            GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"en\""))),
+          predCounts = counts,
+          srcUrl = "sparql:update", ts = new java.sql.Timestamp(0L))
+        M.readMerged(s, s"$dir/g")
+          .select(col("subj"), col("pred"), col("obj"))
+          .localCheckpoint() // eager — the scratch graph dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // SHACL-lite validation: per-property cardinality/datatype/enum rules
     // over the constructed graph, one violation row per breach; four
     // corruption classes planted by doc-id arithmetic so every rule fires
@@ -2687,6 +2720,18 @@ object SparkEntry {
         |SELECT token, CAST(n AS BIGINT) AS n,
         |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rk
         |FROM c ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    // the delete-then-insert rewrite in closed form: English docs' source
+    // triples re-predicate to p:archived, everything else unchanged
+    "kg63_sparql_update" ->
+      s"""WITH tri AS (
+         |$kg01Oracle
+         |)
+         |SELECT t.subj,
+         |  CASE WHEN t.pred = '${GraphOps.PropPrefix}source' AND dd.lang = 'en'
+         |       THEN '${GraphOps.PropPrefix}archived' ELSE t.pred END AS pred,
+         |  t.obj
+         |FROM tri t JOIN documents dd USING (doc_id)""".stripMargin,
 
     // the three historical states in closed form: base (%3≠0), +batch-1
     // adds (all), +batch-2 retractions (%5≠0 survives)

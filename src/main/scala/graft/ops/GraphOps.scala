@@ -991,6 +991,53 @@ object GraphOps {
       .distinct()
   }
 
+  /** SPARQL 1.1 Update `DELETE { … } INSERT { … } WHERE { … }` against a
+    * materialized LSM graph table — the WRITE half of the query surface,
+    * lowered onto the tombstone delta path instead of a table rewrite.
+    * The WHERE solutions are computed ONCE over the current merged view
+    * (per the spec, both templates instantiate against the pre-update
+    * state; each WHERE pattern scans through
+    * [[graft.pipeline.Materialize.readMergedPred]], so even mid-log the
+    * reads prune to each predicate's pred_hash partition). DELETE
+    * templates lower to tombstone retractions, INSERT templates to
+    * assertions, applied atomically as ONE delta batch — bytes written
+    * ∝ instantiated templates, never ∝ graph; readMerged serves the
+    * updated view immediately and compaction folds it in.
+    *
+    * SPARQL order is delete-THEN-insert from the same solutions: a triple
+    * instantiated by both template sets ends up PRESENT. The delta batch
+    * resolves del-wins within itself, so the overlap is subtracted from
+    * the delete side here (a template-set-sized anti-join) to preserve
+    * the spec's end state.
+    */
+  def updateWhere(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      delete: Seq[ConstructTemplate],
+      insert: Seq[ConstructTemplate],
+      where: Seq[ChainPattern],
+      predCounts: Map[String, Long],
+      srcUrl: String,
+      ts: java.sql.Timestamp,
+      predBuckets: Int = graft.pipeline.Materialize.DefaultPredBuckets,
+      salt: Int = graft.pipeline.Materialize.DefaultSalt): Unit = {
+    require(delete.nonEmpty || insert.nonEmpty,
+      "DELETE/INSERT WHERE with no templates is a no-op")
+    val M = graft.pipeline.Materialize
+    val sol = bgpChain(
+      (p: String) => M.readMergedPred(spark, out, p, predBuckets),
+      where, predCounts)
+    val adds = if (insert.isEmpty) None else Some(construct(sol, insert))
+    val dels = (if (delete.isEmpty) None else Some(construct(sol, delete)))
+      .map(d => adds.fold(d)(a => d.join(a, Seq("subj", "pred", "obj"), "left_anti")))
+    val batch = (dels.map(_.withColumn("op", lit(M.OpDel))).toSeq ++
+      adds.map(_.withColumn("op", lit(M.OpAdd))))
+      .reduce(_.unionByName(_))
+      .withColumn("src_url", lit(srcUrl))
+      .withColumn("warc_ts", lit(ts))
+    M.appendDeltaOps(spark, out, batch, predBuckets, salt)
+  }
+
   // -------------------------------------------- SPARQL term functions
 
   /** SPARQL 1.1 term accessor/filter functions over RENDERED term columns

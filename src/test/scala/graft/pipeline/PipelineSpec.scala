@@ -619,6 +619,65 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("updateWhere: DELETE/INSERT WHERE as one tombstone batch, overlap survives") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    val ts = new java.sql.Timestamp(0L)
+    val out = Files.createTempDirectory("graft_update_").toString
+    def merged() = Materialize.readMerged(spark, out)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    try {
+      Materialize.write(Seq(
+        TripleRow("<d1>", "<p:lang>", "\"en\"", "u", ts),
+        TripleRow("<d1>", "<p:src>", "\"x\"", "u", ts),
+        TripleRow("<d1>", "<p:keep>", "\"k\"", "u", ts),
+        TripleRow("<d2>", "<p:lang>", "\"fr\"", "u", ts),
+        TripleRow("<d2>", "<p:src>", "\"y\"", "u", ts)).toDS(), out)
+      val counts = Map("<p:src>" -> 2L, "<p:lang>" -> 2L, "<p:arch>" -> 1L)
+
+      // English docs' src re-predicates to arch; fr doc and keep untouched
+      GraphOps.updateWhere(spark, out,
+        delete = Seq(GraphOps.ConstructTemplate("d", "<p:src>", "s")),
+        insert = Seq(GraphOps.ConstructTemplate("d", "<p:arch>", "s")),
+        where = Seq(
+          GraphOps.ChainPattern("d", "<p:src>", oVar = Some("s")),
+          GraphOps.ChainPattern("d", "<p:lang>", oConst = Some("\"en\""))),
+        predCounts = counts, srcUrl = "upd", ts = ts)
+      assert(merged() == Set(
+        ("<d1>", "<p:lang>", "\"en\""), ("<d1>", "<p:arch>", "\"x\""),
+        ("<d1>", "<p:keep>", "\"k\""), ("<d2>", "<p:lang>", "\"fr\""),
+        ("<d2>", "<p:src>", "\"y\"")), merged().toString)
+
+      // SPARQL order is delete-THEN-insert: a triple instantiated by BOTH
+      // template sets ends up PRESENT (naive within-batch del-wins would
+      // silently drop it — the subtraction is what this pins)
+      val before = merged()
+      GraphOps.updateWhere(spark, out,
+        delete = Seq(GraphOps.ConstructTemplate("d", "<p:arch>", "s")),
+        insert = Seq(GraphOps.ConstructTemplate("d", "<p:arch>", "s")),
+        where = Seq(GraphOps.ChainPattern("d", "<p:arch>", oVar = Some("s"))),
+        predCounts = counts, srcUrl = "upd2", ts = ts)
+      assert(merged() == before, merged().toString)
+
+      // DELETE-only update: WHERE with no match is a no-op batch
+      GraphOps.updateWhere(spark, out,
+        delete = Seq(GraphOps.ConstructTemplate("d", "<p:arch>", "s")),
+        insert = Seq.empty,
+        where = Seq(
+          GraphOps.ChainPattern("d", "<p:arch>", oVar = Some("s")),
+          GraphOps.ChainPattern("d", "<p:lang>", oConst = Some("\"fr\""))),
+        predCounts = counts, srcUrl = "upd3", ts = ts)
+      assert(merged() == before, merged().toString)
+
+      // and compaction preserves the updated state
+      Materialize.compact(spark, out)
+      assert(Materialize.read(spark, out)
+        .select("subj", "pred", "obj").as[(String, String, String)]
+        .collect().toSet == before)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("exportTurtleDir streams bounded chunks; blank labels stay distinct across chunks") {
     import spark.implicits._
     val rows = (0 until 10).map(i => (s"_:b$i", "http://x/p", "\"v" + i + "\"")) ++
