@@ -638,6 +638,12 @@ object SparkEntry {
         .select(col("doc_id"), col("sample_no").cast("long").as("sample_no"),
           col("frame_no").cast("long").as("frame_no"), col("frame_ts_ms"))),
 
+    // IMAGE near-dup: binary thumbnails → per-partition dHash decode →
+    // 4×16-bit Hamming LSH bands → verified pairs ≤ 3 bits apart (banding
+    // is pigeonhole-EXACT at that radius, so the oracle is ALL such pairs)
+    "mm05_phash_neardup" -> ((s, d) =>
+      MultimodalOps.imageNearDupPairs(t(s, d, "documents"))),
+
     // ------------------------------------------------------------ KG ops
     "kg01_parse_turtle" -> ((s, d) => GraphOps.parseTurtle(t(s, d, "documents"))),
 
@@ -3494,6 +3500,24 @@ object SparkEntry {
         |  CAST((s.s * (16 + doc_id % 16)) // 4 AS BIGINT) AS frame_no,
         |  CAST(((s.s * (16 + doc_id % 16)) // 4) * 40 AS BIGINT) AS frame_ts_ms
         |FROM documents, generate_series(0, 3) s(s)""".stripMargin,
+
+    // dHash bits re-derived from the grid arithmetic; banding is exact at
+    // radius 3, so the oracle is EVERY pair within Hamming distance 3
+    "mm05_phash_neardup" ->
+      """WITH bits AS (
+        |  SELECT d.doc_id, g.i,
+        |    CASE WHEN (CASE WHEN ((d.doc_id % 16) * 31 + g.i * 17) % 5 < 2
+        |                    THEN 1 ELSE 0 END)
+        |           <> (CASE WHEN d.doc_id % 3 = 0 AND g.i = (d.doc_id * 7) % 64
+        |                    THEN 1 ELSE 0 END)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM documents d, generate_series(0, 63) AS g(i)
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin,
 
     "kg01_parse_turtle" -> kg01Oracle,
 

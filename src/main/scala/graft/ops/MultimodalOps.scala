@@ -127,6 +127,96 @@ object MultimodalOps {
       }.toDF("doc_id", "energy_sq")
   }
 
+  // ------------------------------------------ perceptual-hash near-dup
+
+  /** Brightness-grid cells per fake thumbnail (one dHash bit per cell). */
+  val GridCells = 64
+
+  /** Deterministic fake "visual content" bit i of a doc's thumbnail:
+    * 16 base patterns (doc_id % 16 — the near-dup groups) with one
+    * per-doc bit flipped on every third doc (the "re-encode noise").
+    * Same-group pairs land at Hamming ≤ 2, cross-group ~24/64 apart.
+    */
+  def gridBit(docId: Long, i: Int): Int = {
+    val base = if ((((docId % 16) * 31 + i * 17) % 5) < 2) 1 else 0
+    val flip = if (docId % 3 == 0 && i == ((docId * 7) % 64).toInt) 1 else 0
+    base ^ flip
+  }
+
+  /** Fake thumbnail container: "GRD1" magic + 65 brightness bytes whose
+    * CONSECUTIVE DIFFERENCES encode [[gridBit]] (brightness walks ±1 from
+    * 128, staying in [64, 192]) — a stand-in for decode + grayscale +
+    * 9×8 downsample, the classic dHash preprocessing.
+    */
+  def encodeFakeGrid(docId: Long): Array[Byte] = {
+    val out = new Array[Byte](4 + 1 + GridCells)
+    "GRD1".getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out)
+    var b = 128
+    out(4) = b.toByte
+    var i = 0
+    while (i < GridCells) {
+      b = if (gridBit(docId, i) == 1) b - 1 else b + 1
+      out(5 + i) = b.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** dHash from the binary (NOT from doc_id): bit i set iff
+    * brightness[i] > brightness[i+1] — the difference hash of Krawetz's
+    * classic construction, gradient-based so it survives brightness and
+    * scale changes a real pipeline applies.
+    */
+  def dHashOf(bytes: Array[Byte]): Long = {
+    require(bytes.length == 4 + 1 + GridCells &&
+      new String(bytes, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "GRD1",
+      "bad grid container")
+    var h = 0L
+    var i = 0
+    while (i < GridCells) {
+      if ((bytes(4 + i) & 0xFF) > (bytes(5 + i) & 0xFF)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** IMAGE near-duplicate pairs — the multimodal twin of
+    * [[TextOps.simHashPairs]]: binary thumbnails decode per partition to
+    * 64-bit dHashes, Hamming-space LSH splits each hash into 4 bands of
+    * 16 bits (by pigeonhole, any pair within distance 3 shares ≥ 1 exact
+    * band — banding is EXACT at maxDist ≤ 3, a recall guarantee), band
+    * buckets emit verified pairs with the same hot-bucket star cap
+    * discipline (quadratic work bounded by maxBucket, never by the
+    * bucket). One signature pass + one band-keyed exchange.
+    */
+  def imageNearDupPairs(
+      documents: DataFrame,
+      maxDist: Int = 3,
+      maxBucket: Int = TextOps.DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bands = documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encodeFakeGrid(id))))
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val h = dHashOf(bytes)
+        (0 until 4).iterator.map(b => (b, (h >>> (16 * b)) & 0xFFFFL, id, h))
+      })
+    bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val members = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+        def emit(x: (Long, Long), y: (Long, Long)) = {
+          val d = java.lang.Long.bitCount(x._2 ^ y._2).toLong
+          if (d <= maxDist) Iterator.single((x._1, y._1, d)) else Iterator.empty
+        }
+        if (members.length <= maxBucket)
+          members.indices.iterator.flatMap(i =>
+            (i + 1 until members.length).iterator.flatMap(j => emit(members(i), members(j))))
+        else members.iterator.drop(1).flatMap(m => emit(members(0), m))
+      }.toDF("a_id", "b_id", "hamming")
+      .distinct() // a pair colliding in several bands has one hamming value
+  }
+
   /** Fake video frame sampling: n_frames = 16 + doc_id % 16; sample 4
     * evenly spaced frames with their timestamps at 25 fps.
     */

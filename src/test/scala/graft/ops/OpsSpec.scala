@@ -1741,6 +1741,32 @@ class OpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("imageNearDupPairs: dHash from bytes, banding recall exact at radius 3") {
+    // the decoded hash must equal the bit formula (hash from BYTES, not id)
+    for (id <- 0L until 40L) {
+      val h = graft.ops.MultimodalOps.dHashOf(graft.ops.MultimodalOps.encodeFakeGrid(id))
+      for (i <- 0 until 64)
+        assert(((h >>> i) & 1L) == graft.ops.MultimodalOps.gridBit(id, i).toLong,
+          s"doc $id bit $i")
+    }
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 96L).toDF("doc_id")
+    val got = graft.ops.MultimodalOps.imageNearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all pairs: LSH at radius 3 with 4 bands misses nothing
+    val hashes = (0L until 96L)
+      .map(id => id -> graft.ops.MultimodalOps.dHashOf(
+        graft.ops.MultimodalOps.encodeFakeGrid(id))).toMap
+    val want = (for {
+      a <- 0L until 96L; b <- (a + 1) until 96L
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty && want.exists(_._3 > 0), "fixture must exercise dist>0")
+  }
+
   test("characteristicSets: duplicate assertions collapse, sets keyed exactly") {
     val s = spark
     import s.implicits._
