@@ -921,6 +921,25 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("dist"))
     }),
 
+    // bounded SCC over planted ring-blocks: 8-cycles within doc-id blocks
+    // (the SCCs — diameter 7 ≤ 8 rounds, so labels are exact) plus
+    // block-leader cross edges that strictly descend (provably acyclic
+    // across blocks); the tail block's broken ring degrades to singletons
+    "kg64_scc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ids = docs.select(col("doc_id").as("id"))
+      val ring = ids.select(col("id").as("src"),
+        (col("id") - col("id") % 8 + (col("id") + 1) % 8).as("dst"))
+      val cross = ids.filter(col("id") % 8 === 0 && col("id") > 0)
+        .select(col("id").as("src"), (col("id") / 2).cast("long").as("dst"))
+      val e = ring.unionByName(cross)
+        .filter(col("src") =!= col("dst"))
+        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      GraphAnalytics.sccBounded(e, ids, rounds = 8)
+        .select(col("id").as("doc_id"), col("scc"))
+    }),
+
     // bounded 2-core peeling, 3 synchronous rounds (deterministic — the
     // oracle unrolls them): leaves peel off layer by layer, the chord
     // triangles and the dense tree interior survive with their subgraph
@@ -2839,6 +2858,31 @@ object SparkEntry {
          |${relax("d3", 4)}
          |SELECT id AS doc_id, dist FROM d4""".stripMargin
     },
+
+    // bounded mutual-reachability closure twin: ring + leader edges
+    // re-derived, reach within 8 hops both ways, min per vertex
+    "kg64_scc" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT id AS src, id - (id % 8) + ((id + 1) % 8) AS dst FROM ids
+        |    UNION ALL
+        |    SELECT id AS src, id // 2 AS dst FROM ids WHERE id % 8 = 0 AND id > 0
+        |  ) WHERE src <> dst AND dst IN (SELECT id FROM ids)
+        |),
+        |reach(src, dst, hops) AS (
+        |  SELECT src, dst, 1 FROM e
+        |  UNION
+        |  SELECT r.src, e.dst, r.hops + 1
+        |  FROM reach r JOIN e ON e.src = r.dst
+        |  WHERE r.hops < 8 AND r.src <> e.dst
+        |),
+        |rp AS (SELECT DISTINCT src, dst FROM reach),
+        |m AS (SELECT a.src AS id, MIN(a.dst) AS mm
+        |      FROM rp a JOIN rp b ON b.src = a.dst AND b.dst = a.src
+        |      GROUP BY 1)
+        |SELECT i.id AS doc_id, CAST(least(i.id, coalesce(m.mm, i.id)) AS BIGINT) AS scc
+        |FROM ids i LEFT JOIN m USING (id)""".stripMargin,
 
     // three peel rounds unrolled term-for-term (degree → survivors →
     // restricted edges), final degrees over the surviving subgraph

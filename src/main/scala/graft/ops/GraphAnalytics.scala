@@ -318,6 +318,33 @@ object GraphAnalytics {
     } finally e.unpersist()
   }
 
+  /** BOUNDED strongly connected components: label(u) = min id of the set
+    * of vertices MUTUALLY reachable from u within ≤ `rounds` hops (u
+    * itself included) — exact SCC labels whenever every component's
+    * internal diameter is ≤ `rounds`, the same explicit-depth contract as
+    * [[pathClosure]] (which does the heavy lifting: the checkpointed
+    * frontier closure). Mutual reachability is ONE left-semi self-join of
+    * the closure against its swap (pairs surviving both directions), the
+    * label one map-side-combined min per vertex — the closure is the cost
+    * and the reason the depth bound is an explicit opt-in: unbounded SCC
+    * over a web KG is a full transitive closure. Run on condensable
+    * subgraphs (a predicate-pruned edge set) at 100 TB.
+    */
+  def sccBounded(
+      edges: DataFrame, vertices: DataFrame, rounds: Int,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    val r = pathClosure(edges, rounds, checkpoint).select(col("src"), col("dst"))
+    val mutual = r.join(
+      r.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val minMutual = mutual.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+      .select(col("src").as("id"), col("_m"))
+    vertices.select(col("id"))
+      .join(minMutual, Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("_m"), col("id"))).as("scc"))
+  }
+
   /** Fixed-iteration PERSONALIZED PageRank: identical power method to
     * [[pageRank]] but the teleport mass lands on the `sources` set instead
     * of uniformly — r₀ = p; r_{t+1}(v) = 0.15·p(v) + 0.85·Σ contribs,

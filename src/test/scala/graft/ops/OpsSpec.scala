@@ -1767,6 +1767,25 @@ class OpsSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.exists(_._3 > 0), "fixture must exercise dist>0")
   }
 
+  test("sccBounded: mutual reachability labels cycles, one-way reach stays singleton") {
+    val s = spark
+    import s.implicits._
+    // 1→2→3→1 (SCC {1,2,3}), 4→5 / 5→4 (SCC {4,5}), 3→4 one-way bridge,
+    // 6 isolated, 7→1 feeds the cycle but is not fed back
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L),
+      (3L, 4L), (7L, 1L)).toDF("src", "dst")
+    val verts = (1L to 7L).toDF("id")
+    val got = GraphAnalytics.sccBounded(edges, verts, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L), got.toString)
+    // rounds below the cycle diameter degrade to singletons, never wrong merges
+    val shallow = GraphAnalytics.sccBounded(edges, verts, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L), shallow.toString)
+  }
+
   test("characteristicSets: duplicate assertions collapse, sets keyed exactly") {
     val s = spark
     import s.implicits._
