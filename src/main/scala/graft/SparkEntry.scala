@@ -553,6 +553,12 @@ object SparkEntry {
     "emb13_semdedup" -> ((s, d) =>
       EmbeddingOps.semDedupClusters(t(s, d, "embeddings"), threshold = 0.30)),
 
+    // within-cell exact kNN graph over the learned cells: each vector's 5
+    // nearest cell-mates by integer squared L2, neighbor-id tiebreak — the
+    // kNN-join substrate for graph-based dedup/diversity pipelines
+    "emb18_knn_graph" -> ((s, d) =>
+      EmbeddingOps.knnGraphCells(t(s, d, "embeddings"), k = 5)),
+
     // multi-probe SRP ANN: each query also probes every Hamming-1 bucket
     // (5 of 16 at 4 planes) — the recall control single-bucket emb04 lacks;
     // oracle = brute force restricted to the probed bucket set
@@ -3423,6 +3429,34 @@ object SparkEntry {
          |  CAST(least(coalesce(MIN(r.r), v.vec_id), v.vec_id) AS BIGINT) AS cluster_rep
          |FROM embeddings v LEFT JOIN reach r ON r.id = v.vec_id
          |GROUP BY v.vec_id""".stripMargin,
+
+    // kNN graph: the kmeans assignment CTEs, then every same-cell directed
+    // pair's integer ‖a‖²+‖b‖²−2ab, ranked (dist2 ASC, neighbor ASC)
+    "emb18_knn_graph" ->
+      s"""WITH a18 AS (
+         |$kmeansOracle
+         |), gg AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+         |  FROM embeddings
+         |), nn AS (
+         |  SELECT gg.vec_id, gg.g,
+         |    CAST(list_sum(list_transform(gg.g, x -> x * x)) AS BIGINT) AS nn, a18.cell
+         |  FROM gg JOIN a18 ON a18.vec_id = gg.vec_id
+         |), pr AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    a.nn + b.nn
+         |      - 2 * CAST(list_sum(list_transform(list_zip(a.g, b.g), z -> z[1] * z[2])) AS BIGINT)
+         |      AS dist2
+         |  FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |)
+         |SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+         |  CAST(dist2 AS BIGINT) AS dist2
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist2 ASC, neighbor_id ASC) rn
+         |  FROM pr)
+         |WHERE rn <= 5""".stripMargin,
 
     "emb09_ann_pq" -> pqOracle,
     "emb14_ann_sq8" -> sq8Oracle,

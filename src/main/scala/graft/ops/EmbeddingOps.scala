@@ -1208,4 +1208,87 @@ object EmbeddingOps {
       .join(cc, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("cluster_rep"))
   }
+
+  /** Exact squared L2 between two grid vectors from their precomputed
+    * squared norms (‖a‖² + ‖b‖² − 2·a·b) — integer-exact on the grid; the
+    * dot zips to the shorter vector, [[cosKernel]]'s truncation semantics.
+    */
+  private def dist2Kernel(a: Array[Long], na: Long, b: Array[Long], nb: Long): Long = {
+    var dot = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    na + nb - 2 * dot
+  }
+
+  /** WITHIN-CELL exact kNN GRAPH — the scalable kNN-join shape (the
+    * all-rows analogue of a query-side ANN search, and the substrate for
+    * graph-based dedup/diversity/UMAP-style pipelines): learned k-means
+    * cells partition the corpus ([[kmeansRefine]], vectors riding the
+    * assignment — zero re-join), each vector's k nearest SAME-CELL
+    * neighbours by squared L2 (integer-exact on the grid, ties broken by
+    * neighbour id). The cell boundary is the declared approximation,
+    * exactly [[semDedupClusters]]'s contract.
+    *
+    * Scale shape: the block-pair triangle bounds per-task memory to
+    * 2·|cell|/blocks vectors; each task emits only its members' LOCAL
+    * top-k (global top-k of per-group top-k is exact — any global
+    * neighbour ranks ≤ k inside its own group), so the final rank window
+    * exchanges ≤ blocks·k candidate rows per vector, never |cell|.
+    * Output: (vec_id, rank, neighbor_id, dist2).
+    */
+  def knnGraphCells(
+      embeddings: DataFrame,
+      k: Int,
+      cells: Int = IvfCells,
+      dims: Int = 64,
+      iterations: Int = 1,
+      blocks: Int = 8,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k=$k out of 1..1024")
+    require(blocks >= 1 && blocks <= 1024, s"blocks=$blocks out of range")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = kmeansRefine(embeddings, cells, dims, iterations, checkpoint,
+      keepVector = true)
+      .select(col("cell"), col("vec_id"), col("g"), col("n"))
+      .as[(Long, Long, Array[Long], Long)]
+    val b = blocks
+    val kk = k
+    val keyed = rows.flatMap { case (cell, id, vec, n) =>
+      val bi = java.lang.Math.floorMod(id, b.toLong).toInt
+      (0 until b).iterator.map { bj =>
+        val lo = math.min(bi, bj)
+        val hi = math.max(bi, bj)
+        (cell * b * b + lo * b + hi, bi, id, vec, n)
+      }
+    }
+    val candidates = keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val lo = (key % (b * b)).toInt / b
+      val hi = (key % (b * b)).toInt % b
+      val loSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+      val hiSide = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+      it.foreach { case (_, bi, id, vec, n) =>
+        if (bi == lo) loSide += ((id, vec, n)) else hiSide += ((id, vec, n))
+      }
+      def localTopK(
+          xs: scala.collection.Seq[(Long, Array[Long], Long)],
+          ys: scala.collection.Seq[(Long, Array[Long], Long)]) =
+        xs.iterator.flatMap { case (x, gx, nx) =>
+          ys.iterator.collect {
+            case (y, gy, ny) if y != x => (x, y, dist2Kernel(gx, nx, gy, ny))
+          }.toArray.sortBy(t => (t._3, t._2)).iterator.take(kk)
+        }
+      if (lo == hi) localTopK(loSide, loSide)
+      else localTopK(loSide, hiSide) ++ localTopK(hiSide, loSide)
+    }.toDF("vec_id", "neighbor_id", "dist2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kk)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("dist2"))
+  }
 }

@@ -1767,6 +1767,33 @@ class OpsSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.exists(_._3 > 0), "fixture must exercise dist>0")
   }
 
+  test("knnGraphCells: local top-k of block-pair groups equals within-cell brute force") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(dd => (((i * 13 + dd * 29) % 17) - 8) / 10.0f))
+    }.toDF("vec_id", "embedding")
+    // brute force: same cells (kmeansRefine w/ vectors), all same-cell
+    // directed pairs, top-3 by (dist2, neighbor id)
+    val rows = EmbeddingOps.kmeansRefine(vecs, cells = 4, dims = 8, keepVector = true)
+      .select("cell", "vec_id", "g", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toArray, r.getLong(3)))
+    val want = rows.flatMap { case (c, id, g, n) =>
+      rows.iterator.collect {
+        case (c2, id2, g2, n2) if c2 == c && id2 != id =>
+          val dot = g.zip(g2).map { case (a, b2) => a * b2 }.sum
+          (id2, n + n2 - 2 * dot)
+      }.toArray.sortBy(t => (t._2, t._1)).take(3).zipWithIndex
+        .map { case ((nb, d2), r) => (id, (r + 1).toLong, nb, d2) }
+    }.toSet
+    // blocks=3 forces the multi-group candidate path (bi covers 0..2)
+    val got = EmbeddingOps.knnGraphCells(vecs, k = 3, cells = 4, dims = 8, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.exists(_._2 == 3L), "fixture must produce full-depth ranks")
+  }
+
   test("sccBounded: mutual reachability labels cycles, one-way reach stays singleton") {
     val s = spark
     import s.implicits._
