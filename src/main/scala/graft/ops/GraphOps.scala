@@ -1115,14 +1115,17 @@ object GraphOps {
     * heterogeneous web KG. Output: one row per distinct predicate set
     * (sorted, space-joined) with its subject count.
     *
-    * Scale shape: distinct (subj, pred) → per-subject sorted set →
-    * per-set count: the first exchange carries one row per (subj, pred)
-    * — bounded by the graph's S×P surface, not its triples; the second
-    * is map-side-combined on the (few thousand, even on the open web)
-    * set keys. No joins.
+    * Scale shape: TWO exchanges, no joins, no pre-distinct —
+    * `collect_set` dedups inside the aggregate, so the subject exchange
+    * carries one PARTIALLY-AGGREGATED set row per (task, subject) — never
+    * more rows than the graph's S×P surface, and strictly fewer bytes
+    * than a separate distinct pass (which would add a third, full-width
+    * exchange on (subj, pred) for nothing). The second exchange is
+    * map-side-combined on the (few thousand, even on the open web) set
+    * keys. Plan-guarded in the spec.
     */
   def characteristicSets(triples: DataFrame): DataFrame =
-    triples.select(col("subj"), col("pred")).distinct()
+    triples.select(col("subj"), col("pred"))
       .groupBy(col("subj"))
       .agg(array_sort(collect_set(col("pred"))).as("cs"))
       .groupBy(col("cs")).agg(count(lit(1)).as("n_subjects"))

@@ -1822,9 +1822,15 @@ class OpsSpec extends AnyFunSuite {
       ("<b>", "p:y", "\"4\""), ("<b>", "p:x", "\"5\""),
       ("<c>", "p:x", "\"6\""))
       .toDF("subj", "pred", "obj")
-    val got = GraphOps.characteristicSets(tri).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val res = GraphOps.characteristicSets(tri)
+    val got = res.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("p:x p:y" -> 2L, "p:x" -> 1L))
+    // plan guard: collect_set dedups in-aggregate — exactly two exchanges
+    // (subject, then set key), no third distinct exchange
+    val plan = res.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // count the AQE final plan only
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"characteristicSets must cost exactly 2 exchanges:\n${plan.take(2000)}")
   }
 
   test("bgpAsk: satisfiable → 1, unsatisfiable → 0, plan short-circuits via limit") {
