@@ -1030,11 +1030,15 @@ object GraphOps {
     val adds = if (insert.isEmpty) None else Some(construct(sol, insert))
     val dels = (if (delete.isEmpty) None else Some(construct(sol, delete)))
       .map(d => adds.fold(d)(a => d.join(a, Seq("subj", "pred", "obj"), "left_anti")))
+    // materialize the delta-sized batch ONCE: appendDeltaOps probes
+    // isEmpty then writes (two actions), and the write must not re-run a
+    // solution plan whose scans read the very delta log being appended to
     val batch = (dels.map(_.withColumn("op", lit(M.OpDel))).toSeq ++
       adds.map(_.withColumn("op", lit(M.OpAdd))))
       .reduce(_.unionByName(_))
       .withColumn("src_url", lit(srcUrl))
       .withColumn("warc_ts", lit(ts))
+      .localCheckpoint()
     M.appendDeltaOps(spark, out, batch, predBuckets, salt)
   }
 
