@@ -1307,6 +1307,26 @@ object SparkEntry {
         sum(regexp_extract(col("n"), "^\"(\\d+)\"", 1).cast("long")).as("sum_nchars")))
     }),
 
+    // SPARQL 1.1 GROUP_CONCAT / MIN / MAX over BGP solutions (kg38's
+    // grouping with the full aggregate-function family): per-language
+    // doc count, lexicographic min/max source literal, and GROUP_CONCAT
+    // of the DISTINCT sources (sorted, ';' separator — SPARQL leaves the
+    // order undefined, so the engine pins the deterministic one)
+    "kg65_bgp_group_concat" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      val sol = GraphOps.bgpChain(triples, Seq(
+        GraphOps.ChainPattern("d", s"${P}lang", oVar = Some("l")),
+        GraphOps.ChainPattern("d", s"${P}source", oVar = Some("src"))), counts)
+      GraphOps.bgpAggregate(sol, Seq("l"), Seq(
+        count(lit(1)).as("n_docs"),
+        min(col("src")).as("min_src"),
+        max(col("src")).as("max_src"),
+        array_join(array_sort(collect_set(col("src"))), ";").as("sources")))
+    }),
+
     // SPARQL VALUES: the inline binding table (?l ?tier) joins the
     // solutions on the shared ?l (broadcast) and extends them with ?tier
     "kg39_bgp_values" -> ((s, d) => {
@@ -3743,6 +3763,21 @@ object SparkEntry {
          |FROM t l JOIN t n ON n.subj = l.subj AND n.pred = '${GraphOps.PropPrefix}nchars'
          |WHERE l.pred = '${GraphOps.PropPrefix}lang'
          |GROUP BY 1""".stripMargin,
+
+    // the aggregate family twin: list(DISTINCT) sorted then joined avoids
+    // relying on ORDER BY inside string_agg (DuckDB 1.0 dialect safety)
+    "kg65_bgp_group_concat" ->
+      s"""WITH t AS (
+         |$kg01Oracle
+         |), sol AS (
+         |  SELECT l.obj AS l, s.obj AS src
+         |  FROM t l JOIN t s ON s.subj = l.subj AND s.pred = '${GraphOps.PropPrefix}source'
+         |  WHERE l.pred = '${GraphOps.PropPrefix}lang'
+         |)
+         |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(src) AS min_src, MAX(src) AS max_src,
+         |  array_to_string(list_sort(list(DISTINCT src)), ';') AS sources
+         |FROM sol GROUP BY 1""".stripMargin,
 
     // VALUES lowering: the inline (?l ?tier) table restricts and extends
     "kg39_bgp_values" ->
