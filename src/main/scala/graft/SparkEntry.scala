@@ -399,6 +399,12 @@ object SparkEntry {
 
     "td09_minhash_pairs" -> ((s, d) => TextOps.minHashBandPairs(t(s, d, "documents"))),
 
+    // asymmetric containment |A∩B|/|X| over rare-shingle candidates
+    // (df ≤ 16 inverted index — MinHash banding tracks resemblance and
+    // would MISS a short doc quoted inside a long one); rational
+    // ½-of-smaller-set cut, integer-exact
+    "td32_containment" -> ((s, d) => TextOps.containmentPairs(t(s, d, "documents"))),
+
     "td10_tokens_bpe" -> ((s, d) => TextOps.bpeTokenCounts(t(s, d, "documents"))),
 
     // the dedup CAPSTONE: LSH candidates -> connected components -> one
@@ -3138,6 +3144,36 @@ object SparkEntry {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6""".stripMargin,
 
     "td09_minhash_pairs" -> minhashBandOracle,
+
+    // rare-shingle (df ∈ [2, 16]) inverted-index candidates, exact
+    // distinct-shingle intersection, integer cross-multiplied ½ cut,
+    // ratios rounded 4
+    "td32_containment" ->
+      s"""WITH shd AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 4, 1)),
+         |      i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+         |    FROM documents)
+         |), dfreq AS (
+         |  SELECT g, COUNT(*) AS df FROM shd GROUP BY 1
+         |), p AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM dfreq f JOIN shd x ON x.g = f.g
+         |              JOIN shd y ON y.g = f.g AND x.doc_id < y.doc_id
+         |  WHERE f.df BETWEEN 2 AND 16
+         |), sz AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1
+         |), inter AS (
+         |  SELECT p.a, p.b, COUNT(*) AS ninter
+         |  FROM p JOIN shd x ON x.doc_id = p.a
+         |         JOIN shd y ON y.doc_id = p.b AND y.g = x.g
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.a, i.b, CAST(i.ninter AS BIGINT) AS n_shared,
+         |  round(CAST(i.ninter AS DOUBLE) / sa.n, 4) AS containment_a,
+         |  round(CAST(i.ninter AS DOUBLE) / sb.n, 4) AS containment_b
+         |FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+         |WHERE 2 * i.ninter >= least(sa.n, sb.n)""".stripMargin,
 
     "td10_tokens_bpe" ->
       """SELECT doc_id,

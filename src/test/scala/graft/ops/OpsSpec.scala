@@ -1767,6 +1767,34 @@ class OpsSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.exists(_._3 > 0), "fixture must exercise dist>0")
   }
 
+  test("containmentPairs: a quoted short doc scores ~1 on its side, cut is rational") {
+    // doc 1 is a verbatim substring of doc 0 → every shingle of 1 (except
+    // tail fragments) appears in 0: containment on 1's side near 1.0 even
+    // though Jaccard vs the long doc is low; doc 2 shares nothing
+    val long = "aggregator page intro text with plenty of body copy here and " +
+      "quick brown fox jumps over the lazy " +
+      "followed by unrelated commentary continuing onward with extra words " +
+      "and a closing paragraph that keeps adding fresh distinct material"
+    val short = "quick brown fox jumps over the lazy"
+    val other = "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp oooo"
+    val d = docs((0L, long, "en", "s", long.length.toLong),
+      (1L, short, "en", "s", short.length.toLong),
+      (2L, other, "en", "s", other.length.toLong))
+    val got = graft.ops.TextOps.containmentPairs(d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((0L, 1L)), got.toString)
+    val (nShared, cLong, cShort) = got((0L, 1L))
+    // every distinct shingle of the short doc occurs in the long one
+    assert(cShort == 1.0 && nShared > 0, got.toString)
+    assert(cLong < 0.5, s"asymmetry must show: $cLong")
+    // rational cut: drop the threshold to 0 → the pair set is unchanged
+    // only if every candidate already passed; raising to 1/1 keeps (0,1)
+    val strict = graft.ops.TextOps.containmentPairs(d, thresholdNum = 1, thresholdDen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((0L, 1L)), strict.toString)
+  }
+
   test("knnGraphCells: local top-k of block-pair groups equals within-cell brute force") {
     val s = spark
     import s.implicits._
