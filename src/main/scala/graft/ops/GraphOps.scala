@@ -141,7 +141,16 @@ object GraphOps {
     * for everything this engine materializes: [[readTurtleDir]]/
     * `TripleEmit.ingestTurtle` doc-scope labels on ingest). Two rows
     * spelling different nodes with the SAME label would conflate when they
-    * land in one chunk — salt upstream, not here. The rename pass is
+    * land in one chunk — salt upstream, not here. The DUAL hazard: one
+    * blank node whose rows STRADDLE a chunk (or partition) boundary
+    * re-parses as two distinct nodes, because the relabeling namespaces
+    * are disjoint per chunk — blank-node graphs must arrive CLUSTERED so
+    * a node's rows share a chunk (repartition + sortWithinPartitions on
+    * the blank subject before exporting; the materialized subj-clustered
+    * layout already satisfies this for rowsPerChunk ≥ the node's row
+    * count). IRI-subject graphs — everything the pipeline materializes —
+    * are unaffected: an IRI row set splitting across chunks re-parses to
+    * the same IRIs. The rename pass is
     * driver-side but bounded by the PARTITION COUNT, never by data; text
     * compression is pinned OFF (a `.txt.gz` part would survive the rename
     * as unreadable-as-Turtle bytes).
@@ -1052,10 +1061,29 @@ object GraphOps {
     */
   object TermFns {
     import org.apache.spark.sql.Column
-    /** STR(): lexical form of a literal, the IRI text of an IRI. */
-    def termStr(c: Column): Column =
+    /** STR(): lexical form of a literal, the IRI text of an IRI.
+      *
+      * The literal branch captures escaped units (`(?:[^"\\]|\\.)*`) up to
+      * the first UNESCAPED quote — the closing delimiter — then decodes
+      * the engine's render-escape table ([[graft.turtle.NTriples]]
+      * `escapeString`: `\n \r \t \b \f`, `"` → `"`, `\` → `\`).
+      * The literal `replace` chain is unambiguous on that table because a
+      * rendered lexical form contains no raw `"` or `\` — every backslash
+      * starts exactly one escape — and `\` decodes LAST so decoded
+      * backslashes are never rescanned. Contract: input is ENGINE-RENDERED
+      * term syntax (everything this engine's parser/renderer emits);
+      * foreign `\"`/`\\`-escaped NT text is normalized to this table by
+      * the parsers before it ever becomes a rendered term column.
+      */
+    def termStr(c: Column): Column = {
+      val lex = regexp_extract(c, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1)
+      val decoded = Seq(
+        "\\n" -> "\n", "\\r" -> "\r", "\\t" -> "\t", "\\b" -> "\b",
+        "\\f" -> "\f", "\\u0022" -> "\"", "\\u005c" -> "\\")
+        .foldLeft(lex) { case (acc, (esc, raw)) => replace(acc, lit(esc), lit(raw)) }
       when(c.startsWith("<"), regexp_extract(c, "^<(.*)>$", 1))
-        .otherwise(regexp_extract(c, "^\"(.*)\"", 1))
+        .otherwise(decoded)
+    }
     /** LANG(): the language tag, '' when none (SPARQL's behaviour). */
     def termLang(c: Column): Column =
       regexp_extract(c, "^\".*\"@([A-Za-z0-9-]+)$", 1)

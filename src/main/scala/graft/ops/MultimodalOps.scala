@@ -188,6 +188,16 @@ object MultimodalOps {
     * buckets emit verified pairs with the same hot-bucket star cap
     * discipline (quadratic work bounded by maxBucket, never by the
     * bucket). One signature pass + one band-keyed exchange.
+    *
+    * EXACTNESS BOUND: the pigeonhole all-pairs guarantee holds only while
+    * every band bucket stays ≤ `maxBucket` — past that the star cap keeps
+    * only hub pairs (the simHash trade-off, deliberate: an adversarial
+    * all-identical-image corpus must not go quadratic). A corpus whose
+    * true duplicate GROUPS exceed maxBucket members should raise the cap
+    * to its expected group size (bucket size is structurally ≈ group
+    * size here, since near-identical hashes share every band) — the mm05
+    * gate's planted groups are far below the default cap, so it checks
+    * the exact regime.
     */
   def imageNearDupPairs(
       documents: DataFrame,

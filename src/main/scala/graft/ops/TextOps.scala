@@ -322,6 +322,14 @@ object TextOps {
     */
   final case class BpeMergeRule(rank: Int, lhs: String, rhs: String, n: Long)
 
+  /** First merge-symbol id of [[bpeTrainLocal]] — strictly above 0xFFFF so
+    * the merge-id space is disjoint from every UTF-16 code unit a corpus
+    * word can contain: a real char can never be misread as an expansion
+    * index however many merges train (the collision [[bpeTrain]] avoids by
+    * capping at 256 merges + stripping U+E000..E0FF).
+    */
+  val MergeBase = 0x10000
+
   /** The distributed half: corpus → (word, freq) vocabulary, frequency-cut
     * to `maxVocab` rows (count DESC, word ASC — deterministic cut). The
     * collect is bounded by the PARAMETER, never by data; at 100 TB the
@@ -345,22 +353,31 @@ object TextOps {
     * touches only the words containing the winning pair (inverted index),
     * so a full train is O(Σ touched-word lengths), not O(V × merges).
     *
-    * Semantics match [[bpeTrain]] rule-for-rule on any PUA-free corpus
-    * (OpsSpec cross-validates the two implementations): symbols start as
-    * UTF-16 code units, every adjacent POSITION counts (overlapping),
-    * re-segmentation merges left-to-right non-overlapping, and the argmax
-    * tiebreak is count DESC then pair ASC in the same order the
-    * placeholder trainer sees — original chars order as themselves and
-    * merge #r orders as U+E000+r, which is exactly [[bpeTrain]]'s 2-char
-    * string comparison (and its canonical extension past rank 255).
+    * Semantics match [[bpeTrain]] rule-for-rule on any corpus whose chars
+    * are below U+E000 (OpsSpec cross-validates the two implementations):
+    * symbols start as UTF-16 code units, every adjacent POSITION counts
+    * (overlapping), re-segmentation merges left-to-right non-overlapping,
+    * and the argmax tiebreak is count DESC then pair ASC — original chars
+    * order as themselves and merge #r orders after every original char in
+    * rank order, which below U+E000 is exactly [[bpeTrain]]'s 2-char
+    * string comparison (its placeholders sit at U+E000+r, above the
+    * corpus alphabet). Chars in (U+E0FF, U+FFFF] — upper private-use,
+    * CJK-compat, fullwidth forms — are REAL corpus symbols here: merge
+    * ids live at 0x10000+rank, ABOVE every UTF-16 unit, so no corpus
+    * char can ever read as an expansion index or collide with a merge
+    * (the structural fix for the placeholder-space trainers' collision
+    * class); only count-tied pairs involving such a char may order
+    * differently vs [[bpeTrain]], whose own placeholders interleave with
+    * that range.
     */
   def bpeTrainLocal(vocab: Array[(String, Long)], numMerges: Int): Seq[BpeMergeRule] = {
     require(numMerges >= 1, s"numMerges=$numMerges out of range")
     import scala.collection.mutable
-    // symbol ids: original UTF-16 unit = its char value; merge r = 0xE000+r
+    // symbol ids: original UTF-16 unit = its char value; merge r = MergeBase+r
+    // (above 0xFFFF — disjoint from every possible corpus unit by construction)
     val expans = mutable.ArrayBuffer.empty[String] // merge r → decoded string
     def decode(id: Int): String =
-      if (id >= 0xE000) expans(id - 0xE000) else id.toChar.toString
+      if (id >= MergeBase) expans(id - MergeBase) else id.toChar.toString
     def pk(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
 
     val words = mutable.ArrayBuffer.empty[Array[Int]]
@@ -399,7 +416,7 @@ object TextOps {
       if (bestK < 0) done = true
       else {
         val l = (bestK >>> 32).toInt; val r = bestK.toInt
-        val merged = 0xE000 + rank
+        val merged = MergeBase + rank
         expans += decode(l) + decode(r)
         learned += BpeMergeRule(rank, decode(l), decode(r), bestN)
         val touched = where.remove(bestK).getOrElse(mutable.BitSet.empty)

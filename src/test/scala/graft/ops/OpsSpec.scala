@@ -169,6 +169,21 @@ class OpsSpec extends AnyFunSuite {
       Seq(("a", "a", 12L), ("aa", "aa", 4L)))
   }
 
+  test("scalable BPE: chars above the stripped window are real symbols, never expansion indexes") {
+    // U+F8FF (upper private use — survives the [E000, E0FF] guard strip)
+    // and U+FF01 (fullwidth '!') must train as ordinary corpus chars:
+    // merge ids live at MergeBase = 0x10000, above every UTF-16 unit, so
+    // decode can never misread a high char as an expansion index (the
+    // old 0xE000+rank id space threw or merged spuriously here)
+    val vocab = Array(("！", 10L), ("ab", 6L))
+    val rules = TextOps.bpeTrainLocal(vocab, numMerges = 4)
+    assert(rules.map(m => (m.lhs, m.rhs, m.n)) ==
+      Seq(("", "！", 10L), ("a", "b", 6L)), rules.toString)
+    // apply agrees: both pieces fully merge to one token each
+    val d = docs((1L, "！ ab x", "en", "s", 0L))
+    assert(TextOps.bpeApplyRules(d, rules).collect()(0).getLong(1) == 3L)
+  }
+
   test("SPARQL UNION/VALUES/aggregate lowerings: nulls, broadcast, no-cartesian guard") {
     val d = docs(
       (1L, "x", "en", "s1", 10L), (2L, "x", "fr", "s1", 20L), (3L, "x", "en", "s2", 30L))
@@ -1936,6 +1951,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got("\"7\"^^<http://www.w3.org/2001/XMLSchema#integer>") ==
       (("7", "", "http://www.w3.org/2001/XMLSchema#integer", false, true, false)))
     assert(got("_:b0") == (("", "", "", false, false, true)))
+  }
+
+  test("TermFns.termStr decodes the render-escape table to the lexical form") {
+    val s = spark
+    import s.implicits._
+    import GraphOps.TermFns._
+    import graft.turtle.{LitType, NTriples, Term, Vocab}
+    // lexical forms exercising every escape the renderer emits — incl. the
+    // escaped quote (rendered "), which must neither stop nor extend
+    // the capture, and a trailing backslash (rendered \, decoded LAST
+    // so the decoded char is never rescanned as an escape intro)
+    val lexes = Seq("a\"b", "line1\nline2", "back\\slash", "tab\there",
+      "cr\rlf\n", "bell\b\f", "end\\")
+    val rendered = lexes.map(l =>
+      NTriples.renderTerm(Term.TLit(l, LitType.Dt(Vocab.XsdString))))
+    val got = rendered.toDF("t").select(col("t"), termStr(col("t")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    lexes.zip(rendered).foreach { case (lex, r) =>
+      assert(got(r) == lex, s"STR($r) = ${got(r)} != $lex")
+    }
+    // lang-tagged escaped literal: the suffix stays out of the capture
+    val tagged = NTriples.renderTerm(Term.TLit("x\"y", LitType.Lang("en")))
+    val row = Seq(tagged).toDF("t")
+      .select(termStr(col("t")), termLang(col("t"))).collect()(0)
+    assert(row.getString(0) == "x\"y" && row.getString(1) == "en", tagged)
   }
 
   test("annFiltered: pre-filter restricts candidates before ranking") {
