@@ -1541,6 +1541,29 @@ object SparkEntry {
           Alt(Inv(Pred(link)), Plus(Pred(link), maxHops = 2))))
     }),
 
+    // p* (zero-or-more: bounded closure + the reflexive row per node of
+    // the path's edge set) COMPOSED with a negated property set !(…) —
+    // ?a sameSite* ?b . ?b !(lang|label|source|sameSite) ?n: every doc
+    // pairs with itself (hop 0) and, for doc_id ≥ 10, with its hub
+    // (hop 1; hub self-loops close the chain), then b's complement scan
+    // leaves exactly the nchars triple
+    "kg68_path_star_neg" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val docs = t(s, d, "documents")
+      val tri = GraphOps.parseTurtle(docs)
+        .select(col("subj"), col("pred"), col("obj"))
+        .unionByName(GraphOps.siteTriples(docs))
+      import GraphOps.PathExpr._
+      val star = GraphOps.evalPath((_: String) => tri,
+        Star(Pred(s"${P}sameSite"), maxHops = 4))
+        .select(col("src").as("a"), col("dst").as("b"))
+      val neg = GraphOps.evalPath((_: String) => tri,
+        Neg(Seq(s"${P}lang", s"${P}label", s"${P}source", s"${P}sameSite")),
+        fullSource = Some(() => tri))
+        .select(col("src").as("b"), col("dst").as("n"))
+      star.join(neg, Seq("b")).select(col("a"), col("b"), col("n"))
+    }),
+
     // graph → table round-trip: one wide row per entity via explicit-values
     // pivot over its triples
     "kg19_assemble" -> ((s, d) => GraphOps.assembleEntities(t(s, d, "documents"))),
@@ -4001,6 +4024,20 @@ object SparkEntry {
          |  SELECT src, dst FROM e
          |  UNION ALL SELECT src, dst FROM e2
          |  UNION ALL SELECT dst AS src, src AS dst FROM e) x""".stripMargin,
+
+    // zero-or-more in closed form: the reflexive row per doc plus the
+    // 1-hop doc→hub edge (hub self-loops are the only deeper steps and
+    // loops never extend a closure); the negated set leaves nchars
+    "kg68_path_star_neg" ->
+      s"""WITH p AS (
+         |  SELECT doc_id AS ai, doc_id AS bi FROM documents
+         |  UNION ALL
+         |  SELECT doc_id AS ai, doc_id % 10 AS bi FROM documents WHERE doc_id >= 10
+         |)
+         |SELECT '<${GraphOps.DocPrefix}' || p.ai || '>' AS a,
+         |  '<${GraphOps.DocPrefix}' || p.bi || '>' AS b,
+         |  '"' || d.n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS n
+         |FROM p JOIN documents d ON d.doc_id = p.bi""".stripMargin,
 
     // 2-hop chain: en docs → mentioned entities → entity labels; the
     // mention CTE is kg03's oracle re-derivation

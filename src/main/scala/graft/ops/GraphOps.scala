@@ -702,32 +702,67 @@ object GraphOps {
     final case class Sequence(a: PathExpr, b: PathExpr) extends PathExpr
     final case class Alt(a: PathExpr, b: PathExpr) extends PathExpr
     final case class Plus(p: PathExpr, maxHops: Int) extends PathExpr
+    /** `p*` (zero-or-more, bounded like [[Plus]]): the closure PLUS one
+      * reflexive (n, n) row per node of the subexpression's edge set
+      * (src ∪ dst — the common store evaluation of SPARQL's
+      * ZeroOrMorePath node universe, restricted to the path's own graph
+      * so the frame stays joinable and finite).
+      */
+    final case class Star(p: PathExpr, maxHops: Int) extends PathExpr
+    /** `!(p1|…|pk)` — negated property set: every triple whose predicate
+      * is NOT enumerated. By nature this cannot predicate-prune (it is
+      * the complement) — it scans the full triple table with a row-level
+      * NOT IN filter, which is why [[evalPath]] requires the explicit
+      * `fullSource` opt-in for it.
+      */
+    final case class Neg(preds: Seq[String]) extends PathExpr
   }
 
-  /** Evaluate a [[PathExpr]] to its distinct (src, dst) endpoint frame. */
+  /** Evaluate a [[PathExpr]] to its distinct (src, dst) endpoint frame.
+    * `fullSource` supplies the WHOLE triple table (all predicates) and is
+    * required only by [[PathExpr.Neg]] — every enumerated-predicate
+    * expression keeps its pred-pruned scans.
+    */
   def evalPath(
       patternSource: String => DataFrame, path: PathExpr,
       checkpoint: graft.pipeline.CheckpointPolicy =
-        graft.pipeline.CheckpointPolicy.Local): DataFrame = path match {
+        graft.pipeline.CheckpointPolicy.Local,
+      fullSource: Option[() => DataFrame] = None): DataFrame = path match {
     case PathExpr.Pred(p) =>
       patternSource(p).filter(col("pred") === p)
         .select(col("subj").as("src"), col("obj").as("dst")).distinct()
     case PathExpr.Inv(p) =>
-      evalPath(patternSource, p, checkpoint)
+      evalPath(patternSource, p, checkpoint, fullSource)
         .select(col("dst").as("src"), col("src").as("dst"))
     case PathExpr.Sequence(a, b) =>
-      evalPath(patternSource, a, checkpoint)
+      evalPath(patternSource, a, checkpoint, fullSource)
         .select(col("src"), col("dst").as("_mid"))
-        .join(evalPath(patternSource, b, checkpoint)
+        .join(evalPath(patternSource, b, checkpoint, fullSource)
           .select(col("src").as("_mid"), col("dst")), Seq("_mid"))
         .select(col("src"), col("dst")).distinct()
     case PathExpr.Alt(a, b) =>
-      evalPath(patternSource, a, checkpoint)
-        .unionByName(evalPath(patternSource, b, checkpoint)).distinct()
+      evalPath(patternSource, a, checkpoint, fullSource)
+        .unionByName(evalPath(patternSource, b, checkpoint, fullSource)).distinct()
     case PathExpr.Plus(p, maxHops) =>
       GraphAnalytics.pathClosure(
-        evalPath(patternSource, p, checkpoint), maxHops, checkpoint)
+        evalPath(patternSource, p, checkpoint, fullSource), maxHops, checkpoint)
         .select(col("src"), col("dst"))
+    case PathExpr.Star(p, maxHops) =>
+      // closure rows never carry src == dst (pathClosure filters loops) and
+      // reflexive rows always do — the union is disjoint, no extra distinct
+      val base = evalPath(patternSource, p, checkpoint, fullSource)
+      val nodes = base.select(col("src"))
+        .unionByName(base.select(col("dst").as("src"))).distinct()
+      GraphAnalytics.pathClosure(base, maxHops, checkpoint)
+        .select(col("src"), col("dst"))
+        .unionByName(nodes.select(col("src"), col("src").as("dst")))
+    case PathExpr.Neg(preds) =>
+      require(preds.nonEmpty, "negated property set needs at least one predicate")
+      val full = fullSource.getOrElse(throw new IllegalArgumentException(
+        "PathExpr.Neg needs evalPath's fullSource (the complement cannot " +
+          "predicate-prune; pass the whole triple table explicitly)"))
+      full().filter(!col("pred").isin(preds: _*))
+        .select(col("subj").as("src"), col("obj").as("dst")).distinct()
   }
 
   /** SPARQL UNION over two solution sets: BAG union (no dedup — SPARQL's

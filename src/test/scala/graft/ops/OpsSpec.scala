@@ -2134,6 +2134,39 @@ class OpsSpec extends AnyFunSuite {
       Set("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "b" -> "a", "c" -> "b"))
   }
 
+  test("evalPath Star/Neg: reflexive rows, complement scan, fullSource opt-in") {
+    val s = spark
+    import s.implicits._
+    import GraphOps.PathExpr._
+    val triples = Seq(
+      ("a", "p", "b"), ("b", "p", "c"),
+      ("a", "x", "1"), ("b", "y", "2")).toDF("subj", "pred", "obj")
+    def ev(e: GraphOps.PathExpr): Set[(String, String)] =
+      GraphOps.evalPath((_: String) => triples, e,
+        fullSource = Some(() => triples))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // p*: the 2-chain closure plus one reflexive row per node of p's edges
+    // (x/y nodes '1'/'2' are OUTSIDE p's node universe — no reflexive row)
+    assert(ev(Star(Pred("p"), 4)) == Set(
+      "a" -> "a", "b" -> "b", "c" -> "c",
+      "a" -> "b", "b" -> "c", "a" -> "c"))
+    // !(p|x): the complement leaves exactly the y triple
+    assert(ev(Neg(Seq("p", "x"))) == Set("b" -> "2"))
+    // Star composes downstream like any frame: star ⋈ neg on the midpoint
+    val star = GraphOps.evalPath((_: String) => triples, Star(Pred("p"), 4))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val neg = GraphOps.evalPath((_: String) => triples, Neg(Seq("p", "x")),
+      fullSource = Some(() => triples))
+      .select(col("src").as("b"), col("dst").as("n"))
+    val got = star.join(neg, Seq("b"))
+      .collect().map(r => (r.getString(1), r.getString(0), r.getString(2))).toSet
+    assert(got == Set(("a", "b", "2"), ("b", "b", "2")))
+    // Neg without the full triple table is rejected, not silently empty
+    intercept[IllegalArgumentException] {
+      GraphOps.evalPath((_: String) => triples, Neg(Seq("p")))
+    }
+  }
+
   test("closeTransitive: chains close fully, cycles entail reflexive pairs") {
     val chain = RdfsOps.closeTransitive(Seq("a" -> "b", "b" -> "c", "c" -> "d")).toSet
     assert(chain == Set("a" -> "b", "a" -> "c", "a" -> "d",
