@@ -916,6 +916,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_facts"))
     }),
 
+    // INCREMENTAL canonicalization under a sameAs edge diff: v1 = kg53's
+    // consecutive chains broken at %7; the diff DELETES the d%21==1 link
+    // (splits group 3k into {21k} and {21k+1..21k+6}) and ADDS d → d-8
+    // for d%21==8 (bridges group 3k+1 to the split-off singleton 21k).
+    // Old labels + connectedComponentsDelta must equal a fresh v2 CC —
+    // the oracle is v2's closed form; untouched components (3k+2) carry
+    // forward without entering the iterative loop (spec-pinned)
+    "kg67_sameas_canon_delta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val triples = GraphOps.parseTurtle(docs)
+        .select(col("subj"), col("pred"), col("obj"))
+      def iriOf(c: Column) = concat(lit(s"<${GraphOps.DocPrefix}"), c, lit(">"))
+      val ids = docs.select(iriOf(col("doc_id")).as("iri"), col("doc_id"))
+      val v1 = ids.filter(col("doc_id") > 0 && col("doc_id") % 7 =!= 0)
+        .select(col("iri").as("src"), iriOf(col("doc_id") - 1).as("dst"))
+        .join(ids.select(col("iri").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      val dels = ids.filter(col("doc_id") % 21 === 1)
+        .select(col("iri").as("src"), iriOf(col("doc_id") - 1).as("dst"))
+        .join(v1, Seq("src", "dst"), "left_semi")
+      val adds = ids.filter(col("doc_id") % 21 === 8 && col("doc_id") >= 8)
+        .select(col("iri").as("src"), iriOf(col("doc_id") - 8).as("dst"))
+        .join(ids.select(col("iri").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      val diff = dels.withColumn("op", lit("del"))
+        .unionByName(adds.withColumn("op", lit("add")))
+      val v2 = v1.join(dels, Seq("src", "dst"), "left_anti").unionByName(adds)
+      val oldLabels = graft.pipeline.Canonical.connectedComponents(v1)
+      val labels2 = graft.pipeline.Canonical
+        .connectedComponentsDelta(oldLabels, v2, diff)
+      GraphOps.rewriteWithReps(triples, labels2)
+        .groupBy(col("subj").as("canon_subj"))
+        .agg(count(lit(1)).as("n_facts"))
+    }),
+
     // bounded weighted SSSP: 4 Bellman-Ford relaxation rounds from the
     // %97 seed set over undirected edges weighted (u % 7) + 1 —
     // integer-exact min-path-weight within ≤ 4 edges, oracle-unrolled
@@ -2890,6 +2925,27 @@ object SparkEntry {
          |c AS (SELECT g, MIN(subj) AS canon FROM d GROUP BY 1)
          |SELECT c.canon AS canon_subj, CAST(4 * COUNT(*) AS BIGINT) AS n_facts
          |FROM d JOIN c ON c.g = d.g GROUP BY 1""".stripMargin,
+
+    // v2 components in closed form per r = doc_id % 21: {21k, 21k+7..13}
+    // (the add bridges the split-off singleton to group 3k+1 — only when
+    // the bridging doc 21k+8 exists; a truncated tail group keeps its own
+    // min 21k+7), {21k+1..6} (split remainder), {21k+14..20} (untouched)
+    // CC labels are STRING-min IRIs — group by the numeric component key,
+    // then take the string MIN of the members' rendered IRIs
+    "kg67_sameas_canon_delta" ->
+      s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+         |d AS (SELECT doc_id, doc_id % 21 AS r FROM documents),
+         |c AS (SELECT doc_id,
+         |  CASE WHEN r BETWEEN 1 AND 6 THEN doc_id - r + 1
+         |       WHEN r BETWEEN 7 AND 13 THEN
+         |         CASE WHEN doc_id - r + 8 <= mx.m THEN doc_id - r
+         |              ELSE doc_id - r + 7 END
+         |       WHEN r >= 14 THEN doc_id - r + 14
+         |       ELSE doc_id END AS comp
+         |  FROM d CROSS JOIN mx)
+         |SELECT MIN('<${GraphOps.DocPrefix}' || doc_id || '>') AS canon_subj,
+         |  CAST(4 * COUNT(*) AS BIGINT) AS n_facts
+         |FROM c GROUP BY comp""".stripMargin,
 
     // four min-plus relaxation rounds unrolled over the weighted
     // undirected adjacency; sums cast back to BIGINT

@@ -1160,8 +1160,18 @@ object GraphOps {
   def sameAsCanonicalize(
       triples: DataFrame, sameAs: DataFrame,
       checkpoint: graft.pipeline.CheckpointPolicy =
-        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
-    val rep = Canonical.connectedComponents(sameAs, checkpoint = checkpoint)
+        graft.pipeline.CheckpointPolicy.Local): DataFrame =
+    rewriteWithReps(triples,
+      Canonical.connectedComponents(sameAs, checkpoint = checkpoint))
+
+  /** The rewrite half of [[sameAsCanonicalize]] against a PRECOMPUTED
+    * representative map `rep` (id, component) — the entry point for
+    * incrementally-maintained labels
+    * ([[graft.pipeline.Canonical.connectedComponentsDelta]]): two left
+    * joins against the entity-sized map, IRIs outside it and literals
+    * pass through via the coalesce.
+    */
+  def rewriteWithReps(triples: DataFrame, rep: DataFrame): DataFrame =
     triples
       .join(rep.select(col("id").as("subj"), col("component").as("_cs")),
         Seq("subj"), "left")
@@ -1172,7 +1182,6 @@ object GraphOps {
         case "obj"  => coalesce(col("_co"), col("obj")).as("obj")
         case c      => col(c)
       }.toSeq: _*)
-  }
 
   /** CHARACTERISTIC SETS (Neumann & Moerkotte, ICDE 2011): group subjects
     * by the exact SET of predicates asserted about them — the classic RDF

@@ -88,6 +88,66 @@ object Canonical {
     labels
   }
 
+  /** The part of an edge-set update a label recomputation must see: the
+    * AFFECTED node set (every node of an old component the diff touches,
+    * plus diff nodes absent from the old labels — brand-new vertices) and
+    * the new-edge subgraph they induce. An edge of `newEdges` has either
+    * both endpoints affected or neither: a surviving old edge's endpoints
+    * share an old component (touched together), an added edge's endpoints
+    * are diff nodes — so ONE src-side semi-join captures the induced
+    * subgraph exactly. Exposed for the spec that pins "untouched
+    * components are not recomputed" as a row-count invariant.
+    */
+  def affectedSubgraph(
+      oldLabels: DataFrame, newEdges: DataFrame, diff: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val touched = diff.select(col("src").as("id"))
+      .unionByName(diff.select(col("dst").as("id"))).distinct()
+    val touchedComps = oldLabels.join(touched, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val affected = oldLabels.join(touchedComps, Seq("component"), "left_semi")
+      .select(col("id"))
+      .unionByName(touched) // diff nodes the old labels never saw
+      .distinct()
+    val subEdges = newEdges
+      .join(affected.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+    (affected, subEdges)
+  }
+
+  /** INCREMENTAL connected components under an edge diff — the nightly
+    * re-canonicalization bill at 100 TB, reduced from the whole graph to
+    * the components the diff touches. `oldLabels` is [[connectedComponents]]
+    * over the old edge set; `diff` (op ∈ {add, del}, src, dst) is the edge
+    * delta; `newEdges` the post-diff edge set. Labels of components the
+    * diff never touches carry forward UNREAD by the iterative loop (one
+    * anti-join); the hash-to-min CC re-runs only on the affected induced
+    * subgraph ([[affectedSubgraph]] — work ∝ touched components, never ∝
+    * graph; both prunes are semi-joins that keep the big side's scan
+    * shape). Result is row-identical to a fresh [[connectedComponents]]
+    * over `newEdges`: merged components re-label to the new min, split
+    * components re-label per part, nodes isolated by deletions drop out
+    * (CC returns only edge-participating nodes), new nodes appear.
+    */
+  def connectedComponentsDelta(
+      oldLabels: DataFrame,
+      newEdges: DataFrame,
+      diff: DataFrame,
+      maxIter: Int = 50,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val (_, subEdges) = affectedSubgraph(oldLabels, newEdges, diff)
+    val touched = diff.select(col("src").as("id"))
+      .unionByName(diff.select(col("dst").as("id"))).distinct()
+    val touchedComps = oldLabels.join(touched, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    // the using-column join fronts `component` — re-project to the
+    // (id, component) contract before the union
+    val keep = oldLabels.join(touchedComps, Seq("component"), "left_anti")
+      .select(col("id"), col("component"))
+    keep.unionByName(
+      connectedComponents(subEdges, maxIter, checkpoint)
+        .select(col("id"), col("component")))
+  }
+
   /** entity_iri → canonical_iri mapping (identity for singleton entities is
     * implicit; join with a left outer + coalesce at the use site).
     */

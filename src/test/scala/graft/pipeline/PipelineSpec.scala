@@ -72,6 +72,35 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("connectedComponentsDelta: merge, split, new nodes — equals fresh CC; untouched components never enter the loop") {
+    import spark.implicits._
+    // v1: three components {1,2,3}, {10,11}, {20,21,22}
+    val v1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("src", "dst")
+    // diff: SPLIT {1,2,3} (del 2-3), MERGE {10,11} with a NEW node 12,
+    // and bridge {10,11,12} into the split-off {3} — {20,21,22} untouched
+    val diff = Seq(("del", 2L, 3L), ("add", 11L, 12L), ("add", 12L, 3L))
+      .toDF("op", "src", "dst")
+    val v2 = Seq((1L, 2L), (10L, 11L), (11L, 12L), (12L, 3L), (20L, 21L), (21L, 22L))
+      .toDF("src", "dst")
+    val oldLabels = Canonical.connectedComponents(v1)
+    val inc = Canonical.connectedComponentsDelta(oldLabels, v2, diff)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val fresh = Canonical.connectedComponents(v2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(inc == fresh, s"incremental $inc != fresh $fresh")
+    assert(inc == Set(1L -> 1L, 2L -> 1L, // split remainder
+      3L -> 3L, 10L -> 3L, 11L -> 3L, 12L -> 3L, // merged across the bridge
+      20L -> 20L, 21L -> 20L, 22L -> 20L)) // carried forward untouched
+    // the work-∝-diff invariant: the iterative loop's induced subgraph
+    // excludes every edge of the untouched component
+    val (affected, subEdges) = Canonical.affectedSubgraph(oldLabels, v2, diff)
+    assert(affected.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(subEdges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (10L, 11L), (11L, 12L), (12L, 3L)))
+  }
+
   test("CheckpointPolicy.Reliable: CC equals Local, files on disk, survives total block loss") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ckpt_").toString
