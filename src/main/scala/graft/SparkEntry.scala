@@ -1206,6 +1206,37 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // QUAD-scoped SPARQL Update: the kg63 rewrite confined to ONE named
+    // graph of a quad LSM table (WITH <graph/3> DELETE/INSERT WHERE) —
+    // graph 3's English source triples re-predicate, EVERY sibling
+    // graph's identical-shaped triples stay untouched (tombstones key on
+    // (graph, s, p, o))
+    "kg69_graph_update" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val quads = GraphOps.nquadsRoundTrip(t(s, d, "documents"))
+        .withColumn("src_url", col("graph"))
+        .withColumn("warc_ts", lit(new java.sql.Timestamp(0L)))
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg69_").toString
+      try {
+        val M = graft.pipeline.Materialize
+        M.writeQuads(quads, s"$dir/g")
+        val counts = M.sketchPredCounts(quads)
+        GraphOps.updateWhereGraph(s, s"$dir/g",
+          graph = "<http://graft.example/graph/3>",
+          delete = Seq(GraphOps.ConstructTemplate("d", s"${P}source", "src")),
+          insert = Seq(GraphOps.ConstructTemplate("d", s"${P}archived", "src")),
+          where = Seq(
+            GraphOps.ChainPattern("d", s"${P}source", oVar = Some("src")),
+            GraphOps.ChainPattern("d", s"${P}lang", oConst = Some("\"en\""))),
+          predCounts = counts,
+          srcUrl = "sparql:update", ts = new java.sql.Timestamp(0L))
+        M.readMergedQuads(s, s"$dir/g")
+          .select(col("graph"), col("subj"), col("pred"), col("obj"))
+          .localCheckpoint() // eager — the scratch graph dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // SHACL-lite validation: per-property cardinality/datatype/enum rules
     // over the constructed graph, one violation row per breach; four
     // corruption classes planted by doc-id arithmetic so every rule fires
@@ -2844,6 +2875,19 @@ object SparkEntry {
          |)
          |SELECT t.subj,
          |  CASE WHEN t.pred = '${GraphOps.PropPrefix}source' AND dd.lang = 'en'
+         |       THEN '${GraphOps.PropPrefix}archived' ELSE t.pred END AS pred,
+         |  t.obj
+         |FROM tri t JOIN documents dd USING (doc_id)""".stripMargin,
+
+    // the same rewrite CONFINED to shard graph 3; siblings unchanged
+    "kg69_graph_update" ->
+      s"""WITH tri AS (
+         |$kg01Oracle
+         |)
+         |SELECT '<http://graft.example/graph/' || (t.doc_id % 10) || '>' AS graph,
+         |  t.subj,
+         |  CASE WHEN t.doc_id % 10 = 3 AND t.pred = '${GraphOps.PropPrefix}source'
+         |            AND dd.lang = 'en'
          |       THEN '${GraphOps.PropPrefix}archived' ELSE t.pred END AS pred,
          |  t.obj
          |FROM tri t JOIN documents dd USING (doc_id)""".stripMargin,

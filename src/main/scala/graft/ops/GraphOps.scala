@@ -1086,6 +1086,51 @@ object GraphOps {
     M.appendDeltaOps(spark, out, batch, predBuckets, salt)
   }
 
+  /** [[updateWhere]] scoped to ONE NAMED GRAPH of a quad LSM table —
+    * SPARQL 1.1 `WITH <g> DELETE { … } INSERT { … } WHERE { … }`: the
+    * WHERE patterns match only `graph`'s quads (the graph/pred filters
+    * push below the merge-on-read resolution window — both are window
+    * partition keys — so each pattern still prunes to its predicate's
+    * rows), templates instantiate INTO the same graph, and the whole
+    * update lands as one graph-scoped quad delta batch. Sibling graphs
+    * are untouched BY CONSTRUCTION: the base is append-only under this
+    * op, and tombstone resolution keys on (graph, s, p, o), so a
+    * retraction in `graph` can never shadow a sibling's identical
+    * triple.
+    */
+  def updateWhereGraph(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      graph: String,
+      delete: Seq[ConstructTemplate],
+      insert: Seq[ConstructTemplate],
+      where: Seq[ChainPattern],
+      predCounts: Map[String, Long],
+      srcUrl: String,
+      ts: java.sql.Timestamp,
+      predBuckets: Int = graft.pipeline.Materialize.DefaultPredBuckets,
+      salt: Int = graft.pipeline.Materialize.DefaultSalt): Unit = {
+    require(delete.nonEmpty || insert.nonEmpty,
+      "DELETE/INSERT WHERE with no templates is a no-op")
+    val M = graft.pipeline.Materialize
+    val merged = M.readMergedQuads(spark, out)
+    val sol = bgpChain(
+      (p: String) => merged.filter(col("graph") === graph &&
+        col("pred_hash") === pmod(xxhash64(lit(p)), lit(predBuckets))),
+      where, predCounts)
+    val adds = if (insert.isEmpty) None else Some(construct(sol, insert))
+    val dels = (if (delete.isEmpty) None else Some(construct(sol, delete)))
+      .map(d => adds.fold(d)(a => d.join(a, Seq("subj", "pred", "obj"), "left_anti")))
+    val batch = (dels.map(_.withColumn("op", lit(M.OpDel))).toSeq ++
+      adds.map(_.withColumn("op", lit(M.OpAdd))))
+      .reduce(_.unionByName(_))
+      .withColumn("graph", lit(graph))
+      .withColumn("src_url", lit(srcUrl))
+      .withColumn("warc_ts", lit(ts))
+      .localCheckpoint()
+    M.appendQuadDeltaOps(spark, out, batch, predBuckets, salt)
+  }
+
   // -------------------------------------------- SPARQL term functions
 
   /** SPARQL 1.1 term accessor/filter functions over RENDERED term columns

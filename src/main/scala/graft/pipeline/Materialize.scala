@@ -318,7 +318,9 @@ object Materialize {
     * SAME clustering, so the whole resolution costs the ONE exchange the
     * caller already paid.
     */
-  private def resolveOps(rows: DataFrame, keys: Seq[String]): DataFrame = {
+  private def resolveOps(
+      rows: DataFrame, keys: Seq[String],
+      carry: Seq[String] = Seq("subj", "pred", "obj")): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     rows
       .withColumn("_dseq",
@@ -326,9 +328,9 @@ object Materialize {
       .filter(col("op") === OpAdd && col("batch_seq") > col("_dseq"))
       .groupBy(keys.map(col): _*)
       .agg(min(struct(col("src_url"), col("warc_ts"))).as("prov"))
-      .select(col("subj"), col("pred"), col("obj"),
+      .select(carry.map(col) ++ Seq(
         col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
-        col("pred_hash"))
+        col("pred_hash")): _*)
   }
 
   /** The merged view: base ∪ pending deltas with tombstones resolved and
@@ -548,5 +550,129 @@ object Materialize {
         rows.repartition(col("pred_hash"), col("subj"), col("pred"), col("obj")),
         Seq("pred_hash", "subj", "pred", "obj"))
     }
+  }
+
+  // ----------------------------------------------------- QUAD (named-graph)
+  // tables: the triple layout with a `graph` column riding every content
+  // row AND every dedup/resolution key — named graphs share pred_hash
+  // partitions (the layout stays predicate-driven: BGPs prune the same
+  // way), but a (graph, s, p, o) quad is a distinct fact from its sibling
+  // graphs' (s, p, o), so tombstones retract WITHIN one graph only. The
+  // delta log, batch markers, and LSM discipline are shared with the
+  // triple path — a table is either triples or quads for its lifetime.
+
+  private val QuadKeys = Seq("pred_hash", "graph", "subj", "pred", "obj")
+  private val QuadCarry = Seq("graph", "subj", "pred", "obj")
+
+  /** [[write]] for quads (graph, subj, pred, obj, src_url, warc_ts):
+    * the same ONE-exchange dedup+write — graph joins the group keys,
+    * which stay a superset of the (pred_hash, subj_salt) partitioning.
+    */
+  def writeQuads(
+      quads: DataFrame,
+      out: String,
+      predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt): Unit = {
+    val df = withPredHash(quads, predBuckets)
+      .withColumn("subj_salt", saltCol(Map.empty, salt))
+    df.repartition(col("pred_hash"), col("subj_salt"))
+      .groupBy(col("pred_hash"), col("subj_salt"),
+        col("graph"), col("subj"), col("pred"), col("obj"))
+      .agg(min(struct(col("src_url"), col("warc_ts"))).as("prov"))
+      .select(col("graph"), col("subj"), col("pred"), col("obj"),
+        col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
+        col("pred_hash"))
+      .write.mode("overwrite")
+      .partitionBy("pred_hash")
+      .parquet(out)
+  }
+
+  /** [[appendDeltaOps]] for quad deltas (…, graph, op): one delta-sized
+    * salted exchange, bytes written ∝ delta; tombstones are graph-scoped.
+    */
+  def appendQuadDeltaOps(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      deltaOps: DataFrame,
+      predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt): Unit = {
+    val ops = deltaOps.select(col("graph"), col("subj"), col("pred"), col("obj"),
+      col("src_url"), col("warc_ts"), col("op"))
+    if (ops.isEmpty) return // empty append would leave a _SUCCESS-only dir
+    val seq = deltaBatchCount(spark, out) + 1L
+    val df = withPredHash(ops, predBuckets)
+      .withColumn("subj_salt", saltCol(Map.empty, salt))
+    df.repartition(col("pred_hash"), col("subj_salt"))
+      .groupBy(col("pred_hash"), col("subj_salt"),
+        col("graph"), col("subj"), col("pred"), col("obj"), col("op"))
+      .agg(min(struct(col("src_url"), col("warc_ts"))).as("prov"))
+      .select(col("graph"), col("subj"), col("pred"), col("obj"),
+        col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
+        col("op"), lit(seq).as("batch_seq"), col("pred_hash"))
+      .write.mode("append").partitionBy("pred_hash").parquet(deltaDir(out))
+    val (fs, dir) = fsOf(spark, batchMarkerDir(out))
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir,
+      s"batch-${java.util.UUID.randomUUID()}"), false).close()
+  }
+
+  /** [[readMerged]] for quad tables: identical bounded merge-on-read —
+    * only delta-touched pred_hash partitions pay the resolution exchange,
+    * with `graph` in the window/group keys so retractions stay scoped to
+    * their named graph.
+    */
+  def readMergedQuads(
+      spark: org.apache.spark.sql.SparkSession, out: String): DataFrame = {
+    val base = read(spark, out)
+    if (!pendingDeltas(spark, out)) base
+    else {
+      val deltas = spark.read.parquet(deltaDir(out))
+      val touched = deltas.select(col("pred_hash").cast("int")).distinct()
+        .collect().map(_.getInt(0)) // bounded by predBuckets, never by data
+      val outCols = (QuadCarry ++ Seq("src_url", "warc_ts", "pred_hash")).map(col)
+      val untouched = base.filter(!col("pred_hash").isin(touched: _*)).select(outCols: _*)
+      val rows = base.filter(col("pred_hash").isin(touched: _*))
+        .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+        .unionByName(deltas)
+      val merged = resolveOps(
+        rows.repartition(QuadKeys.map(col): _*), QuadKeys, QuadCarry)
+      untouched.unionByName(merged)
+    }
+  }
+
+  /** [[compact]] for quad tables: fold the delta log into the base with
+    * the graph-scoped resolution riding the one salted exchange, then
+    * drop the log.
+    */
+  def compactQuads(
+      spark: org.apache.spark.sql.SparkSession,
+      out: String,
+      predBuckets: Int = DefaultPredBuckets,
+      salt: Int = DefaultSalt,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Unit = {
+    if (!pendingDeltas(spark, out)) return
+    val (fs, dd) = fsOf(spark, deltaDir(out))
+    val deltas = spark.read.parquet(deltaDir(out))
+    val touched = deltas.select(col("pred_hash").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val opCols = QuadCarry ++ Seq("src_url", "warc_ts", "op", "batch_seq")
+    val existing = read(spark, out)
+      .filter(col("pred_hash").isin(touched: _*))
+      .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+    val rows = existing.select(opCols.map(col): _*)
+      .unionByName(deltas.select(opCols.map(col): _*))
+    val salted = withPredHash(rows, predBuckets)
+      .withColumn("subj_salt", saltCol(Map.empty, salt))
+      .repartition(col("pred_hash"), col("subj_salt"))
+    val merged = checkpoint.truncate(
+      resolveOps(salted,
+        Seq("pred_hash", "subj_salt", "graph", "subj", "pred", "obj"), QuadCarry))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pred_hash")
+      .parquet(out)
+    fs.delete(dd, true)
+    val (bfs, bd) = fsOf(spark, batchMarkerDir(out))
+    bfs.delete(bd, true)
   }
 }

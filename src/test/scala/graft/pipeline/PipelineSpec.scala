@@ -583,6 +583,83 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("quad LSM: tombstones scope to their named graph; untouched partitions bypass the exchange; compact folds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, lit => l, when}
+    val ts = new java.sql.Timestamp(0L)
+    val out = Files.createTempDirectory("graft_quad_lsm_").toString
+    def quads(rows: (String, String, String, String)*) =
+      rows.toDF("graph", "subj", "pred", "obj")
+        .withColumn("src_url", c("graph")).withColumn("warc_ts", l(ts))
+    try {
+      // the SAME (s, p, o) lives in two graphs; a cold predicate rides along
+      Materialize.writeQuads(quads(
+        ("<g:1>", "<s>", "<p:hot>", "\"a\""),
+        ("<g:2>", "<s>", "<p:hot>", "\"a\""),
+        ("<g:1>", "<c>", "<p:cold>", "\"c\"")), out)
+      // retract (s, p, o) in g:1 ONLY, assert a new quad in g:2
+      Materialize.appendQuadDeltaOps(spark, out, quads(
+        ("<g:1>", "<s>", "<p:hot>", "\"a\""),
+        ("<g:2>", "<t>", "<p:hot>", "\"b\""))
+        .withColumn("op", when(c("graph") === "<g:1>", "del").otherwise("add")))
+      def view() = Materialize.readMergedQuads(spark, out)
+        .select("graph", "subj", "obj").as[(String, String, String)].collect().toSet
+      assert(view() == Set(
+        ("<g:2>", "<s>", "\"a\""), // the sibling graph's identical triple SURVIVES
+        ("<g:2>", "<t>", "\"b\""),
+        ("<g:1>", "<c>", "\"c\"")), s"got ${view()}")
+      // bounded merge-on-read carries over: one exchange, cold bypasses
+      val plan = Materialize.readMergedQuads(spark, out)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"untouched quad partitions must bypass the dedup exchange:\n${plan.take(2000)}")
+      // compact folds the log; the merged view is now the base
+      Materialize.compactQuads(spark, out)
+      assert(!new java.io.File(s"$out/_delta").exists())
+      assert(view() == Set(("<g:2>", "<s>", "\"a\""), ("<g:2>", "<t>", "\"b\""),
+        ("<g:1>", "<c>", "\"c\"")))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("updateWhereGraph: one named graph rewrites, sibling base files byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    val ts = new java.sql.Timestamp(0L)
+    val out = Files.createTempDirectory("graft_quad_upd_").toString
+    try {
+      val quads = Seq(
+        ("<g:1>", "<d1>", "<p:src>", "\"s1\""), ("<g:1>", "<d1>", "<p:lang>", "\"en\""),
+        ("<g:2>", "<d2>", "<p:src>", "\"s2\""), ("<g:2>", "<d2>", "<p:lang>", "\"en\""))
+        .toDF("graph", "subj", "pred", "obj")
+        .withColumn("src_url", c("graph")).withColumn("warc_ts", l(ts))
+      Materialize.writeQuads(quads, out)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def baseFiles() = walk(new java.io.File(out))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("_delta"))
+        .map(f => (f.getPath, f.lastModified, f.length)).toSet
+      val before = baseFiles()
+      graft.ops.GraphOps.updateWhereGraph(spark, out, "<g:1>",
+        delete = Seq(graft.ops.GraphOps.ConstructTemplate("d", "<p:src>", "s")),
+        insert = Seq(graft.ops.GraphOps.ConstructTemplate("d", "<p:arch>", "s")),
+        where = Seq(
+          graft.ops.GraphOps.ChainPattern("d", "<p:src>", oVar = Some("s")),
+          graft.ops.GraphOps.ChainPattern("d", "<p:lang>", oConst = Some("\"en\""))),
+        predCounts = Map.empty, srcUrl = "upd", ts = ts)
+      // the update is append-only: every base file untouched on disk
+      assert(baseFiles() == before, "updateWhereGraph rewrote base files")
+      val got = Materialize.readMergedQuads(spark, out)
+        .select("graph", "subj", "pred", "obj")
+        .as[(String, String, String, String)].collect().toSet
+      assert(got == Set(
+        ("<g:1>", "<d1>", "<p:arch>", "\"s1\""), ("<g:1>", "<d1>", "<p:lang>", "\"en\""),
+        ("<g:2>", "<d2>", "<p:src>", "\"s2\""), ("<g:2>", "<d2>", "<p:lang>", "\"en\"")),
+        s"got $got")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("readAsOf: every historical state reproducible; compact consumes history") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
