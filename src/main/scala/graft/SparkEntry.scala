@@ -565,6 +565,31 @@ object SparkEntry {
     "emb18_knn_graph" -> ((s, d) =>
       EmbeddingOps.knnGraphCells(t(s, d, "embeddings"), k = 5)),
 
+    // IVF DELTA PATH: build the index on vec_id % 3 != 0, APPEND the % 3
+    // vectors into the existing cells (one narrow pass vs the stored
+    // centroids), tombstone-DELETE vec_id % 5, search the merged view —
+    // must equal a fresh rebuild over the live set (% 5 != 0) with the
+    // same centroids; base files stay append-only until compaction
+    "emb19_ann_ivf_delta" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft_emb19_").toString
+      try {
+        val cents = Array.tabulate(EmbeddingOps.IvfCells)(k =>
+          EmbeddingOps.ivfCentroid(k, 64).map(_ * 1000L))
+        graft.ops.IvfStore.write(
+          emb.filter(col("vec_id") % 3 =!= 0), s"$dir/ivf", cents)
+        graft.ops.IvfStore.appendVectors(s, s"$dir/ivf",
+          emb.filter(col("vec_id") % 3 === 0))
+        graft.ops.IvfStore.deleteVectors(s, s"$dir/ivf",
+          emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+        graft.ops.IvfStore.searchTopK(s, s"$dir/ivf", k = 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cos"))
+          .localCheckpoint() // eager — the scratch index dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // multi-probe SRP ANN: each query also probes every Hamming-1 bucket
     // (5 of 16 at 4 planes) — the recall control single-bucket emb04 lacks;
     // oracle = brute force restricted to the probed bucket set
@@ -2040,7 +2065,13 @@ object SparkEntry {
     * generated from the same [[EmbeddingOps.ivfCentroid]] spec; assignment
     * and scoring are exact integer arithmetic on the grid.
     */
-  private val ivfOracle: String = {
+  private val ivfOracle: String = ivfOracleWhere("TRUE")
+
+  /** [[ivfOracle]] restricted to a live-vector predicate — the emb19 twin
+    * (an IVF delta store's merged search equals the fresh rebuild over the
+    * live set, which is exactly this filter).
+    */
+  private def ivfOracleWhere(where: String): String = {
     val cents = (0 until EmbeddingOps.IvfCells).map { k =>
       val c = EmbeddingOps.ivfCentroid(k, 64)
       val norm = c.map(x => x * x).sum
@@ -2050,6 +2081,7 @@ object SparkEntry {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
        |  FROM embeddings
+       |  WHERE $where
        |), cent AS (
        |$cents
        |), assign AS (
@@ -3571,6 +3603,9 @@ object SparkEntry {
          |WHERE rn <= 5""".stripMargin,
 
     "emb05_ann_ivf" -> ivfOracle,
+
+    // the delta store's merged search == fresh IVF over the live set
+    "emb19_ann_ivf_delta" -> ivfOracleWhere("vec_id % 5 <> 0"),
 
     "emb06_ann_multiprobe" -> multiProbeOracle,
 

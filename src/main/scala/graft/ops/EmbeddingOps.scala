@@ -24,7 +24,7 @@ object EmbeddingOps {
     * never inside a pairwise join (norm recomputation per pair dominated
     * the first profile of these ops).
     */
-  private def gridded(embeddings: DataFrame): DataFrame =
+  private[ops] def gridded(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), gridCol.as("g"))
       .withColumn("n", aggregate(col("g"), lit(0L), (acc, v) => acc + v * v))
 
@@ -196,7 +196,7 @@ object EmbeddingOps {
     * Ordering parity with the SQL oracle: exact integer dot / IEEE sqrt,
     * ties broken by ascending neighbor id.
     */
-  private def annWithinKey(g: DataFrame, keyCol: String, k: Int): DataFrame = {
+  private[ops] def annWithinKey(g: DataFrame, keyCol: String, k: Int): DataFrame = {
     val spark = g.sparkSession
     import spark.implicits._
     val grouped = g.select(col(keyCol).cast("string").as("key"),
@@ -1065,6 +1065,26 @@ object EmbeddingOps {
     * through a vec_id join, the difference between one exchange and two
     * at 10^9 vectors.
     */
+  /** Exact-integer cell argmin over ×1000-grid centroid literals — the
+    * assignment kernel shared by the Lloyd loop and the [[IvfStore]] delta
+    * path (new vectors assign against broadcast-as-literals centroids in
+    * ONE narrow pass). Both-ways slice (see ivfCellsRankedExpr): truncate
+    * over-length vectors to the centroid basis instead of null-poisoning
+    * distances; ties break to the lowest k.
+    */
+  private[ops] def assignCellExpr(
+      m: Array[Array[Long]], dims: Int): org.apache.spark.sql.Column = {
+    val g1000 = transform(slice(col("g"), lit(1), lit(dims)), x => x * 1000L)
+    val scored = m.indices.map { k =>
+      val cSliced = slice(array(m(k).map(lit(_)): _*), lit(1), size(g1000))
+      val d = aggregate(zip_with(g1000, cSliced, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+      struct(d.as("d"), lit(k).as("k"))
+    }
+    transform(sort_array(array(scored: _*), asc = true), s => s.getField("k"))
+      .getItem(0).cast("long")
+  }
+
   def kmeansRefine(
       embeddings: DataFrame, cells: Int = IvfCells,
       dims: Int = 64, iterations: Int = 1,
@@ -1077,20 +1097,8 @@ object EmbeddingOps {
       .withColumn("cell0", ivfCellExpr(cells, dims).cast("long"))
       .select(col("vec_id"), col("g"), col("n"), col("cell0"))
 
-    // argmin over quantized centroid literals on the 1000× grid
-    def assignExpr(m: Array[Array[Long]]): org.apache.spark.sql.Column = {
-      // both-ways slice (see ivfCellsRankedExpr): truncate over-length
-      // vectors to the centroid basis instead of null-poisoning distances
-      val g1000 = transform(slice(col("g"), lit(1), lit(dims)), x => x * 1000L)
-      val scored = m.indices.map { k =>
-        val cSliced = slice(array(m(k).map(lit(_)): _*), lit(1), size(g1000))
-        val d = aggregate(zip_with(g1000, cSliced, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-        struct(d.as("d"), lit(k).as("k"))
-      }
-      transform(sort_array(array(scored: _*), asc = true), s => s.getField("k"))
-        .getItem(0).cast("long")
-    }
+    def assignExpr(m: Array[Array[Long]]): org.apache.spark.sql.Column =
+      assignCellExpr(m, dims)
 
     // loop-invariant scan+grid+seed-argmin persisted once (the pageRank
     // discipline): each Lloyd iteration reads these blocks instead of

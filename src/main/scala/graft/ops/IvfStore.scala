@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF vector index with an LSM DELTA PATH — the embedding
+  * store's counterpart to [[graft.pipeline.Materialize]]'s tombstone log.
+  * The graph store has had append/retract/time-travel since round 6; this
+  * closes the same gap for vectors: new vectors APPEND into existing cells
+  * (one narrow assignment pass against the stored centroids — training
+  * stays periodic, exactly how production IVF indexes absorb writes),
+  * deletions are vec_id tombstones resolved at read time, and compaction
+  * folds both into the base.
+  *
+  * Layout under `out`:
+  *   - `base/` — (vec_id, g, n, cell) parquet partitioned by cell
+  *   - `_delta/` — base columns + (op, batch_seq), partitioned by cell
+  *   - `_centroids/` — (k, m) the trained coarse quantizer on the ×1000
+  *     integer grid ([[EmbeddingOps.kmeansRefine]]'s convention), so every
+  *     append and every search uses THE SAME quantizer the base was built
+  *     with (an index is its centroids; a rebuild refreshes both)
+  *   - `_delta_batches/` — one marker file per batch (the O(1) sequence
+  *     counter, the Materialize discipline)
+  *
+  * Scale shapes: append assigns against centroid LITERALS (cells×dims
+  * longs in the plan — nothing collects, nothing joins) and writes bytes
+  * ∝ delta (spec-pinned on FS sizes); deletes look the doomed ids' cells
+  * up with one broadcast semi-join (the id→cell lookup every real vector
+  * store does) so tombstones carry their cell and resolution stays
+  * cell-local; the merged read resolves ONLY delta-touched cells — the
+  * untouched base streams as a pruned scan, no exchange.
+  */
+object IvfStore {
+
+  private def baseDir(out: String) = s"$out/base"
+  private def deltaDir(out: String) = s"$out/_delta"
+  private def centDir(out: String) = s"$out/_centroids"
+  private def markerDir(out: String) = s"$out/_delta_batches"
+
+  val OpAdd = "add"
+  val OpDel = "del"
+
+  private def fsOf(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  private def hasDelta(spark: SparkSession, out: String): Boolean = {
+    val (fs, dd) = fsOf(spark, deltaDir(out))
+    fs.exists(dd) && {
+      val it = fs.listFiles(dd, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
+  }
+
+  /** Delta batches appended since the last [[compact]]/[[write]]. */
+  def deltaBatchCount(spark: SparkSession, out: String): Int = {
+    val (fs, dir) = fsOf(spark, markerDir(out))
+    if (fs.exists(dir)) fs.listStatus(dir).length else 0
+  }
+
+  private def writeMarker(spark: SparkSession, out: String): Unit = {
+    val (fs, dir) = fsOf(spark, markerDir(out))
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir,
+      s"batch-${java.util.UUID.randomUUID()}"), false).close()
+  }
+
+  /** Build (or rebuild) the index: assign every vector to its nearest
+    * stored-centroid cell (exact ×1000-grid integer distance, ties to the
+    * lowest k) and persist base + centroids. `centroids` come from
+    * [[EmbeddingOps.kmeansRefine]]'s trained table or the deterministic
+    * seeds ×1000 — training is the caller's periodic job, not this path.
+    */
+  def write(
+      embeddings: DataFrame, out: String,
+      centroids: Array[Array[Long]], dims: Int = 64): Unit = {
+    require(centroids.nonEmpty, "an IVF index needs at least one centroid")
+    val spark = embeddings.sparkSession
+    EmbeddingOps.gridded(embeddings)
+      .withColumn("cell", EmbeddingOps.assignCellExpr(centroids, dims))
+      .select(col("vec_id"), col("g"), col("n"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(baseDir(out))
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (m, k) => (k.toLong, m.toSeq) }.toSeq
+      .toDF("k", "m")
+      .coalesce(1).write.mode("overwrite").parquet(centDir(out))
+    val (fs, md) = fsOf(spark, markerDir(out))
+    fs.delete(md, true)
+    val (dfs, dd) = fsOf(spark, deltaDir(out))
+    dfs.delete(dd, true)
+  }
+
+  /** The stored coarse quantizer — collect bounded by cells×dims. */
+  def centroids(spark: SparkSession, out: String): Array[Array[Long]] =
+    spark.read.parquet(centDir(out)).orderBy(col("k").asc).collect()
+      .map(_.getSeq[Long](1).toArray)
+
+  /** APPEND new vectors into the existing cells: one narrow pass (grid →
+    * assign against centroid literals → write), bytes ∝ delta. The index
+    * serves them on the next [[readMerged]]/[[searchTopK]] — no rebuild.
+    */
+  def appendVectors(spark: SparkSession, out: String, vectors: DataFrame): Unit = {
+    val m = centroids(spark, out)
+    val rows = EmbeddingOps.gridded(vectors)
+      .withColumn("cell", EmbeddingOps.assignCellExpr(m, m(0).length))
+    if (rows.isEmpty) return
+    val seq = deltaBatchCount(spark, out) + 1L
+    rows.select(col("vec_id"), col("g"), col("n"), col("cell"),
+      lit(OpAdd).as("op"), lit(seq).as("batch_seq"))
+      .write.mode("append").partitionBy("cell").parquet(deltaDir(out))
+    writeMarker(spark, out)
+  }
+
+  /** DELETE vectors by id: the doomed ids' cells come from one broadcast
+    * semi-join against the merged view (cell-pruned scans — the id→cell
+    * lookup), and the tombstones land cell-partitioned so read-time
+    * resolution never leaves the cell. Ids not in the index are ignored.
+    */
+  def deleteVectors(spark: SparkSession, out: String, vecIds: DataFrame): Unit = {
+    val ids = vecIds.select(col(vecIds.columns.head).cast("long").as("vec_id"))
+    // materialize the delta-sized batch ONCE: the lookup plan reads the
+    // very delta log the write below appends to (the updateWhere rule)
+    val doomed = readMerged(spark, out)
+      .join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    if (doomed.isEmpty) return
+    val seq = deltaBatchCount(spark, out) + 1L
+    doomed.select(col("vec_id"), col("g"), col("n"), col("cell"),
+      lit(OpDel).as("op"), lit(seq).as("batch_seq"))
+      .write.mode("append").partitionBy("cell").parquet(deltaDir(out))
+    writeMarker(spark, out)
+  }
+
+  /** The live vector set: base ∪ delta with tombstones resolved
+    * latest-batch-wins (within a batch del wins — a batch retracts before
+    * it asserts, the Materialize rule). Only delta-touched CELLS pay the
+    * resolution exchange; with no pending delta this is the plain base
+    * scan.
+    */
+  def readMerged(spark: SparkSession, out: String): DataFrame = {
+    // partition discovery types the cell column as INT on read — pin the
+    // long contract at the boundary
+    val base = spark.read.parquet(baseDir(out))
+      .select(col("vec_id"), col("g"), col("n"), col("cell").cast("long").as("cell"))
+    if (!hasDelta(spark, out)) base
+    else {
+      val deltas = spark.read.parquet(deltaDir(out))
+        .withColumn("cell", col("cell").cast("long"))
+      val touched = deltas.select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)) // bounded by the cell count, never data
+      val untouched = base.filter(!col("cell").isin(touched: _*))
+      val rows = base.filter(col("cell").isin(touched: _*))
+        .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+        .unionByName(deltas.select(col("vec_id"), col("g"), col("n"),
+          col("cell"), col("op"), col("batch_seq")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell"), col("vec_id"))
+      val resolved = rows
+        .withColumn("_dseq", coalesce(
+          max(when(col("op") === OpDel, col("batch_seq"))).over(w), lit(-1L)))
+        .filter(col("op") === OpAdd && col("batch_seq") > col("_dseq"))
+        .groupBy(col("cell"), col("vec_id"))
+        .agg(max(struct(col("batch_seq"), col("g"), col("n"))).as("v"))
+        .select(col("vec_id"), col("v.g").as("g"), col("v.n").as("n"), col("cell"))
+      untouched.unionByName(resolved)
+    }
+  }
+
+  /** IVF top-k over the LIVE set: [[EmbeddingOps.annWithinKey]] on the
+    * merged cells — equal to a fresh rebuild's search by construction
+    * (same centroids, same live vectors; the emb19 gate pins it).
+    */
+  def searchTopK(spark: SparkSession, out: String, k: Int): DataFrame =
+    EmbeddingOps.annWithinKey(readMerged(spark, out), "cell", k)
+
+  /** Fold the delta log into the base (dynamic overwrite of touched cell
+    * partitions only) and clear it. Tombstones are consumed here.
+    */
+  def compact(
+      spark: SparkSession, out: String,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): Unit = {
+    if (!hasDelta(spark, out)) return
+    val deltas = spark.read.parquet(deltaDir(out))
+      .withColumn("cell", col("cell").cast("long"))
+    val touched = deltas.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0))
+    val base = spark.read.parquet(baseDir(out))
+      .select(col("vec_id"), col("g"), col("n"), col("cell").cast("long").as("cell"))
+    val rows = base.filter(col("cell").isin(touched: _*))
+      .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+      .unionByName(deltas.select(col("vec_id"), col("g"), col("n"),
+        col("cell"), col("op"), col("batch_seq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), col("vec_id"))
+    val resolved = checkpoint.truncate(rows
+      .withColumn("_dseq", coalesce(
+        max(when(col("op") === OpDel, col("batch_seq"))).over(w), lit(-1L)))
+      .filter(col("op") === OpAdd && col("batch_seq") > col("_dseq"))
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(max(struct(col("batch_seq"), col("g"), col("n"))).as("v"))
+      .select(col("vec_id"), col("v.g").as("g"), col("v.n").as("n"), col("cell")))
+    resolved.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(baseDir(out))
+    val (fs, dd) = fsOf(spark, deltaDir(out))
+    fs.delete(dd, true)
+    val (mfs, md) = fsOf(spark, markerDir(out))
+    mfs.delete(md, true)
+  }
+}

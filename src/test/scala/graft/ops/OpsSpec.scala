@@ -1978,6 +1978,60 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getString(0) == "x\"y" && row.getString(1) == "en", tagged)
   }
 
+  test("IvfStore delta path: append/delete/update resolve to the fresh rebuild; bytes ∝ delta") {
+    val s = spark
+    import s.implicits._
+    def emb(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+    // two well-separated planted cells around the ×1000-grid centroids
+    val c0 = Array(1000L, 0L)
+    val c1 = Array(-1000L, 0L)
+    val v = Map(
+      0L -> Seq(1.0, 0.1), 1L -> Seq(0.9, -0.1), 2L -> Seq(-1.0, 0.1),
+      3L -> Seq(-0.9, -0.1), 4L -> Seq(0.95, 0.0), 5L -> Seq(-0.95, 0.0))
+    val out = java.nio.file.Files.createTempDirectory("graft_ivfstore_").toString
+    try {
+      IvfStore.write(emb(v.filterKeys(_ < 4).toSeq.sortBy(_._1): _*),
+        s"$out/i", Array(c0, c1), dims = 2)
+      // no pending delta: the merged read is the plain base scan — no exchange
+      val basePlan = IvfStore.readMerged(s, s"$out/i")
+        .queryExecution.executedPlan.toString
+      assert(!basePlan.contains("Exchange"), basePlan.take(500))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def baseFiles() = walk(new java.io.File(s"$out/i/base"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified, f.length)).toSet
+      val before = baseFiles()
+      // append 4, 5 into the EXISTING cells; delete 1 and 3; re-append 1
+      // with a MOVED vector (update: latest add wins)
+      IvfStore.appendVectors(s, s"$out/i", emb(4L -> v(4L), 5L -> v(5L)))
+      IvfStore.deleteVectors(s, s"$out/i", Seq(1L, 3L).toDF("vec_id"))
+      IvfStore.appendVectors(s, s"$out/i", emb(1L -> Seq(-0.8, 0.0)))
+      assert(baseFiles() == before, "the delta path rewrote base files")
+      val live = IvfStore.readMerged(s, s"$out/i")
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // 3 deleted; 1 resurrected on the OTHER side; 4/5 appended
+      assert(live == Map(0L -> 0L, 2L -> 1L, 4L -> 0L, 5L -> 1L, 1L -> 1L), live.toString)
+      // merged search == fresh rebuild over the live set with same centroids
+      val mergedTop = IvfStore.searchTopK(s, s"$out/i", k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      IvfStore.write(emb(
+        0L -> v(0L), 2L -> v(2L), 4L -> v(4L), 5L -> v(5L), 1L -> Seq(-0.8, 0.0)),
+        s"$out/fresh", Array(c0, c1), dims = 2)
+      val freshTop = IvfStore.searchTopK(s, s"$out/fresh", k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(mergedTop == freshTop, s"merged $mergedTop != fresh $freshTop")
+      // compact folds the log; the view and search are unchanged
+      IvfStore.compact(s, s"$out/i")
+      assert(!new java.io.File(s"$out/i/_delta").exists())
+      val afterTop = IvfStore.searchTopK(s, s"$out/i", k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(afterTop == mergedTop)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("annFiltered: pre-filter restricts candidates before ranking") {
     val s = spark
     import s.implicits._
