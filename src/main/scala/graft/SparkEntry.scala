@@ -1262,6 +1262,61 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // SPARQL as TEXT (the kg66 front-end): the full grammar→algebra
+    // pipeline — graft.sparql lexes/parses the query STRING and lowers it
+    // onto the same bgpChain/bgpAggregate/bgpSelect plans the typed API
+    // produces (pred-pruned scans, one map-side-combined group exchange).
+    // Chain sugar, a numeric + STRSTARTS FILTER, GROUP BY with the
+    // aggregate family, ORDER BY — one query exercising the whole surface
+    "kg66_sparql_text" -> ((s, d) => {
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      graft.sparql.SparqlExec.query(s,
+        s"""PREFIX p: <${GraphOps.PropPrefix}>
+           |SELECT ?l (COUNT(*) AS ?n_docs) (SUM(?n) AS ?sum_nchars)
+           |       (MAX(?src) AS ?max_src)
+           |WHERE {
+           |  ?d p:lang ?l ;
+           |     p:nchars ?n ;
+           |     p:source ?src .
+           |  FILTER (?n >= 120 && STRSTARTS(STR(?d), "${GraphOps.DocPrefix}"))
+           |}
+           |GROUP BY ?l
+           |ORDER BY ?l""".stripMargin,
+        (_: String) => triples, counts)
+    }),
+
+    // SPARQL CONSTRUCT as TEXT: template instantiation from a parsed
+    // string — the graph-producing half of the front-end (zero joins:
+    // per-template projections of one solution set, final distinct)
+    "kg70_sparql_construct" -> ((s, d) => {
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      graft.sparql.SparqlExec.query(s,
+        s"""PREFIX p: <${GraphOps.PropPrefix}>
+           |CONSTRUCT { ?d p:tongue ?l . ?d p:origin ?src }
+           |WHERE { ?d p:lang ?l ; p:source ?src }""".stripMargin,
+        (_: String) => triples, counts)
+    }),
+
+    // SPARQL ASK as TEXT: kg54's two probes (satisfiable "fr", empty
+    // "zz") parsed from strings — each lowers to the short-circuiting
+    // CollectLimit(1) plan
+    "kg71_sparql_ask" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      def ask(lang: String) = graft.sparql.SparqlExec.query(s,
+        s"""PREFIX p: <$P>
+           |ASK { ?d p:lang "$lang" ; p:nchars ?n }""".stripMargin,
+        (_: String) => triples, counts)
+        .select(lit(lang).as("probe"), col("result"))
+      ask("fr").unionByName(ask("zz"))
+    }),
+
     // SHACL-lite validation: per-property cardinality/datatype/enum rules
     // over the constructed graph, one violation row per breach; four
     // corruption classes planted by doc-id arithmetic so every rule fires
@@ -2923,6 +2978,38 @@ object SparkEntry {
          |       THEN '${GraphOps.PropPrefix}archived' ELSE t.pred END AS pred,
          |  t.obj
          |FROM tri t JOIN documents dd USING (doc_id)""".stripMargin,
+
+    // the TEXT front-end's flagship: the SPARQL string's algebra in SQL —
+    // group by lang over docs with ≥120 chars (every doc IRI trivially
+    // passes the STRSTARTS probe), BIGINT-exact integer sum (kg38 rule),
+    // lexicographic MAX over rendered source literals (kg65 rule)
+    "kg66_sparql_text" ->
+      s"""SELECT '"' || lang || '"' AS l,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+         |  MAX('"' || source || '"') AS max_src
+         |FROM documents WHERE n_chars >= 120
+         |GROUP BY 1""".stripMargin,
+
+    // CONSTRUCT from text: two template projections, set semantics
+    "kg70_sparql_construct" ->
+      s"""SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,
+         |  '${GraphOps.PropPrefix}tongue' AS pred, '"' || lang || '"' AS obj
+         |FROM documents
+         |UNION
+         |SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,
+         |  '${GraphOps.PropPrefix}origin' AS pred, '"' || source || '"' AS obj
+         |FROM documents""".stripMargin,
+
+    // ASK from text: kg54's two-probe oracle verbatim
+    "kg71_sparql_ask" ->
+      """SELECT 'fr' AS probe,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM documents WHERE lang = 'fr')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS result
+        |UNION ALL
+        |SELECT 'zz' AS probe,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM documents WHERE lang = 'zz')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS result""".stripMargin,
 
     // the three historical states in closed form: base (%3≠0), +batch-1
     // adds (all), +batch-2 retractions (%5≠0 survives)

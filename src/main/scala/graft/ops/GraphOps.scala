@@ -634,7 +634,7 @@ object GraphOps {
   def bgpSelect(
       sol: DataFrame, project: Seq[String], distinct: Boolean = false,
       orderBy: Seq[OrderKey] = Nil, limit: Option[Int] = None,
-      rankVar: Option[String] = None): DataFrame = {
+      rankVar: Option[String] = None, offset: Option[Int] = None): DataFrame = {
     require(project.nonEmpty, "SELECT needs at least one variable")
     val missing = project.filterNot(sol.columns.contains)
     require(missing.isEmpty, s"projected variables not bound: $missing")
@@ -645,6 +645,11 @@ object GraphOps {
     val sortCols = orderBy.map(o =>
       if (o.ascending) col(o.variable).asc else col(o.variable).desc)
     if (sortCols.nonEmpty) out = out.orderBy(sortCols: _*)
+    // SPARQL slice order: OFFSET skips, then LIMIT caps what remains
+    offset.foreach { n =>
+      require(orderBy.nonEmpty, "OFFSET needs a total order to be deterministic")
+      out = out.offset(n)
+    }
     limit.foreach(n => out = out.limit(n))
     rankVar.foreach { rv =>
       require(orderBy.nonEmpty && limit.isDefined,

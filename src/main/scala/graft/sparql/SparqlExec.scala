@@ -1,0 +1,436 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.ops.GraphOps
+import graft.pipeline.CheckpointPolicy
+import SparqlAst._
+
+/** Lowers a parsed SPARQL query ([[SparqlAst]]) onto the graft BGP algebra
+  * ([[graft.ops.GraphOps]]): every construct maps to an EXISTING,
+  * oracle-checked operator — triple patterns to [[GraphOps.bgpChain]]
+  * (pred-pruned scans, sketch-driven join order), property paths to
+  * [[GraphOps.evalPath]] (bounded closures on the CheckpointPolicy),
+  * OPTIONAL to left joins, MINUS to the disjoint-domain-aware anti join,
+  * FILTER NOT EXISTS to left-anti, UNION to [[GraphOps.bgpUnion]], VALUES
+  * to the broadcast join, aggregates to [[GraphOps.bgpAggregate]], solution
+  * modifiers to [[GraphOps.bgpSelect]]. The front-end adds NO new physical
+  * shapes — text in, the same plans the typed API produces out.
+  *
+  * Subset semantics (documented deviations, each rejected-or-pinned, never
+  * silently wrong):
+  *   - All triple patterns of one group merge into ONE BGP solved before
+  *     OPTIONAL/MINUS/NOT EXISTS apply (the well-designed-pattern algebra).
+  *   - `p+`/`p*` closures are bounded by [[Config.maxHops]] — the engine's
+  *     explicit-depth contract for web-scale graphs (kg41/kg68).
+  *   - GROUP_CONCAT concatenates in SORTED order (SPARQL leaves order
+  *     undefined; the engine pins the deterministic one, kg65 rule).
+  *   - SUM coerces integer lexical forms (BIGINT-exact, the kg38 rule);
+  *     non-numeric terms in a SUM or numeric FILTER compare as null/false.
+  *   - ORDER BY sorts the RENDERED term text (the kg50 rule).
+  *   - An aggregate query requires an explicit GROUP BY.
+  */
+object SparqlExec {
+
+  /** `maxHops` bounds every `+`/`*` path closure (explicit depth opt-in);
+    * `checkpoint` threads the closure loops' lineage policy.
+    */
+  final case class Config(
+      maxHops: Int = 8,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local)
+
+  /** Parse + lower + return the solution DataFrame for a SPARQL string.
+    *
+    * `patternSource(pred)` supplies each predicate's triple rows (pass
+    * `Materialize.readPred` on a materialized graph so every pattern scan
+    * prunes to its pred_hash partitions); `fullSource` supplies the whole
+    * triple table and is required only by negated property sets (`!p` —
+    * the complement cannot predicate-prune). Rejections — syntax errors
+    * and constructs outside the subset — raise [[SparqlAst.Diag]] with the
+    * source span; [[diagnose]] converts them to reject rows.
+    */
+  def query(
+      spark: SparkSession,
+      q: String,
+      patternSource: String => DataFrame,
+      predCounts: Map[String, Long],
+      fullSource: Option[() => DataFrame] = None,
+      config: Config = Config()): DataFrame = {
+    val ast = SparqlParser.parse(q)
+    val ctx = new Ctx(spark, patternSource, predCounts, fullSource, config)
+    ast match {
+      case s: Select => ctx.lowerSelect(s)
+      case Ask(where) =>
+        val sol = ctx.lowerGroup(where)
+        val any = sol.limit(1).select(lit(1L).as("result"))
+        import spark.implicits._
+        Seq(0L).toDF("_z").join(any, lit(true), "left")
+          .select(coalesce(col("result"), lit(0L)).as("result"))
+      case Construct(templates, where) =>
+        val sol = ctx.lowerGroup(where)
+        val ts = templates.map { t =>
+          val sv = t.s match {
+            case Term.V(v) => v
+            case _ => throw Diag("CONSTRUCT template subjects must be variables", t.start, t.end)
+          }
+          val p = Path.simple(t.p).getOrElse(
+            throw Diag("CONSTRUCT template predicates must be plain IRIs", t.start, t.end))
+          val ov = t.o match {
+            case Term.V(v) => v
+            case _ => throw Diag("CONSTRUCT template objects must be variables", t.start, t.end)
+          }
+          GraphOps.ConstructTemplate(sv, p, ov)
+        }
+        GraphOps.construct(sol, ts)
+    }
+  }
+
+  /** The diagnostic-sink row (the reference's `examples/simple.rs:27-37`
+    * error channel): None on success, Some(message, start, end) on reject.
+    */
+  def diagnose(q: String): Option[(String, Int, Int)] =
+    try { SparqlParser.parse(q); None }
+    catch { case d: Diag => Some((d.message, d.start, d.end)) }
+
+  /** Decode a RENDERED term to its lexical form (pure twin of
+    * [[GraphOps.TermFns.termStr]], for constants).
+    */
+  private[sparql] def lexicalOf(rendered: String): String =
+    if (rendered.startsWith("<")) rendered.stripPrefix("<").stripSuffix(">")
+    else if (rendered.startsWith("\"")) {
+      val m = "^\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(rendered)
+      val body = m.map(_.group(1)).getOrElse("")
+      Seq("\\n" -> "\n", "\\r" -> "\r", "\\t" -> "\t", "\\b" -> "\b",
+        "\\f" -> "\f", "\\u0022" -> "\"", "\\u005c" -> "\\")
+        .foldLeft(body) { case (a, (e, r)) => a.replace(e, r) }
+    } else rendered
+
+  private val NumLex = "^-?\\d+(\\.\\d+)?$"
+
+  private final class Ctx(
+      spark: SparkSession,
+      patternSource: String => DataFrame,
+      predCounts: Map[String, Long],
+      fullSource: Option[() => DataFrame],
+      config: Config) {
+
+    private def err(msg: String, start: Int = 0, end: Int = 0): Nothing =
+      throw Diag(msg, start, end)
+
+    // ----------------------------------------------------------- SELECT
+    def lowerSelect(s: Select): DataFrame = {
+      val sol = lowerGroup(s.where)
+      val hasAgg = s.proj.exists(_.isInstanceOf[Proj.PAgg])
+      val projected: DataFrame =
+        if (hasAgg || s.groupBy.nonEmpty) {
+          if (s.groupBy.isEmpty)
+            err("aggregate projections require an explicit GROUP BY")
+          val bareVars = s.proj.collect { case Proj.PV(v) => v }
+          val offGroup = bareVars.filterNot(s.groupBy.contains)
+          if (offGroup.nonEmpty)
+            err(s"projected variables not in GROUP BY: ${offGroup.mkString(", ")}")
+          val aggs = s.proj.collect { case a: Proj.PAgg => lowerAgg(a, sol) }
+          if (aggs.isEmpty) err("GROUP BY without an aggregate projection")
+          val agged = GraphOps.bgpAggregate(sol, s.groupBy, aggs)
+          val order = s.proj.map {
+            case Proj.PV(v)            => v
+            case Proj.PAgg(_, _, a, _) => a
+          }
+          agged.select(order.map(col): _*)
+        } else {
+          val names =
+            if (s.proj.isEmpty) sol.columns.sorted.toSeq // SELECT *: sorted = deterministic
+            else s.proj.map { case Proj.PV(v) => v; case _ => "" }
+          val missing = names.filterNot(sol.columns.contains)
+          if (missing.isEmpty) sol.select(names.map(col): _*)
+          else err(s"projected variables not bound: ${missing.mkString(", ")}")
+        }
+      val badKeys = s.orderBy.map(_.variable).filterNot(projected.columns.contains)
+      if (badKeys.nonEmpty) err(s"ORDER BY keys must be projected: ${badKeys.mkString(", ")}")
+      GraphOps.bgpSelect(projected, projected.columns.toSeq,
+        distinct = s.distinct,
+        orderBy = s.orderBy.map(k => GraphOps.OrderKey(k.variable, k.ascending)),
+        limit = s.limit, offset = s.offset)
+    }
+
+    private def lowerAgg(a: Proj.PAgg, sol: DataFrame): Column = {
+      def arg: Column = {
+        val v = a.arg.getOrElse(err(s"${a.fn} needs a variable argument"))
+        if (!sol.columns.contains(v)) err(s"aggregate argument ?$v is not bound")
+        col(v)
+      }
+      // SUM coerces the integer lexical form — BIGINT-exact (kg38 rule);
+      // non-integer terms contribute null (SPARQL's type-error-drops rule)
+      def intArg: Column = {
+        val lex = GraphOps.TermFns.termStr(arg)
+        when(lex.rlike("^-?\\d+$"), lex.cast("long"))
+      }
+      val c = a.fn match {
+        case "COUNT" => a.arg.map(_ => count(arg)).getOrElse(count(lit(1)))
+        case "COUNT_DISTINCT" =>
+          a.arg.map(_ => countDistinct(arg)).getOrElse(err("COUNT(DISTINCT *) is not supported"))
+        case "SUM"          => sum(intArg)
+        case "SUM_DISTINCT" => sum_distinct(intArg)
+        case "MIN" | "MIN_DISTINCT" => min(arg)
+        case "MAX" | "MAX_DISTINCT" => max(arg)
+        // sorted concatenation: SPARQL leaves GROUP_CONCAT order undefined,
+        // the engine pins the deterministic one (kg65 rule)
+        case "GROUP_CONCAT" =>
+          array_join(array_sort(collect_list(arg)), a.separator.getOrElse(" "))
+        case "GROUP_CONCAT_DISTINCT" =>
+          array_join(array_sort(collect_set(arg)), a.separator.getOrElse(" "))
+        case other => err(s"unsupported aggregate $other")
+      }
+      c.as(a.alias)
+    }
+
+    // ------------------------------------------------------------ group
+    /** Lower one GroupGraphPattern to its solution frame. Processing
+      * order (the well-designed-pattern algebra): the group's merged BGP
+      * (plain patterns via bgpChain + path frames), then UNION/VALUES/
+      * sub-SELECT joins, then OPTIONAL/MINUS/NOT EXISTS in textual order,
+      * FILTERs last (group scope).
+      */
+    def lowerGroup(g: Group): DataFrame = {
+      val triples = g.elems.collect { case GroupElem.Triples(ps) => ps }.flatten
+      val (plain, pathPats) = triples.partition(tp => Path.simple(tp.p).isDefined)
+
+      var sol: Option[DataFrame] = None
+      def join(frame: DataFrame, what: String): Unit = sol match {
+        case None => sol = Some(frame)
+        case Some(s) =>
+          val shared = s.columns.toSeq.intersect(frame.columns.toSeq)
+          if (shared.isEmpty)
+            err(s"$what shares no variable with the group's other patterns " +
+              "(cartesian products are rejected)")
+          sol = Some(s.join(frame, shared))
+      }
+
+      // 1. plain triple patterns → ONE bgpChain (sketch-driven join order)
+      if (plain.nonEmpty) {
+        val chains = plain.map(toChainPattern)
+        val oVars = chains.flatMap(_.oVar)
+        oVars.diff(oVars.distinct).headOption.foreach { v =>
+          val tp = plain(chains.indexWhere(_.oVar.contains(v))) // first offender
+          err(s"object variable ?$v is bound by two patterns — join through " +
+            "the subject side (the bgpChain contract)", tp.start, tp.end)
+        }
+        // algebra-contract violations (disconnected BGP, variable/column
+        // collisions) surface through the same diagnostic channel as
+        // syntax rejects — span = the whole pattern block
+        sol = Some(
+          try GraphOps.bgpChain(patternSource, chains, predCounts)
+          catch {
+            case e: IllegalArgumentException =>
+              err(e.getMessage, plain.head.start, plain.last.end)
+          })
+      }
+
+      // 2. property-path patterns → evalPath frames joined on shared vars
+      pathPats.foreach { tp =>
+        val sv = tp.s match {
+          case Term.V(v) => v
+          case _ => err("path subjects must be variables", tp.start, tp.end)
+        }
+        val pe = toPathExpr(tp.p, tp)
+        val frame0 = GraphOps.evalPath(patternSource, pe, config.checkpoint, fullSource)
+        val frame = tp.o match {
+          case Term.V(ov) =>
+            if (ov == sv) err(s"?$sv path ?$sv self-paths are not supported", tp.start, tp.end)
+            frame0.select(col("src").as(sv), col("dst").as(ov))
+          case Term.I(i) => frame0.filter(col("dst") === s"<$i>").select(col("src").as(sv))
+          case Term.L(r) => frame0.filter(col("dst") === r).select(col("src").as(sv))
+        }
+        join(frame, "path pattern")
+      }
+
+      // 3. UNION / VALUES / sub-SELECT extend or seed the solution
+      g.elems.foreach {
+        case GroupElem.Union(alts) =>
+          val frames = alts.map(lowerGroup)
+          val merged = frames.reduce(GraphOps.bgpUnion)
+          sol match {
+            case None => sol = Some(merged)
+            case Some(s) =>
+              val shared = s.columns.toSeq.intersect(merged.columns.toSeq)
+              if (shared.isEmpty) err("UNION shares no variable with the group")
+              // a join variable null on some branch would silently drop
+              // that branch's rows — require every branch to bind the keys
+              frames.zip(alts).foreach { case (f, _) =>
+                val unboundKeys = shared.filterNot(f.columns.contains)
+                if (unboundKeys.nonEmpty)
+                  err(s"every UNION branch must bind the join variables " +
+                    s"${shared.mkString(", ")} when the union joins other patterns")
+              }
+              sol = Some(s.join(merged, shared))
+          }
+        case GroupElem.Values(vars, rows) =>
+          val schema = StructType(vars.map(v => StructField(v, StringType, nullable = false)))
+          val vdf = spark.createDataFrame(
+            java.util.Arrays.asList(rows.map(r => Row(r: _*)): _*), schema)
+          sol match {
+            case None    => sol = Some(vdf)
+            case Some(s) => sol = Some(GraphOps.bgpValues(s, vdf))
+          }
+        case GroupElem.SubSelect(q) =>
+          join(lowerSelect(q), "sub-SELECT")
+        case _ => ()
+      }
+
+      // 4. OPTIONAL / MINUS / NOT EXISTS in textual order over the base
+      g.elems.foreach {
+        case GroupElem.Optional(og) =>
+          val s = sol.getOrElse(err("OPTIONAL needs a preceding pattern"))
+          val f = lowerGroup(og)
+          val shared = s.columns.toSeq.intersect(f.columns.toSeq)
+          if (shared.isEmpty) err("OPTIONAL shares no variable with the group")
+          sol = Some(s.join(f, shared, "left"))
+        case GroupElem.Minus(mg) =>
+          val s = sol.getOrElse(err("MINUS needs a preceding pattern"))
+          val f = lowerGroup(mg)
+          val shared = s.columns.toSeq.intersect(f.columns.toSeq).sorted
+          // SPARQL's incompatibility rule: disjoint domains remove NOTHING
+          if (shared.nonEmpty)
+            sol = Some(s.join(f.select(shared.map(col): _*), shared, "left_anti"))
+        case GroupElem.NotExists(ng) =>
+          val s = sol.getOrElse(err("FILTER NOT EXISTS needs a preceding pattern"))
+          val f = lowerGroup(ng)
+          val shared = s.columns.toSeq.intersect(f.columns.toSeq).sorted
+          if (shared.isEmpty)
+            err("FILTER NOT EXISTS shares no variable with the group")
+          sol = Some(s.join(f.select(shared.map(col): _*), shared, "left_anti"))
+        case _ => ()
+      }
+
+      // 5. FILTERs scope over the whole group — applied last
+      g.elems.foreach {
+        case GroupElem.Filter(e) =>
+          val s = sol.getOrElse(err("FILTER needs a pattern to filter"))
+          val unbound = exprVars(e).filterNot(s.columns.contains)
+          if (unbound.nonEmpty)
+            err(s"FILTER references unbound variables: ${unbound.mkString(", ")}")
+          sol = Some(s.filter(boolCol(e)))
+        case _ => ()
+      }
+
+      sol.getOrElse(err("empty group pattern"))
+    }
+
+    private def toChainPattern(tp: TriplePat): GraphOps.ChainPattern = {
+      val sv = tp.s match {
+        case Term.V(v) => v
+        case _ => err("pattern subjects must be variables", tp.start, tp.end)
+      }
+      val pred = Path.simple(tp.p).get
+      tp.o match {
+        case Term.V(ov) =>
+          if (ov == sv)
+            err(s"?$sv <$pred> ?$sv self-loops are not supported", tp.start, tp.end)
+          GraphOps.ChainPattern(sv, pred, oVar = Some(ov))
+        case Term.I(i) => GraphOps.ChainPattern(sv, pred, oConst = Some(s"<$i>"))
+        case Term.L(r) => GraphOps.ChainPattern(sv, pred, oConst = Some(r))
+      }
+    }
+
+    private def toPathExpr(p: Path, tp: TriplePat): GraphOps.PathExpr = p match {
+      case Path.Pred(i)   => GraphOps.PathExpr.Pred(i)
+      case Path.Inv(x)    => GraphOps.PathExpr.Inv(toPathExpr(x, tp))
+      case Path.Seqp(a, b) => GraphOps.PathExpr.Sequence(toPathExpr(a, tp), toPathExpr(b, tp))
+      case Path.Alt(a, b)  => GraphOps.PathExpr.Alt(toPathExpr(a, tp), toPathExpr(b, tp))
+      case Path.Plus(x)   => GraphOps.PathExpr.Plus(toPathExpr(x, tp), config.maxHops)
+      case Path.Star(x)   => GraphOps.PathExpr.Star(toPathExpr(x, tp), config.maxHops)
+      case Path.Neg(irs)  =>
+        if (fullSource.isEmpty)
+          err("negated property sets need the full triple table " +
+            "(pass fullSource — the complement cannot predicate-prune)",
+            tp.start, tp.end)
+        GraphOps.PathExpr.Neg(irs)
+    }
+
+    // ------------------------------------------------------ expressions
+    private def exprVars(e: Expr): Seq[String] = e match {
+      case Expr.EVar(v)          => Seq(v)
+      case Expr.ETerm(_) | Expr.ENum(_) => Nil
+      case Expr.EStr(x)          => exprVars(x)
+      case Expr.ELang(x)         => exprVars(x)
+      case Expr.EDatatype(x)     => exprVars(x)
+      case Expr.EIsIri(x)        => exprVars(x)
+      case Expr.EIsLiteral(x)    => exprVars(x)
+      case Expr.EIsBlank(x)      => exprVars(x)
+      case Expr.EStrStarts(a, b) => exprVars(a) ++ exprVars(b)
+      case Expr.ECmp(_, a, b)    => exprVars(a) ++ exprVars(b)
+      case Expr.EAnd(a, b)       => exprVars(a) ++ exprVars(b)
+      case Expr.EOr(a, b)        => exprVars(a) ++ exprVars(b)
+      case Expr.ENot(x)          => exprVars(x)
+    }
+
+    /** RENDERED-term-valued lowering (variables and term constants). */
+    private def termCol(e: Expr): Column = e match {
+      case Expr.EVar(v)  => col(v)
+      case Expr.ETerm(r) => lit(r)
+      case Expr.ENum(v)  => lit(v.underlying)
+      case other => err(s"expected a term-valued expression, got $other")
+    }
+
+    /** STRING-valued lowering (STR/LANG/DATATYPE context; variables and
+      * term constants auto-coerce through their lexical form).
+      */
+    private def strCol(e: Expr): Column = e match {
+      case Expr.EStr(x)      => GraphOps.TermFns.termStr(termCol(x))
+      case Expr.ELang(x)     => GraphOps.TermFns.termLang(termCol(x))
+      case Expr.EDatatype(x) => GraphOps.TermFns.termDatatype(termCol(x))
+      case Expr.EVar(v)      => GraphOps.TermFns.termStr(col(v))
+      case Expr.ETerm(r)     => lit(lexicalOf(r))
+      case other => err(s"expected a string-valued expression, got $other")
+    }
+
+    /** NUMERIC-valued lowering: lexical form coerced when it parses, null
+      * (⇒ filter-false, SPARQL's type-error rule) when it does not.
+      */
+    private def numCol(e: Expr): Column = e match {
+      case Expr.ENum(v) => lit(v.underlying)
+      case other =>
+        val lex = strCol(other match {
+          case Expr.EVar(_) | Expr.ETerm(_) => other
+          case s                            => s // STR(...) etc already string-valued
+        })
+        when(lex.rlike(NumLex), lex.cast("decimal(38,10)"))
+    }
+
+    private def cmp(op: String, l: Column, r: Column): Column = op match {
+      case "="  => l === r
+      case "!=" => l =!= r
+      case "<"  => l < r
+      case "<=" => l <= r
+      case ">"  => l > r
+      case ">=" => l >= r
+    }
+
+    private def isStringy(e: Expr): Boolean = e match {
+      case Expr.EStr(_) | Expr.ELang(_) | Expr.EDatatype(_) => true
+      case _ => false
+    }
+    private def isNumeric(e: Expr): Boolean = e match {
+      case Expr.ENum(_) => true
+      case _            => false
+    }
+
+    /** BOOLEAN-valued lowering — the FILTER entry point. */
+    private def boolCol(e: Expr): Column = e match {
+      case Expr.EAnd(a, b) => boolCol(a) && boolCol(b)
+      case Expr.EOr(a, b)  => boolCol(a) || boolCol(b)
+      case Expr.ENot(x)    => !boolCol(x)
+      case Expr.EIsIri(x)     => GraphOps.TermFns.termIsIri(termCol(x))
+      case Expr.EIsLiteral(x) => GraphOps.TermFns.termIsLiteral(termCol(x))
+      case Expr.EIsBlank(x)   => GraphOps.TermFns.termIsBlank(termCol(x))
+      case Expr.EStrStarts(a, b) => strCol(a).startsWith(strCol(b))
+      case Expr.ECmp(op, l, r) =>
+        if (isNumeric(l) || isNumeric(r)) cmp(op, numCol(l), numCol(r))
+        else if (isStringy(l) || isStringy(r)) cmp(op, strCol(l), strCol(r))
+        else cmp(op, termCol(l), termCol(r))
+      case other => err(s"expected a boolean expression in FILTER, got $other")
+    }
+  }
+}
