@@ -1417,10 +1417,14 @@ object TextOps {
     *
     * Scale shape: candidate volume is Σ_rare-shingle C(df, 2) ≤
     * C(maxDf, 2) per key — df-bounded, never corpus² like td08's
-    * declared exactness baseline; the verification join fans each
-    * candidate pair by the docs' shingle counts (bytes ∝ candidates ×
-    * doc length). One df aggregate, one inverted-index exchange, one
-    * verification exchange.
+    * declared exactness baseline. Verification pre-aggregates each
+    * CANDIDATE doc's distinct-shingle SET once (a semi-join prune, so the
+    * set build pays only candidate docs, then one exchange ∝ their
+    * shingles) and intersects the two arrays IN-ROW per pair —
+    * the verification row count stays |candidates| end to end, where the
+    * former exploded equi-join materialized candidates × |A's shingles|
+    * rows and re-aggregated them. |X| = size of the set, so no separate
+    * corpus-wide size aggregate either.
     */
   def containmentPairs(
       documents: DataFrame,
@@ -1434,7 +1438,6 @@ object TextOps {
     val sh = documents.select(col("doc_id"), explode(array_distinct(expr(
       s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1)), " +
         s"i -> substring(text, i, $ShingleLen))"))).as("g"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val m = maxDf
     val cand = sh.select(col("g"), col("doc_id")).as[(String, Long)]
       .groupByKey(_._1)
@@ -1454,13 +1457,21 @@ object TextOps {
             (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
         }
       }.toDF("a", "b").distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("g")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+    // exact verification at |candidates| rows: each candidate doc's
+    // distinct-shingle set built ONCE (semi-join prune → the exchange
+    // pays only candidate docs' shingles), pairs intersect the arrays
+    // in-row — no exploded per-shingle join, no (a, b) re-aggregation
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val docSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("g")).as("gs"))
+    cand
+      .join(docSets.select(col("doc_id").as("a"), col("gs").as("_ga")), Seq("a"))
+      .join(docSets.select(col("doc_id").as("b"), col("gs").as("_gb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("_ga"), col("_gb"))).cast("long").as("n_shared"),
+        size(col("_ga")).cast("long").as("na"),
+        size(col("_gb")).cast("long").as("nb"))
       .filter(lit(thresholdDen.toLong) * col("n_shared") >=
         lit(thresholdNum.toLong) * least(col("na"), col("nb")))
       .select(col("a"), col("b"), col("n_shared"),

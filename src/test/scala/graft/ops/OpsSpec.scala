@@ -1810,6 +1810,25 @@ class OpsSpec extends AnyFunSuite {
     assert(strict == Set((0L, 1L)), strict.toString)
   }
 
+  test("containmentPairs: verification is set-intersection in-row, no per-pair re-aggregation") {
+    // plan pin for the bounded-intermediate shape: the exact verify stage
+    // intersects pre-aggregated shingle-set arrays per candidate row —
+    // the plan must carry the array_intersect projection and NO aggregate
+    // keyed on the pair (a, b) (the former exploded-join shape's
+    // candidates × |A's shingles| blowup re-aggregated per pair)
+    val d = docs((0L, "quick brown fox jumps over the lazy dog today", "en", "s", 46L),
+      (1L, "quick brown fox jumps over the lazy", "en", "s", 35L))
+    val df = graft.ops.TextOps.containmentPairs(d)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("array_intersect"), plan.take(800))
+    // (cand.distinct() is also an Aggregate on [a, b] — the banned shape
+    // is the COUNTING one that re-aggregated the exploded shingle join)
+    assert(!plan.matches("(?s).*Aggregate \\[a#\\d+L?, b#\\d+L?\\], \\[a#.*count\\(.*"),
+      "per-pair counting aggregate reappeared:\n" + plan.take(1200))
+    // the only aggregates are the df pass and the per-DOC set build
+    assert(df.collect().length == 1)
+  }
+
   test("knnGraphCells: local top-k of block-pair groups equals within-cell brute force") {
     val s = spark
     import s.implicits._
@@ -1835,6 +1854,12 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
     assert(want.exists(_._2 == 3L), "fixture must produce full-depth ranks")
+    // the cell-colocated variant is IDENTICAL (both exact within-cell kNN
+    // under the (dist2, id) order) — only the shuffle/memory trade differs
+    val colocated = EmbeddingOps
+      .knnGraphCellsColocated(vecs, k = 3, cells = 4, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(colocated == want, s"missing=${want -- colocated} extra=${colocated -- want}")
   }
 
   test("sccBounded: mutual reachability labels cycles, one-way reach stays singleton") {
