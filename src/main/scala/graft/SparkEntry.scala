@@ -1523,6 +1523,28 @@ object SparkEntry {
       paths.join(labels, Seq("a")).select(col("a"), col("b"), col("hops"), col("la"))
     }),
 
+    // INCREMENTAL PageRank under an edge diff (the kg67 discipline applied
+    // to kg15's rank table): v1's per-iteration rank history + the diff
+    // must equal a fresh fixed-T PageRank on v2 — the iterative loop
+    // touches only the affected neighbourhood (pageRankAffected), ranks
+    // outside it carry forward from history through one anti-join
+    "kg72_incr_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ids = docs.select(col("doc_id").as("id"))
+      val v1 = GraphAnalytics.syntheticEdges(docs)
+      val dels = v1.filter(col("src") % 11 === 0)
+      val adds = ids.filter(col("id") % 13 === 0)
+        .select(col("id").as("src"), (col("id") + 5).as("dst"))
+        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      val diff = dels.select(lit("del").as("op"), col("src"), col("dst"))
+        .unionByName(adds.select(lit("add").as("op"), col("src"), col("dst")))
+      val v2 = v1.filter(col("src") % 11 =!= 0).unionByName(adds)
+      val hist = GraphAnalytics.pageRankHistory(v1, ids, iterations = 3)
+      GraphAnalytics.pageRankDelta(hist, v2, diff, ids, iterations = 3)
+        .select(col("id").as("doc_id"), col("rank"))
+    }),
+
     // INCREMENTAL degree maintenance: out-degrees of graph v1 folded with
     // the v1→v2 tombstone diff must equal a fresh degree computation on
     // v2 — work ∝ degree table + diff, never ∝ graph
@@ -2741,6 +2763,35 @@ object SparkEntry {
        |SELECT id AS doc_id, round(rank, 6) AS rank FROM r3""".stripMargin
   }
 
+  /** kg72: a FRESH 3-iteration PageRank over the diffed edge set v2 — the
+    * incremental path must land on exactly these values.
+    */
+  private val kg72Oracle: String = {
+    def iter(prev: String, t: Int): String =
+      s"""c$t AS (
+         |  SELECT e.dst AS id, SUM(r.rank / od.deg) AS c
+         |  FROM e2 e JOIN $prev r ON r.id = e.src
+         |  JOIN outdeg od ON od.id = e.src
+         |  GROUP BY 1),
+         |r$t AS (
+         |  SELECT i.id, 0.15 / cnt.n + 0.85 * coalesce(c$t.c, 0) AS rank
+         |  FROM ids i CROSS JOIN cnt LEFT JOIN c$t ON c$t.id = i.id)""".stripMargin
+    s"""WITH $graphEdgesCte,
+       |adds AS (
+       |  SELECT id AS src, id + 5 AS dst FROM ids
+       |  WHERE id % 13 = 0 AND id + 5 IN (SELECT id FROM ids)),
+       |e2 AS (
+       |  SELECT src, dst FROM edges WHERE src % 11 <> 0
+       |  UNION ALL SELECT src, dst FROM adds),
+       |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ids),
+       |outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM e2 GROUP BY 1),
+       |r0 AS (SELECT id, 1.0 / cnt.n AS rank FROM ids CROSS JOIN cnt),
+       |${iter("r0", 1)},
+       |${iter("r1", 2)},
+       |${iter("r2", 3)}
+       |SELECT id AS doc_id, round(rank, 6) AS rank FROM r3""".stripMargin
+  }
+
   /** DuckDB twin of [[GraphOps.parseTurtleWithSpans]]: all four triples
     * come from ONE statement whose span is closed-form — start right after
     * the two prefix directives, end after the terminating `.` (the
@@ -3920,6 +3971,8 @@ object SparkEntry {
     "kg14_bfs" -> bfsOracle,
 
     "kg15_pagerank" -> pageRankOracle,
+
+    "kg72_incr_pagerank" -> kg72Oracle,
 
     "kg31_label_prop" -> labelPropOracle,
 

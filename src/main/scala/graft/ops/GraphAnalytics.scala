@@ -517,4 +517,145 @@ object GraphAnalytics {
       withDeg.unpersist()
     }
   }
+
+  /** Per-iteration PageRank HISTORY — (iter, id, rank) for iter ∈ 0..T,
+    * rank UNROUNDED: the incremental-maintenance artifact
+    * [[pageRankDelta]] reads boundary values from (storage T+1 rank
+    * tables — the price of incrementality, the rank-table analogue of the
+    * LSM keeping deltas). Same loop and plan shapes as [[pageRank]];
+    * `history.filter(iter == T)` with round(6) equals [[pageRank]] row
+    * for row.
+    */
+  def pageRankHistory(
+      edges: DataFrame, nodes: DataFrame, iterations: Int = 3,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(iterations >= 1 && iterations <= 10, s"iterations=$iterations out of 1..10")
+    val ids = nodes.select(col("id")).persist()
+    val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(outdeg, col("src") === outdeg("id"))
+      .select(col("src"), col("dst"), col("deg")).persist()
+    try {
+      val n = ids.count()
+      var ranks = ids.select(col("id"), lit(1.0 / n).as("rank"))
+      var frames = Seq(ranks.select(lit(0L).as("iter"), col("id"), col("rank")))
+      for (t <- 1 to iterations) {
+        val contribs = ranks
+          .join(withDeg, col("id") === col("src"))
+          .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("c"))
+        ranks = checkpoint.truncateLazy(
+          ids.join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank")))
+        frames :+= ranks.select(lit(t.toLong).as("iter"), col("id"), col("rank"))
+      }
+      checkpoint.truncate(frames.reduce(_.unionByName(_)))
+    } finally {
+      ids.unpersist()
+      withDeg.unpersist()
+    }
+  }
+
+  /** The vertices whose fixed-T PageRank can change under an edge diff —
+    * the per-iteration affected frontier D_T. D_1 (the structural seed) =
+    * dsts of added/deleted edges (their in-edge set changed) ∪ ALL v2
+    * out-neighbours of diff sources (those sources' outdeg changed, so
+    * their contribution changes at every out-edge); beyond the seed,
+    * changed ranks propagate only along V2 edges:
+    * D_t = D_1 ∪ out_v2(D_{t−1}). Exposed for the work-∝-diff spec pin
+    * (a component the diff never reaches must not appear).
+    */
+  def pageRankAffected(
+      newEdges: DataFrame, diff: DataFrame, iterations: Int): DataFrame = {
+    val diffSrcs = diff.select(col("src")).distinct()
+    val seed = diff.select(col("dst").as("id"))
+      .unionByName(newEdges.join(diffSrcs, Seq("src"), "left_semi")
+        .select(col("dst").as("id")))
+      .distinct().persist()
+    var d = seed
+    for (_ <- 2 to iterations)
+      d = seed.unionByName(
+        newEdges.join(d.select(col("id").as("src")), Seq("src"), "left_semi")
+          .select(col("dst").as("id"))).distinct()
+    d
+  }
+
+  /** INCREMENTAL PageRank under an edge diff — the other nightly
+    * recompute bill (kg67 covered canonicalization; this covers kg15's
+    * rank table): fixed-T ranks of graph v2 from v1's
+    * [[pageRankHistory]] plus the diff, ITERATING ONLY OVER THE AFFECTED
+    * NEIGHBOURHOOD. Per iteration t the affected set D_t
+    * ([[pageRankAffected]]) recomputes its ranks from v2 in-edges, with
+    * in-neighbour values at t−1 read from the recomputed set where
+    * changed and from v1's history where not (outside D_{t−1} the v1 and
+    * v2 values are IDENTICAL by construction of D — not approximately:
+    * the same multiset of contributions, so round(6) agrees with a fresh
+    * run exactly, the kg15 determinism discipline). Unaffected vertices'
+    * final ranks carry forward from history(T) through one anti-join,
+    * never entering the loop.
+    *
+    * Work: the loop's joins and exchanges are ∝ the affected
+    * neighbourhood's in-edges per iteration (semi-join prunes on both the
+    * history read and the edge scan); the only graph-sized touches are
+    * single-pass scans (outdeg aggregate, final anti-join) — never T×.
+    * Contract: the node universe is unchanged (node add/remove ⇒ 1/N
+    * itself changes globally — rebuild via [[pageRankHistory]]); diff
+    * rows are (op ∈ {add, del}, src, dst), the kg67 convention.
+    */
+  def pageRankDelta(
+      history: DataFrame,
+      newEdges: DataFrame,
+      diff: DataFrame,
+      nodes: DataFrame,
+      iterations: Int = 3,
+      checkpoint: graft.pipeline.CheckpointPolicy =
+        graft.pipeline.CheckpointPolicy.Local): DataFrame = {
+    require(iterations >= 1 && iterations <= 10, s"iterations=$iterations out of 1..10")
+    val spark = newEdges.sparkSession
+    val diffSrcs = diff.select(col("src")).distinct()
+    val seed = diff.select(col("dst").as("id"))
+      .unionByName(newEdges.join(diffSrcs, Seq("src"), "left_semi")
+        .select(col("dst").as("id")))
+      .distinct().persist()
+    val outdeg = newEdges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = newEdges.join(outdeg, col("src") === outdeg("id"))
+      .select(col("src"), col("dst"), col("deg")).persist()
+    try {
+      val n = nodes.count()
+      // D_0 = ∅: at t=1 every in-neighbour value is history(0) = 1/n
+      var changed = nodes.select(col("id"), lit(1.0 / n).as("rank")).limit(0)
+      for (t <- 1 to iterations) {
+        val dT = seed.unionByName(
+          withDeg.join(changed.select(col("id").as("src")), Seq("src"), "left_semi")
+            .select(col("dst").as("id"))).distinct()
+        // v2 in-edges of the affected set; contributing sources take the
+        // recomputed value where changed, v1 history elsewhere
+        val inE = withDeg
+          .join(dT.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        val needSrcs = inE.select(col("src").as("id")).distinct()
+        val prev = history.filter(col("iter") === (t - 1))
+          .select(col("id"), col("rank"))
+          .join(needSrcs, Seq("id"), "left_semi")
+          .join(changed.select(col("id")), Seq("id"), "left_anti")
+          .unionByName(changed.join(needSrcs, Seq("id"), "left_semi"))
+        val contribs = inE.join(prev, inE("src") === prev("id"))
+          .select(inE("dst").as("id"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("c"))
+        changed = checkpoint.truncateLazy(
+          dT.join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank")))
+      }
+      val untouched = history.filter(col("iter") === iterations)
+        .select(col("id"), col("rank"))
+        .join(changed.select(col("id")), Seq("id"), "left_anti")
+      checkpoint.truncate(
+        untouched.unionByName(changed)
+          .select(col("id"), round(col("rank"), 6).as("rank")))
+    } finally {
+      seed.unpersist()
+      withDeg.unpersist()
+    }
+  }
 }

@@ -1594,6 +1594,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0.25, 1L -> 0.25, 2L -> 0.25, 3L -> 0.25))
   }
 
+  test("pageRankDelta: equals fresh v2 ranks; untouched component never enters the affected set") {
+    val s = spark
+    import s.implicits._
+    // component A = {1..6} (cycle + tail), component B = {10..13} (cycle +
+    // feeder); the diff deletes 5→4 and adds 3→6 — strictly inside A
+    val v1 = edgesDf((1, 2), (2, 3), (3, 1), (4, 1), (5, 4), (6, 5),
+      (10, 11), (11, 12), (12, 10), (13, 10))
+    val v2 = edgesDf((1, 2), (2, 3), (3, 1), (4, 1), (6, 5), (3, 6),
+      (10, 11), (11, 12), (12, 10), (13, 10))
+    val diff = Seq(("del", 5L, 4L), ("add", 3L, 6L)).toDF("op", "src", "dst")
+    val nodes = ((1L to 6L) ++ (10L to 13L)).toDF("id")
+    val hist = GraphAnalytics.pageRankHistory(v1, nodes, iterations = 3)
+    // the history's last frame IS pageRank(v1) after rounding
+    val histLast = hist.filter(col("iter") === 3)
+      .select(col("id"), org.apache.spark.sql.functions.round(col("rank"), 6).as("rank"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val v1Fresh = GraphAnalytics.pageRank(v1, nodes, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(histLast == v1Fresh)
+    val inc = GraphAnalytics.pageRankDelta(hist, v2, diff, nodes, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fresh = GraphAnalytics.pageRank(v2, nodes, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inc == fresh, s"incremental $inc != fresh $fresh")
+    // ranks actually moved in A (the diff re-routes mass)
+    assert((1L to 6L).exists(i => inc(i) != v1Fresh(i)))
+    // the work-∝-diff pin: B's vertices never enter the affected frontier,
+    // so their ranks carry forward from history without recompute
+    val affected = GraphAnalytics.pageRankAffected(v2, diff, iterations = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(affected.nonEmpty && affected.forall(_ <= 6), affected.toString)
+    assert((10L to 13L).forall(i => inc(i) == v1Fresh(i)))
+  }
+
   test("degrees: isolated node surfaces with degree 0; duplicates collapse") {
     val s = spark
     import s.implicits._
