@@ -1317,6 +1317,46 @@ object SparkEntry {
       ask("fr").unionByName(ask("zz"))
     }),
 
+    // SPARQL GRAPH as TEXT: kg56's quad-scoped aggregate from a string —
+    // the GRAPH ?g group lowers onto bgpChainGraph (graph var rides every
+    // pattern and join key; no extra exchange vs the triple plan)
+    "kg73_sparql_graph" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val quads = GraphOps.parseTurtle(t(s, d, "documents"))
+        .withColumn("graph",
+          concat(lit("<http://graft.example/graph/"), col("doc_id") % 10, lit(">")))
+        .select(col("graph"), col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(quads)
+      graft.sparql.SparqlExec.query(s,
+        s"""PREFIX p: <$P>
+           |SELECT ?g (COUNT(*) AS ?n_matches)
+           |WHERE { GRAPH ?g { ?d p:lang "en" . ?d p:nchars ?n } }
+           |GROUP BY ?g""".stripMargin,
+        (_: String) => quads.select(col("subj"), col("pred"), col("obj")),
+        counts, quadSource = Some(() => quads))
+    }),
+
+    // SPARQL BIND + HAVING as TEXT: BIND(STR(?l)) feeds the GROUP BY key
+    // (value calculus), HAVING prunes aggregated groups — both lower to
+    // plain projections/filters around the one group exchange
+    "kg74_sparql_bind_having" -> ((s, d) => {
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      graft.sparql.SparqlExec.query(s,
+        s"""PREFIX p: <${GraphOps.PropPrefix}>
+           |SELECT ?lex (COUNT(*) AS ?n_docs) (SUM(?n) AS ?sum_nchars)
+           |WHERE {
+           |  ?d p:lang ?l ;
+           |     p:nchars ?n .
+           |  BIND(STR(?l) AS ?lex)
+           |}
+           |GROUP BY ?lex
+           |HAVING (?n_docs >= 5)
+           |ORDER BY ?lex""".stripMargin,
+        (_: String) => triples, counts)
+    }),
+
     // SHACL-lite validation: per-property cardinality/datatype/enum rules
     // over the constructed graph, one violation row per breach; four
     // corruption classes planted by doc-id arithmetic so every rule fires
@@ -3051,6 +3091,20 @@ object SparkEntry {
          |SELECT '<${GraphOps.DocPrefix}' || doc_id || '>' AS subj,
          |  '${GraphOps.PropPrefix}origin' AS pred, '"' || source || '"' AS obj
          |FROM documents""".stripMargin,
+
+    // GRAPH from text: kg56's oracle shape (BIGINT count per shard graph)
+    "kg73_sparql_graph" ->
+      """SELECT '<http://graft.example/graph/' || (doc_id % 10) || '>' AS g,
+        |  COUNT(*) AS n_matches
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+
+    // BIND + HAVING from text: the lexical lang as group key, groups
+    // below 5 docs pruned post-aggregation
+    "kg74_sparql_bind_having" ->
+      """SELECT lang AS lex,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
+        |FROM documents GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin,
 
     // ASK from text: kg54's two-probe oracle verbatim
     "kg71_sparql_ask" ->

@@ -15,12 +15,13 @@ package graft.sparql
   * aggregate projections, ASK, CONSTRUCT; groups of triple patterns with
   * `;`/`,` sugar and property paths (`^ / | + *` and negated sets `!(…)`),
   * FILTER with the kg58 term calculus, OPTIONAL, MINUS, FILTER NOT EXISTS,
-  * UNION, VALUES, scalar sub-SELECT; GROUP BY + COUNT/SUM/MIN/MAX/
-  * GROUP_CONCAT, ORDER BY, LIMIT/OFFSET. Deliberate exclusions (rejected
-  * with a spanned diagnostic, never silently misread): variable predicates,
-  * constant subjects (bind them via VALUES), named-graph clauses (the quad
-  * algebra kg56/kg69 has its own typed entry points), BIND, EXISTS-as-
-  * expression, federated SERVICE.
+  * UNION, VALUES, scalar sub-SELECT, BIND, `GRAPH ?g`/`GRAPH <iri>` groups
+  * (lowered onto the kg56 quad algebra when a quad table is supplied);
+  * GROUP BY + COUNT/SUM/MIN/MAX/GROUP_CONCAT, HAVING, ORDER BY,
+  * LIMIT/OFFSET. Deliberate exclusions (rejected with a spanned
+  * diagnostic, never silently misread): variable predicates, constant
+  * subjects (bind them via VALUES), EXISTS-as-expression, federated
+  * SERVICE.
   */
 object SparqlAst {
 
@@ -98,6 +99,13 @@ object SparqlAst {
     /** Inline bindings: every row binds every variable (no UNDEF). */
     final case class Values(vars: Seq[String], rows: Seq[Seq[String]]) extends GroupElem
     final case class SubSelect(q: Select) extends GroupElem
+    /** `BIND(expr AS ?v)` — extends each solution with the expression's
+      * VALUE (lexical string / boolean-as-0-1 / term, by expression type).
+      */
+    final case class Bind(e: Expr, v: String, start: Int, end: Int) extends GroupElem
+    /** `GRAPH ?g { … }` / `GRAPH <iri> { … }` — exactly one of gVar/gIri. */
+    final case class GraphGroup(gVar: Option[String], gIri: Option[String],
+        g: Group, start: Int, end: Int) extends GroupElem
   }
   final case class Group(elems: Seq[GroupElem])
 
@@ -118,6 +126,7 @@ object SparqlAst {
       proj: Seq[Proj], // empty ⇔ SELECT *
       where: Group,
       groupBy: Seq[String],
+      having: Option[Expr],
       orderBy: Seq[OrderKey],
       limit: Option[Int],
       offset: Option[Int]) extends Query

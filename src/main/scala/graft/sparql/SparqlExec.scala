@@ -57,9 +57,10 @@ object SparqlExec {
       patternSource: String => DataFrame,
       predCounts: Map[String, Long],
       fullSource: Option[() => DataFrame] = None,
-      config: Config = Config()): DataFrame = {
+      config: Config = Config(),
+      quadSource: Option[() => DataFrame] = None): DataFrame = {
     val ast = SparqlParser.parse(q)
-    val ctx = new Ctx(spark, patternSource, predCounts, fullSource, config)
+    val ctx = new Ctx(spark, patternSource, predCounts, fullSource, config, quadSource)
     ast match {
       case s: Select => ctx.lowerSelect(s)
       case Ask(where) =>
@@ -114,7 +115,8 @@ object SparqlExec {
       patternSource: String => DataFrame,
       predCounts: Map[String, Long],
       fullSource: Option[() => DataFrame],
-      config: Config) {
+      config: Config,
+      quadSource: Option[() => DataFrame]) {
 
     private def err(msg: String, start: Int = 0, end: Int = 0): Nothing =
       throw Diag(msg, start, end)
@@ -133,13 +135,21 @@ object SparqlExec {
             err(s"projected variables not in GROUP BY: ${offGroup.mkString(", ")}")
           val aggs = s.proj.collect { case a: Proj.PAgg => lowerAgg(a, sol) }
           if (aggs.isEmpty) err("GROUP BY without an aggregate projection")
-          val agged = GraphOps.bgpAggregate(sol, s.groupBy, aggs)
+          val agged0 = GraphOps.bgpAggregate(sol, s.groupBy, aggs)
+          // HAVING filters the aggregated rows (variables = group keys +
+          // aggregate aliases, compared RAW — aggregate outputs are
+          // already typed values, not rendered terms)
+          val agged = s.having match {
+            case Some(h) => agged0.filter(havingCol(h, agged0.columns.toSeq))
+            case None    => agged0
+          }
           val order = s.proj.map {
             case Proj.PV(v)            => v
             case Proj.PAgg(_, _, a, _) => a
           }
           agged.select(order.map(col): _*)
         } else {
+          if (s.having.isDefined) err("HAVING requires GROUP BY")
           val names =
             if (s.proj.isEmpty) sol.columns.sorted.toSeq // SELECT *: sorted = deterministic
             else s.proj.map { case Proj.PV(v) => v; case _ => "" }
@@ -276,6 +286,61 @@ object SparqlExec {
           }
         case GroupElem.SubSelect(q) =>
           join(lowerSelect(q), "sub-SELECT")
+        case GroupElem.GraphGroup(gVar, gIri, inner, start, end) =>
+          val quads = quadSource.getOrElse(err(
+            "GRAPH queries need a quad table (pass quadSource)", start, end))()
+          val frame = (gVar, gIri) match {
+            case (Some(gv), None) =>
+              // variable graph: every pattern additionally binds ?gv and
+              // every join carries it — the kg56 quad algebra; the inner
+              // group must be plain triple patterns (the algebra's shape)
+              val pats = inner.elems.flatMap {
+                case GroupElem.Triples(ps) => ps
+                case _ => err("GRAPH ?g groups support plain triple patterns " +
+                  "only (move FILTER/OPTIONAL outside the GRAPH clause)",
+                  start, end)
+              }
+              val chains = pats.map { tp =>
+                if (Path.simple(tp.p).isEmpty)
+                  err("property paths are not supported inside GRAPH ?g",
+                    tp.start, tp.end)
+                toChainPattern(tp)
+              }
+              try GraphOps.bgpChainGraph(quads, chains, predCounts, gv)
+              catch {
+                case e: IllegalArgumentException => err(e.getMessage, start, end)
+              }
+            case (None, Some(gi)) =>
+              // constant graph: prune the quad table to the named graph
+              // once, then the inner group lowers with FULL recursion —
+              // the pruned quads are just a triple table
+              val scoped = quads.filter(col("graph") === s"<$gi>")
+                .select(col("subj"), col("pred"), col("obj"))
+              new Ctx(spark, (_: String) => scoped, predCounts,
+                Some(() => scoped), config, quadSource).lowerGroup(inner)
+            case _ => err("GRAPH needs exactly one of ?var or <iri>", start, end)
+          }
+          join(frame, "GRAPH group")
+        case _ => ()
+      }
+
+      // 3.5 BIND extends solutions with computed VALUES — after the
+      // pattern joins, before OPTIONAL/MINUS/FILTER (the subset's scope
+      // rule: a BIND sees the group's full BGP bindings). Bind targets
+      // are VALUE columns, not rendered terms; later expressions read
+      // them raw (the valueVars set threads through the calculus)
+      var valueVars = Set.empty[String]
+      g.elems.foreach {
+        case GroupElem.Bind(e, v, start, end) =>
+          val s = sol.getOrElse(err("BIND needs a preceding pattern", start, end))
+          if (s.columns.contains(v))
+            err(s"BIND target ?$v is already bound", start, end)
+          val unbound = exprVars(e).filterNot(s.columns.contains)
+          if (unbound.nonEmpty)
+            err(s"BIND references unbound variables: ${unbound.mkString(", ")}",
+              start, end)
+          sol = Some(s.withColumn(v, bindCol(e, valueVars)))
+          valueVars += v
         case _ => ()
       }
 
@@ -311,7 +376,7 @@ object SparqlExec {
           val unbound = exprVars(e).filterNot(s.columns.contains)
           if (unbound.nonEmpty)
             err(s"FILTER references unbound variables: ${unbound.mkString(", ")}")
-          sol = Some(s.filter(boolCol(e)))
+          sol = Some(s.filter(boolCol(e, valueVars)))
         case _ => ()
       }
 
@@ -367,7 +432,7 @@ object SparqlExec {
     }
 
     /** RENDERED-term-valued lowering (variables and term constants). */
-    private def termCol(e: Expr): Column = e match {
+    private def termCol(e: Expr, vv: Set[String]): Column = e match {
       case Expr.EVar(v)  => col(v)
       case Expr.ETerm(r) => lit(r)
       case Expr.ENum(v)  => lit(v.underlying)
@@ -375,13 +440,16 @@ object SparqlExec {
     }
 
     /** STRING-valued lowering (STR/LANG/DATATYPE context; variables and
-      * term constants auto-coerce through their lexical form).
+      * term constants auto-coerce through their lexical form; BIND-value
+      * variables (`vv`) read RAW — they already hold values).
       */
-    private def strCol(e: Expr): Column = e match {
-      case Expr.EStr(x)      => GraphOps.TermFns.termStr(termCol(x))
-      case Expr.ELang(x)     => GraphOps.TermFns.termLang(termCol(x))
-      case Expr.EDatatype(x) => GraphOps.TermFns.termDatatype(termCol(x))
-      case Expr.EVar(v)      => GraphOps.TermFns.termStr(col(v))
+    private def strCol(e: Expr, vv: Set[String]): Column = e match {
+      case Expr.EStr(Expr.EVar(v)) if vv(v) => col(v)
+      case Expr.EStr(x)      => GraphOps.TermFns.termStr(termCol(x, vv))
+      case Expr.ELang(x)     => GraphOps.TermFns.termLang(termCol(x, vv))
+      case Expr.EDatatype(x) => GraphOps.TermFns.termDatatype(termCol(x, vv))
+      case Expr.EVar(v)      =>
+        if (vv(v)) col(v) else GraphOps.TermFns.termStr(col(v))
       case Expr.ETerm(r)     => lit(lexicalOf(r))
       case other => err(s"expected a string-valued expression, got $other")
     }
@@ -389,13 +457,13 @@ object SparqlExec {
     /** NUMERIC-valued lowering: lexical form coerced when it parses, null
       * (⇒ filter-false, SPARQL's type-error rule) when it does not.
       */
-    private def numCol(e: Expr): Column = e match {
+    private def numCol(e: Expr, vv: Set[String]): Column = e match {
       case Expr.ENum(v) => lit(v.underlying)
       case other =>
         val lex = strCol(other match {
           case Expr.EVar(_) | Expr.ETerm(_) => other
           case s                            => s // STR(...) etc already string-valued
-        })
+        }, vv).cast("string")
         when(lex.rlike(NumLex), lex.cast("decimal(38,10)"))
     }
 
@@ -417,19 +485,58 @@ object SparqlExec {
       case _            => false
     }
 
+    /** BIND value lowering: string builtins bind their lexical result,
+      * boolean expressions bind 0/1 BIGINT (the kg58 projection
+      * discipline), terms/variables copy through.
+      */
+    private def bindCol(e: Expr, vv: Set[String]): Column = e match {
+      case Expr.EStr(_) | Expr.ELang(_) | Expr.EDatatype(_) => strCol(e, vv)
+      case Expr.EIsIri(_) | Expr.EIsLiteral(_) | Expr.EIsBlank(_) |
+           Expr.ECmp(_, _, _) | Expr.EAnd(_, _) | Expr.EOr(_, _) |
+           Expr.ENot(_) | Expr.EStrStarts(_, _) => boolCol(e, vv).cast("long")
+      case Expr.ENum(v) => lit(v.underlying)
+      case other        => termCol(other, vv)
+    }
+
+    /** HAVING lowering: variables read the aggregated frame's RAW columns
+      * (group keys and aggregate aliases — already typed values).
+      */
+    private def havingCol(e: Expr, cols: Seq[String]): Column = e match {
+      case Expr.EVar(v) =>
+        if (!cols.contains(v))
+          err(s"HAVING references ?$v, which is neither a group key nor " +
+            "an aggregate alias")
+        col(v)
+      case Expr.ENum(v)        => lit(v.underlying)
+      case Expr.ETerm(r)       => lit(r)
+      case Expr.ECmp(op, l, r) => cmp(op, havingCol(l, cols), havingCol(r, cols))
+      case Expr.EAnd(a, b)     => havingCol(a, cols) && havingCol(b, cols)
+      case Expr.EOr(a, b)      => havingCol(a, cols) || havingCol(b, cols)
+      case Expr.ENot(x)        => !havingCol(x, cols)
+      case other => err(s"HAVING supports variable/constant comparisons and " +
+        s"boolean operators, got $other")
+    }
+
     /** BOOLEAN-valued lowering — the FILTER entry point. */
-    private def boolCol(e: Expr): Column = e match {
-      case Expr.EAnd(a, b) => boolCol(a) && boolCol(b)
-      case Expr.EOr(a, b)  => boolCol(a) || boolCol(b)
-      case Expr.ENot(x)    => !boolCol(x)
-      case Expr.EIsIri(x)     => GraphOps.TermFns.termIsIri(termCol(x))
-      case Expr.EIsLiteral(x) => GraphOps.TermFns.termIsLiteral(termCol(x))
-      case Expr.EIsBlank(x)   => GraphOps.TermFns.termIsBlank(termCol(x))
-      case Expr.EStrStarts(a, b) => strCol(a).startsWith(strCol(b))
+    private def boolCol(e: Expr, vv: Set[String] = Set.empty): Column = e match {
+      case Expr.EAnd(a, b) => boolCol(a, vv) && boolCol(b, vv)
+      case Expr.EOr(a, b)  => boolCol(a, vv) || boolCol(b, vv)
+      case Expr.ENot(x)    => !boolCol(x, vv)
+      case Expr.EIsIri(x)     => GraphOps.TermFns.termIsIri(termCol(x, vv))
+      case Expr.EIsLiteral(x) => GraphOps.TermFns.termIsLiteral(termCol(x, vv))
+      case Expr.EIsBlank(x)   => GraphOps.TermFns.termIsBlank(termCol(x, vv))
+      case Expr.EStrStarts(a, b) => strCol(a, vv).startsWith(strCol(b, vv))
       case Expr.ECmp(op, l, r) =>
-        if (isNumeric(l) || isNumeric(r)) cmp(op, numCol(l), numCol(r))
-        else if (isStringy(l) || isStringy(r)) cmp(op, strCol(l), strCol(r))
-        else cmp(op, termCol(l), termCol(r))
+        // a comparison touching a BIND-value variable compares VALUES —
+        // the rendered-term context would silently mismatch
+        val valueSide = Seq(l, r).exists {
+          case Expr.EVar(v) => vv(v)
+          case _            => false
+        }
+        if (isNumeric(l) || isNumeric(r)) cmp(op, numCol(l, vv), numCol(r, vv))
+        else if (valueSide || isStringy(l) || isStringy(r))
+          cmp(op, strCol(l, vv), strCol(r, vv))
+        else cmp(op, termCol(l, vv), termCol(r, vv))
       case other => err(s"expected a boolean expression in FILTER, got $other")
     }
   }

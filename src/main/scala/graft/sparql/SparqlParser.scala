@@ -292,9 +292,30 @@ object SparqlParser {
           pos += 1; elems += GroupElem.Minus(group())
         } else if (atWord("VALUES")) {
           pos += 1; elems += values()
-        } else if (atWord("BIND") || atWord("GRAPH") || atWord("SERVICE")) {
-          diag(s"${peek.asInstanceOf[Tok.Word].word} is not supported " +
-            "(quad/graph queries have typed entry points)", peek)
+        } else if (atWord("BIND")) {
+          val start = peek.start
+          pos += 1; expectPunct("(")
+          val e = expr()
+          expectWord("AS")
+          val v = peek match {
+            case Tok.Var(x, _, _) => pos += 1; x
+            case t                => diag("expected ?var after AS in BIND", t)
+          }
+          val end = peek.end
+          expectPunct(")")
+          elems += GroupElem.Bind(e, v, start, end)
+        } else if (atWord("GRAPH")) {
+          val start = peek.start
+          pos += 1
+          val (gv, gi) = peek match {
+            case Tok.Var(x, _, _) => pos += 1; (Some(x), None)
+            case Tok.Iri(_, _, _) | Tok.Pname(_, _, _, _) => (None, Some(iri()))
+            case t => diag("expected ?var or <iri> after GRAPH", t)
+          }
+          val inner = group()
+          elems += GroupElem.GraphGroup(gv, gi, inner, start, toks(pos - 1).end)
+        } else if (atWord("SERVICE")) {
+          diag("federated SERVICE is not supported", peek)
         } else if (atPunct("{")) {
           // nested group: SubSelect, a plain braced group (spliced), or
           // a UNION chain
@@ -432,7 +453,13 @@ object SparqlParser {
         if (gs.isEmpty) diag("GROUP BY needs at least one variable", peek)
         groupBy = gs.toSeq
       }
-      if (atWord("HAVING")) diag("HAVING is not supported (filter a subquery)", peek)
+      var having: Option[Expr] = None
+      if (eatWord("HAVING")) {
+        val needParen = atPunct("(")
+        if (needParen) pos += 1
+        having = Some(expr())
+        if (needParen) expectPunct(")")
+      }
       var orderBy = Seq.empty[OrderKey]
       if (eatWord("ORDER")) {
         expectWord("BY")
@@ -466,7 +493,7 @@ object SparqlParser {
           case t => diag("expected an integer after OFFSET", t)
         } else more = false
       }
-      Select(distinct, proj, g, groupBy, orderBy, limit, offset)
+      Select(distinct, proj, g, groupBy, having, orderBy, limit, offset)
     }
 
     // ------------------------------------------------------------- query

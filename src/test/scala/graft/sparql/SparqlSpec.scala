@@ -137,14 +137,11 @@ class SparqlSpec extends AnyFunSuite {
     assert(m3.contains("undeclared prefix 'q:'"))
     val (m4, _, _) = rej(prologue + "SELECT ?d WHERE { ?d p:x \"open }")
     assert(m4.contains("unterminated string"))
-    val (m5, _, _) = rej(prologue + "SELECT ?d WHERE { GRAPH ?g { ?d p:lang ?l } }")
-    assert(m5.contains("GRAPH is not supported"))
-    val (m6, _, _) = rej(prologue + "SELECT ?d WHERE { BIND(1 AS ?x) ?d p:lang ?l }")
-    assert(m6.contains("BIND"))
+    val (m5, _, _) = rej(prologue +
+      "SELECT ?d WHERE { SERVICE <http://remote/sparql> { ?d p:lang ?l } }")
+    assert(m5.contains("SERVICE"))
     val (m7, _, _) = rej(prologue + "SELECT (AVG(?n) AS ?a) WHERE { ?d p:nchars ?n }")
     assert(m7.contains("unsupported aggregate 'AVG'"))
-    val (m8, _, _) = rej(prologue + "SELECT ?d WHERE { ?d p:lang ?l } HAVING (?l = \"en\")")
-    assert(m8.contains("HAVING"))
     assert(SparqlExec.diagnose(prologue + "SELECT ?d WHERE { ?d p:lang ?l }").isEmpty)
   }
 
@@ -162,6 +159,56 @@ class SparqlSpec extends AnyFunSuite {
     assert(rejRun(prologue +
       "SELECT ?l (COUNT(*) AS ?n) WHERE { ?d p:lang ?l }")
       .contains("GROUP BY"))
+    // GRAPH needs a quad table; run() supplies only triples
+    assert(rejRun(prologue +
+      "SELECT ?g WHERE { GRAPH ?g { ?d p:lang ?l } }")
+      .contains("quad table"))
+    assert(rejRun(prologue +
+      "SELECT ?d ?l WHERE { ?d p:lang ?l . BIND(STR(?l) AS ?l) }")
+      .contains("already bound"))
+    assert(rejRun(prologue +
+      "SELECT ?d WHERE { ?d p:lang ?l } HAVING (?n > 1)")
+      .contains("HAVING requires GROUP BY"))
+  }
+
+  test("BIND / HAVING / GRAPH lower onto the value calculus and quad algebra") {
+    // BIND: lexical and boolean values extend solutions, usable downstream
+    val b = run(prologue +
+      """SELECT ?d ?lex ?isen WHERE {
+        |  ?d p:lang ?l .
+        |  BIND(STR(?l) AS ?lex)
+        |  BIND(?l = "en" AS ?isen)
+        |  FILTER (?lex != "zh")
+        |}""".stripMargin)
+    assert(b.columns.toSeq == Seq("d", "lex", "isen"))
+    val bRows = b.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(bRows.count(_._3 == 1L) == 3 && bRows.forall(_._2 != "zh") && bRows.size == 5)
+
+    // HAVING filters aggregated groups
+    val h = run(prologue +
+      """SELECT ?l (COUNT(*) AS ?n) WHERE { ?d p:lang ?l }
+        |GROUP BY ?l HAVING (?n >= 2) ORDER BY ?l""".stripMargin)
+    assert(h.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("\"en\"", 3L), ("\"fr\"", 2L)))
+
+    // GRAPH ?g: quad algebra, graph var carried through every join;
+    // GRAPH <iri>: pruned-scan recursion
+    val quads = triples.withColumn("graph",
+      when(col("subj") === s"<${E}1>" || col("subj") === s"<${E}2>",
+        "<http://g/graph/a>").otherwise("<http://g/graph/b>"))
+      .select(col("graph"), col("subj"), col("pred"), col("obj"))
+    def runQ(q: String): DataFrame =
+      SparqlExec.query(spark, q, (_: String) => triples, counts,
+        quadSource = Some(() => quads))
+    val gv = runQ(prologue +
+      """SELECT ?g (COUNT(*) AS ?n) WHERE {
+        |  GRAPH ?g { ?d p:lang "en" . ?d p:nchars ?x }
+        |} GROUP BY ?g ORDER BY ?g""".stripMargin)
+    assert(gv.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("<http://g/graph/a>", 2L), ("<http://g/graph/b>", 1L)))
+    val gi = runQ(prologue +
+      "SELECT ?d WHERE { GRAPH <http://g/graph/a> { ?d p:lang \"en\" } }")
+    assert(rows(gi) == Set(Seq(s"<${E}1>"), Seq(s"<${E}2>")))
   }
 
   // ------------------------------------------------- lowering equivalence
