@@ -81,6 +81,14 @@ object SparqlAst {
     final case class EIsLiteral(e: Expr) extends Expr
     final case class EIsBlank(e: Expr) extends Expr
     final case class EStrStarts(e: Expr, prefix: Expr) extends Expr
+    /** BOUND(?v) — true where the (possibly OPTIONAL-null) column is set. */
+    final case class EBound(v: String) extends Expr
+    /** REGEX(str, pattern[, flags]) — Java-regex semantics (the engine's
+      * rlike contract); the only supported flag is `i`.
+      */
+    final case class ERegex(e: Expr, pattern: String, caseInsensitive: Boolean) extends Expr
+    /** `?x IN (t1, …)` / `?x NOT IN (t1, …)` over constant terms. */
+    final case class EIn(e: Expr, terms: Seq[String], negated: Boolean) extends Expr
     final case class ECmp(op: String, l: Expr, r: Expr) extends Expr
     final case class EAnd(a: Expr, b: Expr) extends Expr
     final case class EOr(a: Expr, b: Expr) extends Expr

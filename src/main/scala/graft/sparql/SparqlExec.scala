@@ -424,6 +424,9 @@ object SparqlExec {
       case Expr.EIsIri(x)        => exprVars(x)
       case Expr.EIsLiteral(x)    => exprVars(x)
       case Expr.EIsBlank(x)      => exprVars(x)
+      case Expr.EBound(v)        => Seq(v)
+      case Expr.ERegex(x, _, _)  => exprVars(x)
+      case Expr.EIn(x, _, _)     => exprVars(x)
       case Expr.EStrStarts(a, b) => exprVars(a) ++ exprVars(b)
       case Expr.ECmp(_, a, b)    => exprVars(a) ++ exprVars(b)
       case Expr.EAnd(a, b)       => exprVars(a) ++ exprVars(b)
@@ -526,6 +529,12 @@ object SparqlExec {
       case Expr.EIsLiteral(x) => GraphOps.TermFns.termIsLiteral(termCol(x, vv))
       case Expr.EIsBlank(x)   => GraphOps.TermFns.termIsBlank(termCol(x, vv))
       case Expr.EStrStarts(a, b) => strCol(a, vv).startsWith(strCol(b, vv))
+      case Expr.EBound(v)        => col(v).isNotNull
+      case Expr.ERegex(x, pat, ci) =>
+        strCol(x, vv).rlike(if (ci) "(?i)" + pat else pat)
+      case Expr.EIn(x, terms, neg) =>
+        val in = termCol(x, vv).isin(terms: _*)
+        if (neg) !in else in
       case Expr.ECmp(op, l, r) =>
         // a comparison touching a BIND-value variable compares VALUES —
         // the rendered-term context would silently mismatch

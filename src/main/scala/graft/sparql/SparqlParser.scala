@@ -234,8 +234,31 @@ object SparqlParser {
         case Tok.Punct(op, _, _) if Set("=", "!=", "<", "<=", ">", ">=")(op) =>
           pos += 1
           Expr.ECmp(op, l, exprPrim())
+        case Tok.Word(w, _, _) if w.equalsIgnoreCase("IN") =>
+          pos += 1; Expr.EIn(l, inList(), negated = false)
+        case Tok.Word(w, _, _) if w.equalsIgnoreCase("NOT") =>
+          pos += 1; expectWord("IN"); Expr.EIn(l, inList(), negated = true)
         case _ => l
       }
+    }
+
+    /** `( term, … )` of constant terms, rendered. */
+    private def inList(): Seq[String] = {
+      expectPunct("(")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var more = !atPunct(")")
+      while (more) {
+        val t = peek
+        term() match {
+          case Term.V(v)  => diag(s"IN lists take constant terms (got ?$v)", t)
+          case Term.I(i)  => out += s"<$i>"
+          case Term.L(r)  => out += r
+        }
+        more = eatPunct(",")
+      }
+      expectPunct(")")
+      if (out.isEmpty) diag("IN needs at least one term", peek)
+      out.toSeq
     }
     private def exprPrim(): Expr = peek match {
       case Tok.Var(v, _, _)     => pos += 1; Expr.EVar(v)
@@ -253,11 +276,34 @@ object SparqlParser {
           pos += 1; expectPunct("("); val e = expr(); expectPunct(",")
           val p = expr(); expectPunct(")")
           Expr.EStrStarts(e, p)
+        } else if (up == "BOUND") {
+          pos += 1; expectPunct("(")
+          val v = peek match {
+            case Tok.Var(x, _, _) => pos += 1; x
+            case x                => diag("BOUND takes a variable", x)
+          }
+          expectPunct(")")
+          Expr.EBound(v)
+        } else if (up == "REGEX") {
+          pos += 1; expectPunct("("); val e = expr(); expectPunct(",")
+          val pat = peek match {
+            case Tok.Str(x, _, _) => pos += 1; x
+            case x                => diag("REGEX takes a string pattern", x)
+          }
+          var ci = false
+          if (eatPunct(",")) peek match {
+            case f @ Tok.Str(x, _, _) =>
+              pos += 1
+              if (x == "i") ci = true
+              else diag(s"unsupported REGEX flags '$x' (only 'i')", f)
+            case x => diag("expected a flags string", x)
+          }
+          expectPunct(")")
+          Expr.ERegex(e, pat, ci)
         } else if (up == "TRUE" || up == "FALSE") {
           pos += 1
           Expr.ETerm(renderLiteral(up.toLowerCase, None, Some(XsdBoolean)))
-        } else if (up == "EXISTS" || up == "NOTEXISTS" || up == "BOUND" ||
-            up == "REGEX" || up == "BIND" || up == "IN") {
+        } else if (up == "EXISTS" || up == "NOTEXISTS" || up == "BIND") {
           diag(s"$w is not supported in FILTER expressions", t)
         } else diag(s"unknown function '$w'", t)
       case t => diag("expected an expression", t)

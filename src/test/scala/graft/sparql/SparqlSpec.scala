@@ -333,6 +333,29 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows(eq) == Set(Seq(s"<${E}3>")))
   }
 
+  test("BOUND / REGEX / IN in FILTER") {
+    // BOUND over an OPTIONAL var — the left-anti idiom as a filter
+    val unlabeled = run(prologue +
+      "SELECT ?d WHERE { ?d p:nchars ?n . OPTIONAL { ?d p:label ?l } FILTER (!BOUND(?l)) }")
+    assert(rows(unlabeled) == Set(Seq(s"<${E}6>")))
+    val labeled = run(prologue +
+      "SELECT ?d WHERE { ?d p:nchars ?n . OPTIONAL { ?d p:label ?l } FILTER BOUND(?l) }")
+    assert(labeled.count() == 5)
+
+    // REGEX on the lexical form, case-insensitive flag
+    val re = run(prologue +
+      "SELECT ?d WHERE { ?d p:label ?o . FILTER REGEX(STR(?o), \"^DOC [13]$\", \"i\") }")
+    assert(rows(re) == Set(Seq(s"<${E}1>"), Seq(s"<${E}3>")))
+
+    // IN / NOT IN over constant terms
+    val in = run(prologue +
+      "SELECT ?d WHERE { ?d p:lang ?l . FILTER (?l IN (\"fr\", \"zh\")) }")
+    assert(in.count() == 3)
+    val notin = run(prologue +
+      "SELECT ?d WHERE { ?d p:lang ?l . FILTER (?l NOT IN (\"fr\", \"zh\")) }")
+    assert(notin.count() == 3) // the en docs
+  }
+
   test("ASK and CONSTRUCT forms") {
     assert(run(prologue + "ASK { ?d p:lang \"zh\" }")
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
