@@ -1572,14 +1572,14 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val ids = docs.select(col("doc_id").as("id"))
       val v1 = GraphAnalytics.syntheticEdges(docs)
-      val dels = v1.filter(col("src") % 11 === 0)
-      val adds = ids.filter(col("id") % 13 === 0)
+      val dels = v1.filter(col("src") % 101 === 0)
+      val adds = ids.filter(col("id") % 103 === 0)
         .select(col("id").as("src"), (col("id") + 5).as("dst"))
         .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
       val diff = dels.select(lit("del").as("op"), col("src"), col("dst"))
         .unionByName(adds.select(lit("add").as("op"), col("src"), col("dst")))
-      val v2 = v1.filter(col("src") % 11 =!= 0).unionByName(adds)
+      val v2 = v1.filter(col("src") % 101 =!= 0).unionByName(adds)
       val hist = GraphAnalytics.pageRankHistory(v1, ids, iterations = 3)
       GraphAnalytics.pageRankDelta(hist, v2, diff, ids, iterations = 3)
         .select(col("id").as("doc_id"), col("rank"))
@@ -2819,9 +2819,9 @@ object SparkEntry {
     s"""WITH $graphEdgesCte,
        |adds AS (
        |  SELECT id AS src, id + 5 AS dst FROM ids
-       |  WHERE id % 13 = 0 AND id + 5 IN (SELECT id FROM ids)),
+       |  WHERE id % 103 = 0 AND id + 5 IN (SELECT id FROM ids)),
        |e2 AS (
-       |  SELECT src, dst FROM edges WHERE src % 11 <> 0
+       |  SELECT src, dst FROM edges WHERE src % 101 <> 0
        |  UNION ALL SELECT src, dst FROM adds),
        |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ids),
        |outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM e2 GROUP BY 1),

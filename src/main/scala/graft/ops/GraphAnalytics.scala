@@ -621,24 +621,33 @@ object GraphAnalytics {
     val outdeg = newEdges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val withDeg = newEdges.join(outdeg, col("src") === outdeg("id"))
       .select(col("src"), col("dst"), col("deg")).persist()
+    val iterCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val n = nodes.count()
       // D_0 = ∅: at t=1 every in-neighbour value is history(0) = 1/n
       var changed = nodes.select(col("id"), lit(1.0 / n).as("rank")).limit(0)
       for (t <- 1 to iterations) {
+        // dT and inE are each consumed TWICE below — persist them or the
+        // affected-frontier subtree re-evaluates ~2× per reuse and the
+        // delta path ends up slower than a fresh run (measured 14 s vs
+        // 1.5 s at sf0.1 before these persists; 3-iteration frames are
+        // diff-neighbourhood-sized, so the cache is small by design)
         val dT = seed.unionByName(
           withDeg.join(changed.select(col("id").as("src")), Seq("src"), "left_semi")
-            .select(col("dst").as("id"))).distinct()
+            .select(col("dst").as("id"))).distinct().persist()
         // v2 in-edges of the affected set; contributing sources take the
         // recomputed value where changed, v1 history elsewhere
         val inE = withDeg
-          .join(dT.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .join(dT.select(col("id").as("dst")), Seq("dst"), "left_semi").persist()
+        iterCaches += dT
+        iterCaches += inE
         val needSrcs = inE.select(col("src").as("id")).distinct()
-        val prev = history.filter(col("iter") === (t - 1))
-          .select(col("id"), col("rank"))
-          .join(needSrcs, Seq("id"), "left_semi")
-          .join(changed.select(col("id")), Seq("id"), "left_anti")
-          .unionByName(changed.join(needSrcs, Seq("id"), "left_semi"))
+        // one coalesce-join: the recomputed value wins, history fills in
+        val prev = needSrcs
+          .join(changed.withColumnRenamed("rank", "_rc"), Seq("id"), "left")
+          .join(history.filter(col("iter") === (t - 1))
+            .select(col("id"), col("rank").as("_rh")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("_rc"), col("_rh")).as("rank"))
         val contribs = inE.join(prev, inE("src") === prev("id"))
           .select(inE("dst").as("id"), (col("rank") / col("deg")).as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("c"))
@@ -656,6 +665,7 @@ object GraphAnalytics {
     } finally {
       seed.unpersist()
       withDeg.unpersist()
+      iterCaches.foreach(_.unpersist())
     }
   }
 }
