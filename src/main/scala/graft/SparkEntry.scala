@@ -1357,6 +1357,72 @@ object SparkEntry {
         (_: String) => triples, counts)
     }),
 
+    // SPARQL Update from TEXT (kg63's rewrite driven through the parsed
+    // string): DELETE/INSERT WHERE lowered by SparqlExec.update onto the
+    // same tombstone delta path — the oracle is kg63's, verbatim
+    "kg75_sparql_update_text" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      val rows = tri.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg75_").toString
+      try {
+        val M = graft.pipeline.Materialize
+        M.write(rows, s"$dir/g")
+        val counts = M.sketchPredCounts(
+          tri.select(col("subj"), col("pred"), col("obj")))
+        graft.sparql.SparqlExec.update(s,
+          s"""PREFIX p: <$P>
+             |DELETE { ?d p:source ?src }
+             |INSERT { ?d p:archived ?src }
+             |WHERE { ?d p:source ?src . ?d p:lang "en" }""".stripMargin,
+          s"$dir/g", counts, "sparql:update", new java.sql.Timestamp(0L))
+        M.readMerged(s, s"$dir/g")
+          .select(col("subj"), col("pred"), col("obj"))
+          .localCheckpoint() // eager — the scratch graph dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
+    // INSERT DATA / DELETE DATA from text: two ground batches appended to
+    // the delta log (bytes ∝ the literal triples, no WHERE evaluation);
+    // the later DELETE DATA tombstone retracts one of the inserted rows
+    // (latest-batch-wins), so exactly one survives the merged read
+    "kg76_sparql_insert_data" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      val rows = tri.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg76_").toString
+      try {
+        val M = graft.pipeline.Materialize
+        M.write(rows, s"$dir/g")
+        val counts = M.sketchPredCounts(
+          tri.select(col("subj"), col("pred"), col("obj")))
+        val ts0 = new java.sql.Timestamp(0L)
+        graft.sparql.SparqlExec.update(s,
+          s"""PREFIX p: <$P>
+             |INSERT DATA {
+             |  <${GraphOps.DocPrefix}seed> p:lang "en" ; p:source "manual" .
+             |}""".stripMargin,
+          s"$dir/g", counts, "sparql:data", ts0)
+        graft.sparql.SparqlExec.update(s,
+          s"""PREFIX p: <$P>
+             |DELETE DATA { <${GraphOps.DocPrefix}seed> p:source "manual" }""".stripMargin,
+          s"$dir/g", counts, "sparql:data", ts0)
+        M.readMerged(s, s"$dir/g")
+          .select(col("subj"), col("pred"), col("obj"))
+          .localCheckpoint() // eager — the scratch graph dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // SHACL-lite validation: per-property cardinality/datatype/enum rules
     // over the constructed graph, one violation row per breach; four
     // corruption classes planted by doc-id arithmetic so every rule fires
@@ -3105,6 +3171,29 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
         |FROM documents GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin,
+
+    // Update from text: kg63's oracle verbatim — the parsed string must
+    // land on exactly the rows the typed API produced
+    "kg75_sparql_update_text" ->
+      s"""WITH tri AS (
+         |$kg01Oracle
+         |)
+         |SELECT t.subj,
+         |  CASE WHEN t.pred = '${GraphOps.PropPrefix}source' AND dd.lang = 'en'
+         |       THEN '${GraphOps.PropPrefix}archived' ELSE t.pred END AS pred,
+         |  t.obj
+         |FROM tri t JOIN documents dd USING (doc_id)""".stripMargin,
+
+    // ground DATA batches: base graph plus the ONE insert surviving the
+    // later DELETE DATA tombstone
+    "kg76_sparql_insert_data" ->
+      s"""WITH tri AS (
+         |$kg01Oracle
+         |)
+         |SELECT subj, pred, obj FROM tri
+         |UNION ALL
+         |SELECT '<${GraphOps.DocPrefix}seed>' AS subj,
+         |  '${GraphOps.PropPrefix}lang' AS pred, '"en"' AS obj""".stripMargin,
 
     // ASK from text: kg54's two-probe oracle verbatim
     "kg71_sparql_ask" ->

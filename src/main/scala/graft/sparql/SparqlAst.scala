@@ -128,6 +128,27 @@ object SparqlAst {
 
   final case class OrderKey(variable: String, ascending: Boolean)
 
+  // ------------------------------------------------------------ updates
+  /** SPARQL 1.1 Update requests (the WRITE half of the text surface),
+    * lowered onto the tombstone delta path — never a table rewrite.
+    */
+  sealed trait UpdateOp
+  object UpdateOp {
+    /** `INSERT DATA { … }` / `DELETE DATA { … }`: ground triples, rendered
+      * `(graph, subj, pred, obj)` — graph = None outside `GRAPH <iri>`
+      * blocks (the default-graph triple store).
+      */
+    final case class Data(insert: Boolean,
+        triples: Seq[(Option[String], String, String, String)]) extends UpdateOp
+    /** `[WITH <g>] DELETE { … } INSERT { … } WHERE { … }` (either template
+      * block may be absent, not both; `DELETE WHERE { … }` parses with
+      * delete = the pattern block itself).
+      */
+    final case class Modify(withGraph: Option[String],
+        delete: Seq[TriplePat], insert: Seq[TriplePat], where: Group,
+        start: Int, end: Int) extends UpdateOp
+  }
+
   sealed trait Query
   final case class Select(
       distinct: Boolean,

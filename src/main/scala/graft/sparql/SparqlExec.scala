@@ -95,6 +95,129 @@ object SparqlExec {
     try { SparqlParser.parse(q); None }
     catch { case d: Diag => Some((d.message, d.start, d.end)) }
 
+  /** [[diagnose]] for Update requests. */
+  def diagnoseUpdate(u: String): Option[(String, Int, Int)] =
+    try { SparqlParser.parseUpdate(u); None }
+    catch { case d: Diag => Some((d.message, d.start, d.end)) }
+
+  /** Parse + execute one SPARQL 1.1 Update request against a materialized
+    * LSM graph table at `out` — the WRITE half of the text surface. Every
+    * form lowers onto the tombstone delta path (bytes ∝ instantiated
+    * templates, never a table rewrite):
+    *
+    *   - `INSERT DATA` / `DELETE DATA` → one ground delta batch
+    *     ([[graft.pipeline.Materialize.appendDeltaOps]] /
+    *     `appendQuadDeltaOps` under GRAPH blocks).
+    *   - `DELETE { … } INSERT { … } WHERE { … }` →
+    *     [[GraphOps.updateWhere]] (delete-then-insert order preserved,
+    *     kg63 semantics).
+    *   - `WITH <g> DELETE/INSERT WHERE` → [[GraphOps.updateWhereGraph]]
+    *     (sibling graphs byte-untouched, kg69 semantics).
+    *   - `DELETE WHERE { … }` → the pattern block doubles as the delete
+    *     template block.
+    *
+    * Subset contracts (spanned [[Diag]] rejects, never a silent misread):
+    * template subjects/objects are variables with plain-IRI predicates
+    * (the [[GraphOps.ConstructTemplate]] shape — DELETE WHERE therefore
+    * takes variable-object patterns only); WHERE supports plain triple
+    * patterns (constant objects allowed); `quadTable` selects the layout —
+    * GRAPH blocks and WITH require it, a triple table forbids them.
+    */
+  def update(
+      spark: SparkSession,
+      u: String,
+      out: String,
+      predCounts: Map[String, Long],
+      srcUrl: String,
+      ts: java.sql.Timestamp,
+      quadTable: Boolean = false,
+      predBuckets: Int = graft.pipeline.Materialize.DefaultPredBuckets,
+      salt: Int = graft.pipeline.Materialize.DefaultSalt): Unit = {
+    val M = graft.pipeline.Materialize
+    SparqlParser.parseUpdate(u) match {
+      case UpdateOp.Data(insert, triples) =>
+        if (quadTable && triples.exists(_._1.isEmpty))
+          throw Diag("quad tables take every DATA triple inside GRAPH <iri> { … }", 0, 0)
+        if (!quadTable && triples.exists(_._1.isDefined))
+          throw Diag("GRAPH blocks in DATA need a quad table (quadTable = true)", 0, 0)
+        val op = if (insert) M.OpAdd else M.OpDel
+        import spark.implicits._
+        if (quadTable) {
+          val batch = triples
+            .map { case (g, s, p, o) => (s"<${g.get}>", s, p, o) }
+            .toDF("graph", "subj", "pred", "obj")
+            .withColumn("op", lit(op))
+            .withColumn("src_url", lit(srcUrl)).withColumn("warc_ts", lit(ts))
+          M.appendQuadDeltaOps(spark, out, batch, predBuckets, salt)
+        } else {
+          val batch = triples
+            .map { case (_, s, p, o) => (s, p, o) }
+            .toDF("subj", "pred", "obj")
+            .withColumn("op", lit(op))
+            .withColumn("src_url", lit(srcUrl)).withColumn("warc_ts", lit(ts))
+          M.appendDeltaOps(spark, out, batch, predBuckets, salt)
+        }
+      case UpdateOp.Modify(withGraph, del, ins, where, start, end) =>
+        if (quadTable && withGraph.isEmpty)
+          throw Diag("quad tables need WITH <graph> on DELETE/INSERT WHERE", start, end)
+        if (!quadTable && withGraph.isDefined)
+          throw Diag("WITH <graph> needs a quad table (quadTable = true)", start, end)
+        val delT = del.map(toTemplate)
+        val insT = ins.map(toTemplate)
+        val chains = whereChains(where, start, end)
+        try withGraph match {
+          case Some(g) => GraphOps.updateWhereGraph(spark, out, s"<$g>",
+            delT, insT, chains, predCounts, srcUrl, ts, predBuckets, salt)
+          case None => GraphOps.updateWhere(spark, out,
+            delT, insT, chains, predCounts, srcUrl, ts, predBuckets, salt)
+        } catch {
+          // algebra-contract violations surface as spanned diagnostics,
+          // the same channel as syntax rejects
+          case e: IllegalArgumentException => throw Diag(e.getMessage, start, end)
+        }
+    }
+  }
+
+  /** Template triple → the [[GraphOps.ConstructTemplate]] shape. */
+  private def toTemplate(tp: TriplePat): GraphOps.ConstructTemplate = {
+    val sv = tp.s match {
+      case Term.V(v) => v
+      case _ => throw Diag("template subjects must be variables (DELETE WHERE " +
+        "included — its patterns double as templates)", tp.start, tp.end)
+    }
+    val p = Path.simple(tp.p).getOrElse(
+      throw Diag("template predicates must be plain IRIs", tp.start, tp.end))
+    val ov = tp.o match {
+      case Term.V(v) => v
+      case _ => throw Diag("template objects must be variables (bind constants " +
+        "in the WHERE clause)", tp.start, tp.end)
+    }
+    GraphOps.ConstructTemplate(sv, p, ov)
+  }
+
+  /** UPDATE WHERE group → the plain-chain subset [[GraphOps.updateWhere]]
+    * evaluates (spanned reject beyond it).
+    */
+  private def whereChains(g: Group, start: Int, end: Int): Seq[GraphOps.ChainPattern] =
+    g.elems.flatMap {
+      case GroupElem.Triples(ps) => ps
+      case _ => throw Diag("UPDATE WHERE supports plain triple patterns only " +
+        "(no FILTER/OPTIONAL/UNION — run a CONSTRUCT query and INSERT DATA " +
+        "the result for richer shapes)", start, end)
+    }.map { tp =>
+      val sv = tp.s match {
+        case Term.V(v) => v
+        case _ => throw Diag("pattern subjects must be variables", tp.start, tp.end)
+      }
+      val pred = Path.simple(tp.p).getOrElse(
+        throw Diag("UPDATE WHERE predicates must be plain IRIs", tp.start, tp.end))
+      tp.o match {
+        case Term.V(ov) => GraphOps.ChainPattern(sv, pred, oVar = Some(ov))
+        case Term.I(i)  => GraphOps.ChainPattern(sv, pred, oConst = Some(s"<$i>"))
+        case Term.L(r)  => GraphOps.ChainPattern(sv, pred, oConst = Some(r))
+      }
+    }
+
   /** Decode a RENDERED term to its lexical form (pure twin of
     * [[GraphOps.TermFns.termStr]], for constants).
     */

@@ -33,6 +33,12 @@ object SparqlParser {
 
   def parse(q: String): Query = new P(SparqlLexer.lex(q)).parseQuery()
 
+  /** Parse one SPARQL 1.1 Update request (INSERT DATA / DELETE DATA /
+    * [WITH <g>] DELETE/INSERT WHERE / DELETE WHERE). Rejections raise
+    * [[Diag]] with the source span, like [[parse]].
+    */
+  def parseUpdate(u: String): UpdateOp = new P(SparqlLexer.lex(u)).parseUpdateUnit()
+
   /** Render a lexical form + optional lang/datatype to the engine's term
     * syntax (the same table [[graft.turtle.NTriples.renderTerm]] uses, so
     * query constants are string-equal to corpus terms).
@@ -540,6 +546,124 @@ object SparqlParser {
         } else more = false
       }
       Select(distinct, proj, g, groupBy, having, orderBy, limit, offset)
+    }
+
+    // ------------------------------------------------------------ update
+    /** `{ … }` of triple TEMPLATES (variable subjects, plain predicates) —
+      * the DELETE/INSERT clause bodies; shares the CONSTRUCT template shape.
+      */
+    private def templateBlock(): Seq[TriplePat] = {
+      expectPunct("{")
+      val out = scala.collection.mutable.ArrayBuffer.empty[TriplePat]
+      while (!eatPunct("}")) {
+        if (!eatPunct(".")) out ++= triplesSameSubject()
+      }
+      if (out.isEmpty) diag("template block needs at least one triple", peek)
+      out.toSeq
+    }
+
+    /** Ground triples with `;`/`,` sugar for one constant subject. */
+    private def groundTriples(g: Option[String])
+        : Seq[(Option[String], String, String, String)] = {
+      val sTok = peek
+      val s = term() match {
+        case Term.I(i) => s"<$i>"
+        case Term.V(v) => diag(s"INSERT/DELETE DATA takes ground triples (got ?$v)", sTok)
+        case Term.L(_) => diag("literal subjects are not RDF", sTok)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Option[String], String, String, String)]
+      var more = true
+      while (more) {
+        val p = peek match {
+          case Tok.Word(w, _, _) if w == "a" => pos += 1; RdfType
+          case Tok.Iri(_, _, _) | Tok.Pname(_, _, _, _) => iri()
+          case t => diag("DATA predicates must be IRIs", t)
+        }
+        var objs = true
+        while (objs) {
+          val oTok = peek
+          val o = term() match {
+            case Term.V(v) => diag(s"INSERT/DELETE DATA takes ground triples (got ?$v)", oTok)
+            case Term.I(i) => s"<$i>"
+            case Term.L(r) => r
+          }
+          out += ((g, s, p, o))
+          objs = eatPunct(",")
+        }
+        more = eatPunct(";") && !atPunct(".") && !atPunct("}")
+      }
+      out.toSeq
+    }
+
+    /** `{ … }` after INSERT/DELETE DATA: ground triples, optionally scoped
+      * by `GRAPH <iri> { … }` blocks (quad tables).
+      */
+    private def dataBlock(insert: Boolean): UpdateOp.Data = {
+      expectPunct("{")
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Option[String], String, String, String)]
+      while (!eatPunct("}")) {
+        if (eatPunct(".")) ()
+        else if (atWord("GRAPH")) {
+          pos += 1
+          val g = Some(iri())
+          expectPunct("{")
+          while (!eatPunct("}")) {
+            if (!eatPunct(".")) rows ++= groundTriples(g)
+          }
+        } else rows ++= groundTriples(None)
+      }
+      if (rows.isEmpty) diag("DATA block needs at least one triple", peek)
+      UpdateOp.Data(insert, rows.toSeq)
+    }
+
+    /** DELETE/INSERT WHERE after an optional, already-consumed WITH. */
+    private def modifyTail(withGraph: Option[String], start: Int): UpdateOp = {
+      val (del, ins) =
+        if (eatWord("DELETE")) {
+          if (atWord("WHERE")) {
+            // DELETE WHERE { … }: the pattern block IS the template block
+            pos += 1
+            val g = group()
+            val pats = g.elems.collect { case GroupElem.Triples(ps) => ps }.flatten
+            if (pats.isEmpty) diag("DELETE WHERE needs at least one triple pattern", peek)
+            return UpdateOp.Modify(withGraph, pats, Nil, g, start, toks(pos - 1).end)
+          }
+          val d = templateBlock()
+          val i = if (eatWord("INSERT")) templateBlock() else Nil
+          (d, i)
+        } else if (eatWord("INSERT")) {
+          (Seq.empty[TriplePat], templateBlock())
+        } else diag("expected DELETE or INSERT", peek)
+      expectWord("WHERE")
+      UpdateOp.Modify(withGraph, del, ins, group(), start, toks(pos - 1).end)
+    }
+
+    def parseUpdateUnit(): UpdateOp = {
+      prologue()
+      val start = peek.start
+      val op: UpdateOp =
+        if (atWord("WITH")) {
+          pos += 1
+          modifyTail(Some(iri()), start)
+        } else if (atWord("INSERT")) {
+          val save = pos
+          pos += 1
+          if (eatWord("DATA")) dataBlock(insert = true)
+          else { pos = save; modifyTail(None, start) }
+        } else if (atWord("DELETE")) {
+          val save = pos
+          pos += 1
+          if (eatWord("DATA")) dataBlock(insert = false)
+          else { pos = save; modifyTail(None, start) }
+        } else if (atWord("LOAD") || atWord("CLEAR") || atWord("DROP") ||
+            atWord("CREATE") || atWord("COPY") || atWord("MOVE") || atWord("ADD")) {
+          diag("graph-management updates (LOAD/CLEAR/DROP/CREATE/COPY/MOVE/ADD) " +
+            "are not supported — use the Materialize compaction API", peek)
+        } else diag("expected INSERT, DELETE, or WITH", peek)
+      peek match {
+        case Tok.Eof(_, _) => op
+        case t => diag("one update request per call (trailing input)", t)
+      }
     }
 
     // ------------------------------------------------------------- query

@@ -375,4 +375,129 @@ class SparqlSpec extends AnyFunSuite {
       (_: String) => triples, counts, config = SparqlExec.Config(maxHops = 1))
     assert(rows(hop1) == Set(Seq(s"<${E}2>"), Seq(s"<${E}3>"))) // one hop only
   }
+
+  // ------------------------------------------------------------- updates
+
+  test("parse update: INSERT/DELETE DATA, Modify, DELETE WHERE, WITH") {
+    val dd = SparqlParser.parseUpdate(prologue +
+      """INSERT DATA { <http://g/e/9> p:lang "en" ; p:label "doc 9"@en .
+        |  GRAPH <http://g/g/1> { <http://g/e/9> p:cites <http://g/e/1> } }"""
+        .stripMargin).asInstanceOf[UpdateOp.Data]
+    assert(dd.insert)
+    assert(dd.triples == Seq(
+      (None, s"<${E}9>", s"${P}lang", "\"en\""),
+      (None, s"<${E}9>", s"${P}label", "\"doc 9\"@en"),
+      (Some("http://g/g/1"), s"<${E}9>", s"${P}cites", s"<${E}1>")))
+    assert(!SparqlParser.parseUpdate(prologue +
+      "DELETE DATA { <http://g/e/9> p:lang \"en\" }")
+      .asInstanceOf[UpdateOp.Data].insert)
+
+    val m = SparqlParser.parseUpdate(prologue +
+      "DELETE { ?d p:lang ?l } INSERT { ?d p:tongue ?l } WHERE { ?d p:lang ?l }")
+      .asInstanceOf[UpdateOp.Modify]
+    assert(m.withGraph.isEmpty && m.delete.size == 1 && m.insert.size == 1)
+
+    val w = SparqlParser.parseUpdate(prologue +
+      "WITH <http://g/g/1> INSERT { ?d p:seen ?l } WHERE { ?d p:lang ?l }")
+      .asInstanceOf[UpdateOp.Modify]
+    assert(w.withGraph.contains("http://g/g/1") && w.delete.isEmpty)
+
+    val s = SparqlParser.parseUpdate(prologue + "DELETE WHERE { ?d p:cites ?o }")
+      .asInstanceOf[UpdateOp.Modify]
+    assert(s.delete.size == 1 && s.insert.isEmpty &&
+      s.where.elems.size == 1) // the pattern block doubles as templates
+  }
+
+  test("update rejects: ground rule, graph management, layout and template shape") {
+    def rej(u: String): String =
+      SparqlExec.diagnoseUpdate(u).getOrElse(fail(s"expected a reject for: $u"))._1
+    assert(rej(prologue + "INSERT DATA { ?d p:lang \"en\" }").contains("ground"))
+    assert(rej(prologue + "INSERT DATA { <http://g/e/9> p:lang ?l }").contains("ground"))
+    assert(rej("CLEAR GRAPH <http://g/g/1>").contains("graph-management"))
+    assert(rej(prologue + "DELETE DATA { }").contains("at least one triple"))
+
+    val ts0 = new java.sql.Timestamp(0L)
+    def rejExec(u: String): String = // all reject BEFORE any table I/O
+      intercept[Diag](SparqlExec.update(spark, u, "/nonexistent",
+        Map.empty, "t", ts0)).message
+    assert(rejExec(prologue + "DELETE WHERE { ?d p:lang \"en\" }")
+      .contains("template objects must be variables"))
+    assert(rejExec(prologue +
+      "WITH <http://g/g/1> DELETE { ?d p:lang ?l } WHERE { ?d p:lang ?l }")
+      .contains("needs a quad table"))
+    assert(rejExec(prologue +
+      "DELETE { ?d p:lang ?l } WHERE { ?d p:lang ?l . FILTER (?l = \"en\") }")
+      .contains("plain triple patterns only"))
+    assert(intercept[Diag](SparqlExec.update(spark,
+      prologue + "INSERT DATA { GRAPH <http://g/g/1> { <http://g/e/9> p:lang \"en\" } }",
+      "/nonexistent", Map.empty, "t", ts0)).message.contains("quad table"))
+  }
+
+  test("update end-to-end: text Modify == typed twin; DATA; WITH graph scoping") {
+    val M = graft.pipeline.Materialize
+    val s = spark
+    val ts0 = new java.sql.Timestamp(0L)
+    def r3(df: DataFrame): Set[Seq[Any]] =
+      rows(df.select(col("subj"), col("pred"), col("obj")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sparql_upd_").toString
+    try {
+      val rws = triples.select(col("subj"), col("pred"), col("obj"),
+        lit("t:src").as("src_url"), lit(ts0).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      M.write(rws, s"$dir/a")
+      M.write(rws, s"$dir/b")
+
+      // text Modify == typed updateWhere, row for row
+      SparqlExec.update(s, prologue +
+        "DELETE { ?d p:lang ?l } INSERT { ?d p:tongue ?l } " +
+        "WHERE { ?d p:lang ?l . ?d p:cites ?c }",
+        s"$dir/a", counts, "u:1", ts0)
+      GraphOps.updateWhere(s, s"$dir/b",
+        delete = Seq(GraphOps.ConstructTemplate("d", s"${P}lang", "l")),
+        insert = Seq(GraphOps.ConstructTemplate("d", s"${P}tongue", "l")),
+        where = Seq(GraphOps.ChainPattern("d", s"${P}lang", oVar = Some("l")),
+          GraphOps.ChainPattern("d", s"${P}cites", oVar = Some("c"))),
+        predCounts = counts, srcUrl = "u:1", ts = ts0)
+      val got = r3(M.readMerged(s, s"$dir/a"))
+      assert(got == r3(M.readMerged(s, s"$dir/b")))
+
+      // INSERT DATA then DELETE DATA: the later batch's tombstone wins
+      SparqlExec.update(s, prologue +
+        "INSERT DATA { <http://g/e/9> p:lang \"xx\" ; p:label \"nine\" }",
+        s"$dir/a", counts, "u:2", ts0)
+      SparqlExec.update(s, prologue +
+        "DELETE DATA { <http://g/e/9> p:label \"nine\" }",
+        s"$dir/a", counts, "u:3", ts0)
+      assert(r3(M.readMerged(s, s"$dir/a")) ==
+        got + Seq(s"<${E}9>", s"${P}lang", "\"xx\""))
+
+      // quad store: WITH <g> confines the rewrite; the sibling graph and
+      // a GRAPH-block INSERT DATA land in their own graphs only
+      val quads = triples
+        .withColumn("graph",
+          concat(lit("<http://g/g/"),
+            (xxhash64(col("subj")) % 2 + 2) % 2, lit(">")))
+        .withColumn("src_url", lit("t:src")).withColumn("warc_ts", lit(ts0))
+      M.writeQuads(quads, s"$dir/q")
+      val before0 = rows(M.readMergedQuads(s, s"$dir/q")
+        .filter(col("graph") === "<http://g/g/0>")
+        .select(col("subj"), col("pred"), col("obj")))
+      SparqlExec.update(s, prologue +
+        "WITH <http://g/g/1> DELETE { ?d p:lang ?l } INSERT { ?d p:tongue ?l } " +
+        "WHERE { ?d p:lang ?l }",
+        s"$dir/q", counts, "u:4", ts0, quadTable = true)
+      SparqlExec.update(s, prologue +
+        "INSERT DATA { GRAPH <http://g/g/0> { <http://g/e/9> p:lang \"xx\" } }",
+        s"$dir/q", counts, "u:5", ts0, quadTable = true)
+      val after = M.readMergedQuads(s, s"$dir/q")
+      // graph 1: no p:lang survives; its p:tongue rows replaced them
+      assert(after.filter(col("graph") === "<http://g/g/1>" &&
+        col("pred") === s"${P}lang").count() == 0)
+      // graph 0: untouched by the WITH rewrite, plus exactly the DATA row
+      assert(rows(after.filter(col("graph") === "<http://g/g/0>")
+        .select(col("subj"), col("pred"), col("obj"))) ==
+        before0 + Seq(s"<${E}9>", s"${P}lang", "\"xx\""))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
