@@ -1357,6 +1357,19 @@ object SparkEntry {
         (_: String) => triples, counts)
     }),
 
+    // DESCRIBE from TEXT: kg55's outgoing-arc CBD driven through the
+    // parsed string — one semi-join against the WHERE-bound resource set
+    "kg77_sparql_describe" -> ((s, d) => {
+      val triples = GraphOps.parseTurtle(t(s, d, "documents"))
+        .select(col("subj"), col("pred"), col("obj"))
+      val counts = graft.pipeline.Materialize.sketchPredCounts(triples)
+      graft.sparql.SparqlExec.query(s,
+        s"""PREFIX p: <${GraphOps.PropPrefix}>
+           |DESCRIBE ?d WHERE { ?d p:lang "fr" }""".stripMargin,
+        (_: String) => triples, counts,
+        fullSource = Some(() => triples))
+    }),
+
     // SPARQL Update from TEXT (kg63's rewrite driven through the parsed
     // string): DELETE/INSERT WHERE lowered by SparqlExec.update onto the
     // same tombstone delta path — the oracle is kg63's, verbatim
@@ -3171,6 +3184,12 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
         |FROM documents GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin,
+
+    // DESCRIBE from text: kg55's oracle verbatim
+    "kg77_sparql_describe" ->
+      s"""SELECT subj, pred, obj FROM (
+         |$kg01Oracle
+         |) WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')""".stripMargin,
 
     // Update from text: kg63's oracle verbatim — the parsed string must
     // land on exactly the rows the typed API produced

@@ -161,4 +161,10 @@ object SparqlAst {
       offset: Option[Int]) extends Query
   final case class Ask(where: Group) extends Query
   final case class Construct(templates: Seq[TriplePat], where: Group) extends Query
+  /** `DESCRIBE <iri>… ?v… [WHERE { … }]` — outgoing-arc CBD (kg55).
+    * Variables require the WHERE clause that binds them; bare IRIs
+    * describe directly.
+    */
+  final case class Describe(vars: Seq[String], iris: Seq[String],
+      where: Option[Group]) extends Query
 }

@@ -85,6 +85,28 @@ object SparqlExec {
           GraphOps.ConstructTemplate(sv, p, ov)
         }
         GraphOps.construct(sol, ts)
+      case Describe(vars, iris, where) =>
+        // outgoing-arc CBD (kg55): ONE left-semi join of the full triple
+        // table against the (small, AQE-broadcast) resource set
+        val full = fullSource.getOrElse(throw Diag(
+          "DESCRIBE needs the full triple table (pass fullSource — " +
+            "descriptions cannot predicate-prune)", 0, 0))()
+        import spark.implicits._
+        val iriDf =
+          if (iris.isEmpty) None
+          else Some(iris.map(i => s"<$i>").toDF("subj"))
+        val varDf = where.filter(_ => vars.nonEmpty).map { g =>
+          val sol = ctx.lowerGroup(g)
+          val unbound = vars.filterNot(sol.columns.contains)
+          if (unbound.nonEmpty)
+            throw Diag(s"DESCRIBE variables not bound by WHERE: " +
+              unbound.mkString(", "), 0, 0)
+          vars.map(v => sol.select(col(v).as("subj")))
+            .reduce(_.unionByName(_))
+        }
+        val subjects = (iriDf.toSeq ++ varDf.toSeq)
+          .reduce(_.unionByName(_)).distinct()
+        GraphOps.describe(full, subjects)
     }
   }
 

@@ -674,6 +674,22 @@ object SparqlParser {
         else if (eatWord("ASK")) {
           eatWord("WHERE")
           Ask(group())
+        } else if (eatWord("DESCRIBE")) {
+          val vars = scala.collection.mutable.ArrayBuffer.empty[String]
+          val iris = scala.collection.mutable.ArrayBuffer.empty[String]
+          var more = true
+          while (more) peek match {
+            case Tok.Var(v, _, _) => pos += 1; vars += v
+            case Tok.Iri(_, _, _) | Tok.Pname(_, _, _, _) => iris += iri()
+            case _ => more = false
+          }
+          if (vars.isEmpty && iris.isEmpty)
+            diag("DESCRIBE needs at least one variable or IRI", peek)
+          val where =
+            if (eatWord("WHERE") || atPunct("{")) Some(group()) else None
+          if (vars.nonEmpty && where.isEmpty)
+            diag("DESCRIBE with variables needs a WHERE clause binding them", peek)
+          Describe(vars.toSeq, iris.toSeq, where)
         } else if (eatWord("CONSTRUCT")) {
           expectPunct("{")
           val templates = scala.collection.mutable.ArrayBuffer.empty[TriplePat]
@@ -683,7 +699,7 @@ object SparqlParser {
           if (templates.isEmpty) diag("CONSTRUCT needs at least one template", peek)
           expectWord("WHERE")
           Construct(templates.toSeq, group())
-        } else diag("expected SELECT, ASK, or CONSTRUCT", peek)
+        } else diag("expected SELECT, ASK, CONSTRUCT, or DESCRIBE", peek)
       peek match {
         case Tok.Eof(_, _) => q
         case t             => diag("trailing input after the query", t)

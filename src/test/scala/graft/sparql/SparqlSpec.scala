@@ -376,6 +376,27 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows(hop1) == Set(Seq(s"<${E}2>"), Seq(s"<${E}3>"))) // one hop only
   }
 
+  test("DESCRIBE: variables via WHERE, bare IRIs, and the mixed form") {
+    // ?d bound to the two fr docs → all their outgoing arcs
+    val byVar = run(prologue + "DESCRIBE ?d WHERE { ?d p:lang \"fr\" }")
+    val typed = GraphOps.describe(triples,
+      triples.filter(col("pred") === s"${P}lang" && col("obj") === "\"fr\"")
+        .select(col("subj")))
+    assert(rows(byVar) == rows(typed))
+
+    // bare IRI, no WHERE
+    assert(rows(run(s"DESCRIBE <${E}5>")) ==
+      rows(triples.filter(col("subj") === s"<${E}5>")))
+
+    // mixed: the IRI adds to the variable's matches, distinct
+    val mixed = run(prologue + s"DESCRIBE ?d <${E}5> WHERE { ?d p:lang \"fr\" }")
+    assert(rows(mixed) == rows(byVar) ++ rows(triples.filter(col("subj") === s"<${E}5>")))
+
+    // vars without WHERE reject
+    assert(SparqlExec.diagnose("DESCRIBE ?d")
+      .exists(_._1.contains("needs a WHERE")))
+  }
+
   // ------------------------------------------------------------- updates
 
   test("parse update: INSERT/DELETE DATA, Modify, DELETE WHERE, WITH") {
