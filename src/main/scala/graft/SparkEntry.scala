@@ -1370,6 +1370,17 @@ object SparkEntry {
         fullSource = Some(() => triples))
     }),
 
+    // CONTINUOUS SPARQL (the standing-query composition): three crawl
+    // deliveries stream into the LSM graph; after each micro-batch the
+    // registered text query re-evaluates over the merged view and its
+    // snapshot appends keyed by batch_seq — the answer's evolution
+    "kg78_stream_sparql" -> ((s, d) =>
+      graft.streaming.StreamingOps.continuousSparql(s, d,
+        s"""PREFIX p: <${GraphOps.PropPrefix}>
+           |SELECT ?l (COUNT(*) AS ?n_docs)
+           |WHERE { ?d p:lang ?l }
+           |GROUP BY ?l""".stripMargin)),
+
     // SPARQL Update from TEXT (kg63's rewrite driven through the parsed
     // string): DELETE/INSERT WHERE lowered by SparqlExec.update onto the
     // same tombstone delta path — the oracle is kg63's, verbatim
@@ -3184,6 +3195,17 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
         |FROM documents GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin,
+
+    // the standing query's evolution in closed form: after batch b the
+    // graph holds docs with doc_id % 3 <= b, so each snapshot is the
+    // per-lang doc count over that prefix
+    "kg78_stream_sparql" ->
+      """SELECT CAST(b.seq AS BIGINT) AS batch_seq,
+        |  '"' || d.lang || '"' AS l,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM (VALUES (0), (1), (2)) AS b(seq)
+        |JOIN documents d ON d.doc_id % 3 <= b.seq
+        |GROUP BY 1, 2""".stripMargin,
 
     // DESCRIBE from text: kg55's oracle verbatim
     "kg77_sparql_describe" ->
