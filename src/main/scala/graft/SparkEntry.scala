@@ -590,6 +590,32 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // vector-store TIME TRAVEL (kg60's discipline on the IVF delta log):
+    // the live vector set replayed as of batch 0 (base build), 1 (+append),
+    // 2 (+delete tombstones), with the stored-centroid cell assignment —
+    // one unioned evolution frame, cells pinned against the oracle's own
+    // assignment arithmetic
+    "emb20_ann_time_travel" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft_emb20_").toString
+      try {
+        val cents = Array.tabulate(EmbeddingOps.IvfCells)(k =>
+          EmbeddingOps.ivfCentroid(k, 64).map(_ * 1000L))
+        graft.ops.IvfStore.write(
+          emb.filter(col("vec_id") % 3 =!= 0), s"$dir/ivf", cents)
+        graft.ops.IvfStore.appendVectors(s, s"$dir/ivf",
+          emb.filter(col("vec_id") % 3 === 0))
+        graft.ops.IvfStore.deleteVectors(s, s"$dir/ivf",
+          emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+        Seq(0L, 1L, 2L).map(a =>
+          graft.ops.IvfStore.readAsOf(s, s"$dir/ivf", a)
+            .select(lit(a).as("as_of"), col("vec_id"), col("cell")))
+          .reduce(_.unionByName(_))
+          .localCheckpoint() // eager — the scratch index dir is deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // multi-probe SRP ANN: each query also probes every Hamming-1 bucket
     // (5 of 16 at 4 planes) — the recall control single-bucket emb04 lacks;
     // oracle = brute force restricted to the probed bucket set
@@ -2274,6 +2300,38 @@ object SparkEntry {
     */
   private val ivfOracle: String = ivfOracleWhere("TRUE")
 
+  /** DuckDB twin of [[graft.ops.IvfStore.readAsOf]] (emb20): the three
+    * as-of states in closed form — base (%3≠0), +appends (all), +delete
+    * tombstones (%5≠0) — with the same grid cell assignment the store
+    * computes (exact integer argmin, ties to the lowest k).
+    */
+  private val emb20Oracle: String = {
+    val cents = (0 until EmbeddingOps.IvfCells).map { k =>
+      val c = EmbeddingOps.ivfCentroid(k, 64)
+      val norm = c.map(x => x * x).sum
+      s"SELECT $k AS k, ${c.mkString("[", ", ", "]")} AS c, CAST($norm AS BIGINT) AS cnorm"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS g
+       |  FROM embeddings
+       |), cent AS (
+       |$cents
+       |), assign AS (
+       |  SELECT vec_id, k,
+       |    cnorm - 2 * CAST(list_sum(list_transform(list_zip(g, c), p -> p[1] * p[2])) AS BIGINT) AS d
+       |  FROM g CROSS JOIN cent
+       |), cell AS (
+       |  SELECT vec_id, CAST(k AS BIGINT) AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, k ASC) rn FROM assign)
+       |  WHERE rn = 1
+       |)
+       |SELECT CAST(a.as_of AS BIGINT) AS as_of, c.vec_id, c.cell
+       |FROM (VALUES (0), (1), (2)) a(as_of) JOIN cell c ON
+       |  (a.as_of = 0 AND c.vec_id % 3 <> 0) OR a.as_of = 1
+       |  OR (a.as_of = 2 AND c.vec_id % 5 <> 0)""".stripMargin
+  }
+
   /** [[ivfOracle]] restricted to a live-vector predicate — the emb19 twin
     * (an IVF delta store's merged search equals the fresh rebuild over the
     * live set, which is exactly this filter).
@@ -3928,6 +3986,9 @@ object SparkEntry {
 
     // the delta store's merged search == fresh IVF over the live set
     "emb19_ann_ivf_delta" -> ivfOracleWhere("vec_id % 5 <> 0"),
+
+    // the delta log's three historical states with cell assignment
+    "emb20_ann_time_travel" -> emb20Oracle,
 
     "emb06_ann_multiprobe" -> multiProbeOracle,
 

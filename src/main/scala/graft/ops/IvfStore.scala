@@ -144,32 +144,54 @@ object IvfStore {
     * scan.
     */
   def readMerged(spark: SparkSession, out: String): DataFrame = {
-    // partition discovery types the cell column as INT on read — pin the
-    // long contract at the boundary
-    val base = spark.read.parquet(baseDir(out))
-      .select(col("vec_id"), col("g"), col("n"), col("cell").cast("long").as("cell"))
+    val base = readBase(spark, out)
     if (!hasDelta(spark, out)) base
-    else {
-      val deltas = spark.read.parquet(deltaDir(out))
-        .withColumn("cell", col("cell").cast("long"))
-      val touched = deltas.select(col("cell").cast("int")).distinct()
-        .collect().map(_.getInt(0)) // bounded by the cell count, never data
-      val untouched = base.filter(!col("cell").isin(touched: _*))
-      val rows = base.filter(col("cell").isin(touched: _*))
-        .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
-        .unionByName(deltas.select(col("vec_id"), col("g"), col("n"),
-          col("cell"), col("op"), col("batch_seq")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cell"), col("vec_id"))
-      val resolved = rows
-        .withColumn("_dseq", coalesce(
-          max(when(col("op") === OpDel, col("batch_seq"))).over(w), lit(-1L)))
-        .filter(col("op") === OpAdd && col("batch_seq") > col("_dseq"))
-        .groupBy(col("cell"), col("vec_id"))
-        .agg(max(struct(col("batch_seq"), col("g"), col("n"))).as("v"))
-        .select(col("vec_id"), col("v.g").as("g"), col("v.n").as("n"), col("cell"))
-      untouched.unionByName(resolved)
-    }
+    else resolveCells(base, spark.read.parquet(deltaDir(out))
+      .withColumn("cell", col("cell").cast("long")))
+  }
+
+  /** TIME TRAVEL (the kg60 discipline on the vector store): the live set
+    * as of delta batch `asOf` — tombstone/append batches with
+    * `batch_seq > asOf` are ignored, `asOf = 0` is the base build. Valid
+    * until a [[compact]] folds the log (compaction trades history for
+    * read cost, exactly like the graph store).
+    */
+  def readAsOf(spark: SparkSession, out: String, asOf: Long): DataFrame = {
+    val base = readBase(spark, out)
+    if (asOf <= 0L || !hasDelta(spark, out)) base
+    else resolveCells(base, spark.read.parquet(deltaDir(out))
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("batch_seq") <= asOf))
+  }
+
+  // partition discovery types the cell column as INT on read — pin the
+  // long contract at the boundary
+  private def readBase(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(baseDir(out))
+      .select(col("vec_id"), col("g"), col("n"), col("cell").cast("long").as("cell"))
+
+  /** Latest-batch-wins resolution over the delta-touched cells only; the
+    * untouched base streams as a pruned scan, no exchange.
+    */
+  private def resolveCells(base: DataFrame, deltas: DataFrame): DataFrame = {
+    val touched = deltas.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)) // bounded by the cell count, never data
+    if (touched.isEmpty) return base
+    val untouched = base.filter(!col("cell").isin(touched: _*))
+    val rows = base.filter(col("cell").isin(touched: _*))
+      .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+      .unionByName(deltas.select(col("vec_id"), col("g"), col("n"),
+        col("cell"), col("op"), col("batch_seq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), col("vec_id"))
+    val resolved = rows
+      .withColumn("_dseq", coalesce(
+        max(when(col("op") === OpDel, col("batch_seq"))).over(w), lit(-1L)))
+      .filter(col("op") === OpAdd && col("batch_seq") > col("_dseq"))
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(max(struct(col("batch_seq"), col("g"), col("n"))).as("v"))
+      .select(col("vec_id"), col("v.g").as("g"), col("v.n").as("n"), col("cell"))
+    untouched.unionByName(resolved)
   }
 
   /** IVF top-k over the LIVE set: [[EmbeddingOps.annWithinKey]] on the

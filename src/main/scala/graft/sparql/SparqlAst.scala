@@ -14,7 +14,7 @@ package graft.sparql
   * algebra op): prologue (PREFIX/BASE), SELECT [DISTINCT] with variable and
   * aggregate projections, ASK, CONSTRUCT; groups of triple patterns with
   * `;`/`,` sugar and property paths (`^ / | + *` and negated sets `!(…)`),
-  * FILTER with the kg58 term calculus, OPTIONAL, MINUS, FILTER NOT EXISTS,
+  * FILTER with the kg58 term calculus, OPTIONAL, MINUS, FILTER [NOT] EXISTS,
   * UNION, VALUES, scalar sub-SELECT, BIND, `GRAPH ?g`/`GRAPH <iri>` groups
   * (lowered onto the kg56 quad algebra when a quad table is supplied);
   * GROUP BY + COUNT/SUM/MIN/MAX/GROUP_CONCAT, HAVING, ORDER BY,
@@ -103,6 +103,7 @@ object SparqlAst {
     final case class Optional(g: Group) extends GroupElem
     final case class Minus(g: Group) extends GroupElem
     final case class NotExists(g: Group) extends GroupElem
+    final case class Exists(g: Group) extends GroupElem
     final case class Union(alts: Seq[Group]) extends GroupElem
     /** Inline bindings: every row binds every variable (no UNDEF). */
     final case class Values(vars: Seq[String], rows: Seq[Seq[String]]) extends GroupElem

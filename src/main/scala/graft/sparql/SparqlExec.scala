@@ -27,7 +27,8 @@ import SparqlAst._
   *     explicit-depth contract for web-scale graphs (kg41/kg68).
   *   - GROUP_CONCAT concatenates in SORTED order (SPARQL leaves order
   *     undefined; the engine pins the deterministic one, kg65 rule).
-  *   - SUM coerces integer lexical forms (BIGINT-exact, the kg38 rule);
+  *   - SUM/AVG coerce integer lexical forms (BIGINT-exact sums, AVG = one
+  *     double division of exact sum by exact count, the kg38 rule);
   *     non-numeric terms in a SUM or numeric FILTER compare as null/false.
   *   - ORDER BY sorts the RENDERED term text (the kg50 rule).
   *   - An aggregate query requires an explicit GROUP BY.
@@ -328,6 +329,11 @@ object SparqlExec {
           a.arg.map(_ => countDistinct(arg)).getOrElse(err("COUNT(DISTINCT *) is not supported"))
         case "SUM"          => sum(intArg)
         case "SUM_DISTINCT" => sum_distinct(intArg)
+        // AVG = exact BIGINT sum, ONE double division at the end — the
+        // deterministic decomposition (a running double mean would be
+        // partition-order-dependent)
+        case "AVG"          => sum(intArg) / count(intArg)
+        case "AVG_DISTINCT" => sum_distinct(intArg) / countDistinct(intArg)
         case "MIN" | "MIN_DISTINCT" => min(arg)
         case "MAX" | "MAX_DISTINCT" => max(arg)
         // sorted concatenation: SPARQL leaves GROUP_CONCAT order undefined,
@@ -511,6 +517,15 @@ object SparqlExec {
           if (shared.isEmpty)
             err("FILTER NOT EXISTS shares no variable with the group")
           sol = Some(s.join(f.select(shared.map(col): _*), shared, "left_anti"))
+        case GroupElem.Exists(eg) =>
+          // the semi-join dual of NOT EXISTS: keep solutions with at least
+          // one compatible row — multiplicity-preserving (no join blowup)
+          val s = sol.getOrElse(err("FILTER EXISTS needs a preceding pattern"))
+          val f = lowerGroup(eg)
+          val shared = s.columns.toSeq.intersect(f.columns.toSeq).sorted
+          if (shared.isEmpty)
+            err("FILTER EXISTS shares no variable with the group")
+          sol = Some(s.join(f.select(shared.map(col): _*), shared, "left_semi"))
         case _ => ()
       }
 

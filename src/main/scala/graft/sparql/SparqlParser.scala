@@ -21,7 +21,7 @@ object SparqlParser {
   private val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
 
-  private val Aggregates = Set("COUNT", "SUM", "MIN", "MAX", "GROUP_CONCAT")
+  private val Aggregates = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT")
   private val Builtins1 = Map(
     "STR" -> ((e: Expr) => Expr.EStr(e)),
     "LANG" -> ((e: Expr) => Expr.ELang(e)),
@@ -330,7 +330,8 @@ object SparqlParser {
             pos += 1; expectWord("EXISTS")
             elems += GroupElem.NotExists(group())
           } else if (atWord("EXISTS")) {
-            diag("FILTER EXISTS is not supported (use a plain pattern)", t)
+            pos += 1; val _ = t
+            elems += GroupElem.Exists(group())
           } else {
             val needParen = atPunct("(")
             if (needParen) pos += 1

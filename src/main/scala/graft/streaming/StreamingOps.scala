@@ -622,10 +622,13 @@ object StreamingOps {
     * Exactly-once at the result surface: the results log is keyed by the
     * checkpointed micro-batch id, so a replayed batch overwrites its own
     * snapshot (idempotent rewrite of one batch_seq partition), matching
-    * the at-least-once delivery discipline of the ingest path. Scale
-    * notes: predicate counts (join-order sketch only) recompute from the
-    * merged view here; a production loop maintains them incrementally
-    * from the delta batches — the kg42 degree-maintenance discipline.
+    * the at-least-once delivery discipline of the ingest path. The
+    * predicate-count sketch (join-order only, exactness never depends on
+    * it) is maintained INCREMENTALLY from each batch's own rows — the
+    * kg42 degree-maintenance discipline — so the per-batch driver cost is
+    * O(batch), never a rescan of the merged view; each batch's parse is
+    * persisted once because the merge and the count fold both consume it
+    * (the delta-loop persist invariant).
     *
     * Returns the full evolution table `(batch_seq, …query columns…)` —
     * the per-batch answer history.
@@ -648,6 +651,9 @@ object StreamingOps {
           concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
           lit(new java.sql.Timestamp(0L)).as("warc_ts"))
           .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      // join-order sketch, maintained incrementally batch-by-batch —
+      // driver-side map bounded by the predicate vocabulary
+      val predCounts = scala.collection.mutable.Map.empty[String, Long]
       val q = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1") // one delivery per micro-batch
         .parquet(in)
@@ -656,16 +662,22 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, seq: Long) =>
           if (!batch.isEmpty) {
+            // the parse is consumed twice (merge + count fold) — persist
+            val rows = toRows(batch).localCheckpoint()
             val success = new org.apache.hadoop.fs.Path(s"$graph/_SUCCESS")
             val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (!fs.exists(success)) M.write(toRows(batch), graph)
-            else M.mergeDeltaLsm(spark, graph, toRows(batch), maxDeltaBatches = 2)
-            val merged = M.readMerged(spark, graph)
-              .select(col("subj"), col("pred"), col("obj"))
+            if (!fs.exists(success)) M.write(rows, graph)
+            else M.mergeDeltaLsm(spark, graph, rows, maxDeltaBatches = 2)
+            rows.groupBy(col("pred")).agg(count(lit(1)).as("n")).collect()
+              .foreach { r =>
+                val p = r.getString(0)
+                predCounts(p) = predCounts.getOrElse(p, 0L) + r.getLong(1)
+              }
             val answer = graft.sparql.SparqlExec.query(spark, queryText,
               (p: String) => M.readMergedPred(spark, graph, p),
-              M.sketchPredCounts(merged),
-              fullSource = Some(() => merged))
+              predCounts.toMap,
+              fullSource = Some(() => M.readMerged(spark, graph)
+                .select(col("subj"), col("pred"), col("obj"))))
             answer.withColumn("batch_seq", lit(seq))
               .write.mode("append").parquet(res)
           }

@@ -2081,12 +2081,27 @@ class OpsSpec extends AnyFunSuite {
       val freshTop = IvfStore.searchTopK(s, s"$out/fresh", k = 3)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(mergedTop == freshTop, s"merged $mergedTop != fresh $freshTop")
+      // TIME TRAVEL (emb20): the live set as of each delta batch —
+      // 0 = base; 1 = +append(4,5); 2 = +delete(1,3); 3 = +resurrect 1;
+      // the latest as-of equals the merged read
+      def liveAt(asOf: Long): Map[Long, Long] =
+        IvfStore.readAsOf(s, s"$out/i", asOf)
+          .select("vec_id", "cell").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(liveAt(0L) == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+      assert(liveAt(1L) ==
+        Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+      assert(liveAt(2L) == Map(0L -> 0L, 2L -> 1L, 4L -> 0L, 5L -> 1L))
+      assert(liveAt(3L) == live)
       // compact folds the log; the view and search are unchanged
       IvfStore.compact(s, s"$out/i")
       assert(!new java.io.File(s"$out/i/_delta").exists())
       val afterTop = IvfStore.searchTopK(s, s"$out/i", k = 3)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(afterTop == mergedTop)
+      // post-compaction the history is gone by design: every as-of reads
+      // the folded base
+      assert(liveAt(0L) == live)
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }

@@ -140,8 +140,8 @@ class SparqlSpec extends AnyFunSuite {
     val (m5, _, _) = rej(prologue +
       "SELECT ?d WHERE { SERVICE <http://remote/sparql> { ?d p:lang ?l } }")
     assert(m5.contains("SERVICE"))
-    val (m7, _, _) = rej(prologue + "SELECT (AVG(?n) AS ?a) WHERE { ?d p:nchars ?n }")
-    assert(m7.contains("unsupported aggregate 'AVG'"))
+    val (m7, _, _) = rej(prologue + "SELECT (SAMPLE(?n) AS ?a) WHERE { ?d p:nchars ?n }")
+    assert(m7.contains("unsupported aggregate 'SAMPLE'"))
     assert(SparqlExec.diagnose(prologue + "SELECT ?d WHERE { ?d p:lang ?l }").isEmpty)
   }
 
@@ -374,6 +374,32 @@ class SparqlSpec extends AnyFunSuite {
       prologue + "SELECT ?b WHERE { ?a p:follows+ ?b . ?a p:lang \"en\" }",
       (_: String) => triples, counts, config = SparqlExec.Config(maxHops = 1))
     assert(rows(hop1) == Set(Seq(s"<${E}2>"), Seq(s"<${E}3>"))) // one hop only
+  }
+
+  test("AVG: exact integer sum, one double division") {
+    // nchars are i*100 — en docs are 1, 2, 6 → avg 300.0; fr 3,4 → 350.0;
+    // zh 5 → 500.0
+    val got = run(prologue +
+      "SELECT ?l (AVG(?n) AS ?mean) WHERE { ?d p:lang ?l ; p:nchars ?n } GROUP BY ?l")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("\"en\"" -> 300.0, "\"fr\"" -> 350.0, "\"zh\"" -> 500.0))
+  }
+
+  test("FILTER EXISTS keeps exactly the solutions with a compatible row") {
+    // docs that follow someone AND have an en label — semi-join, so the
+    // two follows edges from doc 1 do not duplicate its lang row
+    val got = run(prologue +
+      "SELECT ?d ?l WHERE { ?d p:lang ?l . FILTER EXISTS { ?d p:follows ?x } }")
+    val typed = triples.filter(col("pred") === s"${P}lang")
+      .select(col("subj").as("d"), col("obj").as("l"))
+      .join(triples.filter(col("pred") === s"${P}follows")
+        .select(col("subj").as("d")), Seq("d"), "left_semi")
+    assert(rows(got) == rows(typed))
+    assert(got.count() == typed.count()) // multiplicity preserved
+    // the dual pair partitions the base solutions
+    val not = run(prologue +
+      "SELECT ?d ?l WHERE { ?d p:lang ?l . FILTER NOT EXISTS { ?d p:follows ?x } }")
+    assert(got.count() + not.count() == 6)
   }
 
   test("DESCRIBE: variables via WHERE, bare IRIs, and the mixed form") {

@@ -37,9 +37,13 @@ CONFIGS = [
     # heap) so the ONLY variable is the collector / generation shape
     ("g1_default", []),
     ("parallel", ["-XX:+UseParallelGC"]),
-    ("g1_bigyoung", ["-XX:G1NewSizePercent=40", "-XX:G1MaxNewSizePercent=60"]),
+    ("g1_bigyoung", ["-XX:+UnlockExperimentalVMOptions",
+                     "-XX:G1NewSizePercent=40", "-XX:G1MaxNewSizePercent=60"]),
     ("parallel_fixedyoung", ["-XX:+UseParallelGC", "-Xmn24g"]),
 ]
+if os.environ.get("SPARK_GRAFT_GC_ONLY"):
+    keep = set(os.environ["SPARK_GRAFT_GC_ONLY"].split(","))
+    CONFIGS = [c for c in CONFIGS if c[0] in keep]
 
 def run(tag, flags):
     env = dict(os.environ,
@@ -71,7 +75,7 @@ for tag, flags in CONFIGS:
 rows = {r["graph_rows"] for r in res.values()}
 assert len(rows) == 1, f"nondeterministic graph: {rows}"
 
-base = res["g1_default"]["wall_sec"]
+base = (res.get("g1_default") or list(res.values())[0])["wall_sec"]
 out = {"metric": "gc_probe", "level": LEVEL, "pages": PAGES,
        "graph_rows": res["g1_default"]["graph_rows"],
        "configs": {t: {"wall_sec": r["wall_sec"], "walls": r["walls"],
