@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra executor-JVM flags for benchmark harnesses (e.g. the GC shape a
+  // real cluster sets per node — see BENCH/gcprobe.json); space-separated
+  sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
