@@ -1224,6 +1224,36 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE (the IVM half of the standing-query
+    // story): a materialized per-lang count view built over snapshot v1,
+    // folded under the v1→v2 EFFECTIVE diff in O(diff) — the maintained
+    // view must equal a fresh aggregate over v2 (kg36's two snapshots)
+    "kg79_view_maintenance" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      def rows(df: DataFrame) = df.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg79_").toString
+      try {
+        val M = graft.pipeline.Materialize
+        M.write(rows(tri.filter(col("doc_id") % 3 =!= 0)), s"$dir/a")
+        M.write(rows(tri.filter(col("doc_id") % 2 =!= 0)), s"$dir/b")
+        graft.pipeline.ViewStore.buildCountView(
+          tri.filter(col("doc_id") % 3 =!= 0)
+            .select(col("subj"), col("pred"), col("obj")),
+          s"${P}lang", s"$dir/view")
+        val diff = M.graphDiffProv(s, s"$dir/a", s"$dir/b")
+        graft.pipeline.ViewStore.maintainCountView(s, s"$dir/view", diff, s"${P}lang")
+        graft.pipeline.ViewStore.readView(s, s"$dir/view")
+          .select(col("key").as("l"), col("n"))
+          .localCheckpoint() // eager — the scratch dirs are deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // SPARQL 1.1 UPDATE over the LSM graph: DELETE { ?d p:source ?src }
     // INSERT { ?d p:archived ?src } WHERE { ?d p:source ?src .
     // ?d p:lang "en" } — English docs' source triples move to p:archived
@@ -3106,6 +3136,11 @@ object SparkEntry {
       s"""SELECT subj, pred, obj FROM (
          |$kg01Oracle
          |) WHERE doc_id % 2 <> 0""".stripMargin,
+
+    // the maintained view == the fresh per-lang aggregate over snapshot v2
+    "kg79_view_maintenance" ->
+      """SELECT '"' || lang || '"' AS l, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1""".stripMargin,
 
     // snapshot diff: set difference of the two builds, in closed form
     "kg32_graph_diff" ->

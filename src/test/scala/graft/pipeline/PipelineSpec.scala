@@ -428,6 +428,55 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("ViewStore: count view folds a diff in O(diff); untouched key partitions stay; zeroed keys vanish") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    def kh(k: String): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(ViewStore.DefaultKeyBuckets)))
+      .collect()(0).getLong(0)
+    // two keys in DIFFERENT key_hash buckets, plus one that will zero out
+    val cands = Seq("\"en\"", "\"fr\"", "\"zh\"", "\"de\"")
+    val k1 = cands.head
+    val k2 = cands.find(c => kh(c) != kh(k1)).get
+    val k3 = cands.find(c => kh(c) != kh(k1) && kh(c) != kh(k2)).get
+    val pred = "p:lang"
+    val tri = Seq(
+      ("<d1>", pred, k1), ("<d2>", pred, k1), ("<d3>", pred, k2),
+      ("<d4>", pred, k3), ("<dx>", "p:other", k1))
+      .toDF("subj", "pred", "obj")
+    val out = Files.createTempDirectory("graft_view_").toString
+    try {
+      ViewStore.buildCountView(tri, pred, s"$out/v")
+      def partFiles(k: String): Set[(String, Long)] = {
+        val d = new java.io.File(s"$out/v/key_hash=${kh(k)}")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified)).toSet
+      }
+      val k1Before = partFiles(k1)
+      // effective diff: +1 k2 (new subject), +1 new key "de"? no — keep to
+      // buckets we control: -1 k3 (its only row: the key must vanish),
+      // +1 k2; k1's bucket untouched
+      val diff = Seq(
+        ("add", "<d5>", pred, k2), ("del", "<d4>", pred, k3),
+        ("add", "<dy>", "p:other", k1)) // other predicate: ignored
+        .toDF("op", "subj", "pred", "obj")
+      ViewStore.maintainCountView(spark, s"$out/v", diff, pred)
+      val got = ViewStore.readView(spark, s"$out/v").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map(k1 -> 2L, k2 -> 2L), got.toString) // k3 vanished
+      assert(partFiles(k1) == k1Before,
+        "maintenance rewrote an untouched key_hash partition")
+      // incremental == fresh over the post-diff triple set
+      val after = tri.filter(!(col("subj") === "<d4>"))
+        .unionByName(Seq(("<d5>", pred, k2)).toDF("subj", "pred", "obj"))
+      ViewStore.buildCountView(after, pred, s"$out/fresh")
+      val fresh = ViewStore.readView(spark, s"$out/fresh").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == fresh)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("graphDiff: adds/dels exact, joins keyed on pred_hash, no cartesian") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
