@@ -1072,6 +1072,18 @@ object SparkEntry {
     // tombstones; the merged view must equal a fresh updated-corpus build
     "kg40_stream_recrawl" -> ((s, d) => StreamingOps.streamingRecrawl(s, d)),
 
+    // STANDING QUERY × RETRACTIONS (kg40 composed with kg78): per
+    // re-crawl micro-batch the changed pages' diff applies as tombstones
+    // and the registered aggregate re-snapshots — the per-lang doc count
+    // must stay CONSTANT (retraction-correct) while the char sum moves by
+    // exactly the delivery's page count
+    "kg80_stream_sparql_retract" -> ((s, d) =>
+      graft.streaming.StreamingOps.continuousSparqlRecrawl(s, d,
+        s"""PREFIX p: <${GraphOps.PropPrefix}>
+           |SELECT ?l (COUNT(*) AS ?n_docs) (SUM(?n) AS ?sum_nchars)
+           |WHERE { ?d p:lang ?l ; p:nchars ?n }
+           |GROUP BY ?l""".stripMargin)),
+
     // SPARQL-style BGP over the constructed graph: two triple patterns
     // sharing ?s, numeric FILTER on a typed literal
     "kg18_bgp_star" -> ((s, d) => GraphOps.bgpStar(t(s, d, "documents"))),
@@ -3288,6 +3300,21 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
         |FROM documents GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin,
+
+    // the retraction-aware standing query in closed form: after batch b
+    // the pages covered by deliveries 0..b carry n_chars+1 (batch 0 =
+    // doc_id%4=0, batch 1 = all even); n_docs is CONSTANT per lang —
+    // the retraction of each old nchars literal is what keeps it so
+    "kg80_stream_sparql_retract" ->
+      """SELECT CAST(b.seq AS BIGINT) AS batch_seq,
+        |  '"' || d.lang || '"' AS l,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(d.n_chars + CASE
+        |    WHEN b.seq = 0 AND d.doc_id % 4 = 0 THEN 1
+        |    WHEN b.seq = 1 AND d.doc_id % 2 = 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS sum_nchars
+        |FROM (VALUES (0), (1)) b(seq) CROSS JOIN documents d
+        |GROUP BY 1, 2""".stripMargin,
 
     // the standing query's evolution in closed form: after batch b the
     // graph holds docs with doc_id % 3 <= b, so each snapshot is the

@@ -692,14 +692,26 @@ object SparqlParser {
             diag("DESCRIBE with variables needs a WHERE clause binding them", peek)
           Describe(vars.toSeq, iris.toSeq, where)
         } else if (eatWord("CONSTRUCT")) {
-          expectPunct("{")
-          val templates = scala.collection.mutable.ArrayBuffer.empty[TriplePat]
-          while (!eatPunct("}")) {
-            if (!eatPunct(".")) templates ++= triplesSameSubject()
+          if (atWord("WHERE")) {
+            // CONSTRUCT WHERE { … }: the pattern block doubles as the
+            // template block (the SPARQL 1.1 shorthand — DELETE WHERE's
+            // read twin); templates therefore need variable objects
+            pos += 1
+            val g = group()
+            val pats = g.elems.collect { case GroupElem.Triples(ps) => ps }.flatten
+            if (pats.isEmpty)
+              diag("CONSTRUCT WHERE needs at least one triple pattern", peek)
+            Construct(pats, g)
+          } else {
+            expectPunct("{")
+            val templates = scala.collection.mutable.ArrayBuffer.empty[TriplePat]
+            while (!eatPunct("}")) {
+              if (!eatPunct(".")) templates ++= triplesSameSubject()
+            }
+            if (templates.isEmpty) diag("CONSTRUCT needs at least one template", peek)
+            expectWord("WHERE")
+            Construct(templates.toSeq, group())
           }
-          if (templates.isEmpty) diag("CONSTRUCT needs at least one template", peek)
-          expectWord("WHERE")
-          Construct(templates.toSeq, group())
         } else diag("expected SELECT, ASK, CONSTRUCT, or DESCRIBE", peek)
       peek match {
         case Tok.Eof(_, _) => q

@@ -688,4 +688,85 @@ object StreamingOps {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  /** Standing SPARQL query over a RE-CRAWL stream with retractions (kg80):
+    * the kg40 × kg78 composition — per micro-batch of re-fetched pages the
+    * new parse is DIFFED against the old (two anti-joins, bytes ∝ changed
+    * triples), applied as one tombstone delta batch, and the registered
+    * query's snapshot appends keyed by batch id. The retraction is
+    * load-bearing: a changed literal RETRACTS its old triple, so the
+    * standing aggregate moves by the change — an append-only ingest would
+    * double-count. Predicate counts fold incrementally from the diff's own
+    * (adds − dels) per pred — O(diff), the ViewStore/kg42 discipline.
+    *
+    * Scenario (the kg40 one): initial crawl = the full corpus; two
+    * re-crawl deliveries cover the even pages, whose content grew by one
+    * char — each snapshot must equal the standing query over the corpus
+    * with exactly that delivery prefix's pages updated.
+    */
+  def continuousSparqlRecrawl(
+      spark: SparkSession, sfDir: String, queryText: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val M = graft.pipeline.Materialize
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kg80_").toString
+    try {
+      val (in, graph, res, chk) = (s"$dir/in", s"$dir/graph", s"$dir/res", s"$dir/chk")
+      val toRows = (batch: DataFrame) =>
+        graft.ops.GraphOps.parseTurtle(batch).select(
+          col("subj"), col("pred"), col("obj"),
+          concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+          lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+      val initial = toRows(docs)
+      M.write(initial.as(
+        org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow]), graph)
+      val predCounts = scala.collection.mutable.Map.empty[String, Long]
+      M.sketchPredCounts(initial).foreach { case (p, n) => predCounts(p) = n }
+      (0 until 2).foreach { i =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === i * 2)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1") // one delivery per micro-batch
+        .parquet(in)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, seq: Long) =>
+          if (!batch.isEmpty) {
+            val olds = toRows(batch)
+            val news = toRows(batch.withColumn("n_chars", col("n_chars") + 1))
+            val keys = Seq("subj", "pred", "obj")
+            val keyCols = keys.map(col)
+            // consumed twice (applyDiff + the count fold) — persist once
+            val ops = news
+              .join(olds.select(keyCols: _*), keys, "left_anti")
+              .withColumn("op", lit(M.OpAdd))
+              .unionByName(olds
+                .join(news.select(keyCols: _*), keys, "left_anti")
+                .withColumn("op", lit(M.OpDel)))
+              .localCheckpoint()
+            M.applyDiff(spark, graph, ops)
+            ops.groupBy(col("pred"))
+              .agg(sum(when(col("op") === M.OpAdd, lit(1L)).otherwise(lit(-1L)))
+                .as("dn"))
+              .collect().foreach { r =>
+                val p = r.getString(0)
+                predCounts(p) = predCounts.getOrElse(p, 0L) + r.getLong(1)
+              }
+            val answer = graft.sparql.SparqlExec.query(spark, queryText,
+              (p: String) => M.readMergedPred(spark, graph, p),
+              predCounts.toMap,
+              fullSource = Some(() => M.readMerged(spark, graph)
+                .select(col("subj"), col("pred"), col("obj"))))
+            answer.withColumn("batch_seq", lit(seq))
+              .write.mode("append").parquet(res)
+          }
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(res).localCheckpoint() // eager — dir deleted below
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -376,6 +376,15 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows(hop1) == Set(Seq(s"<${E}2>"), Seq(s"<${E}3>"))) // one hop only
   }
 
+  test("CONSTRUCT WHERE shorthand: the pattern block doubles as templates") {
+    val sugar = run(prologue + "CONSTRUCT WHERE { ?a p:follows ?b }")
+    val full = run(prologue + "CONSTRUCT { ?a p:follows ?b } WHERE { ?a p:follows ?b }")
+    assert(rows(sugar) == rows(full) && sugar.count() == 4)
+    // constant-object patterns cannot double as templates — spanned reject
+    assert(intercept[Diag](run(prologue + "CONSTRUCT WHERE { ?d p:lang \"en\" }"))
+      .message.contains("objects must be variables"))
+  }
+
   test("AVG: exact integer sum, one double division") {
     // nchars are i*100 — en docs are 1, 2, 6 → avg 300.0; fr 3,4 → 350.0;
     // zh 5 → 500.0
