@@ -1266,6 +1266,40 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // SUM-view IVM (kg79's join-view sibling): SUM(nchars) per lang — a
+    // key predicate JOINED to a value predicate — maintained under the
+    // v1→v2 diff via the exact delta-join decomposition
+    // Δ(K⋈V) = Knew⋈ΔV + ΔK⋈Vold; the maintained view must equal the
+    // fresh aggregate over v2
+    "kg81_sum_view_maintenance" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      def rows(df: DataFrame) = df.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg81_").toString
+      try {
+        val M = graft.pipeline.Materialize
+        M.write(rows(tri.filter(col("doc_id") % 3 =!= 0)), s"$dir/a")
+        M.write(rows(tri.filter(col("doc_id") % 2 =!= 0)), s"$dir/b")
+        graft.pipeline.ViewStore.buildSumView(
+          tri.filter(col("doc_id") % 3 =!= 0)
+            .select(col("subj"), col("pred"), col("obj")),
+          s"${P}lang", s"${P}nchars", s"$dir/view")
+        val diff = M.graphDiffProv(s, s"$dir/a", s"$dir/b")
+        M.applyDiff(s, s"$dir/a", diff) // bring the store to v2 first
+        graft.pipeline.ViewStore.maintainSumView(s, s"$dir/view",
+          diff.localCheckpoint(), s"${P}lang", s"${P}nchars",
+          (p: String) => M.readMergedPred(s, s"$dir/a", p))
+        graft.pipeline.ViewStore.readView(s, s"$dir/view")
+          .select(col("key").as("l"), col("n"))
+          .localCheckpoint() // eager — the scratch dirs are deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // SPARQL 1.1 UPDATE over the LSM graph: DELETE { ?d p:source ?src }
     // INSERT { ?d p:archived ?src } WHERE { ?d p:source ?src .
     // ?d p:lang "en" } — English docs' source triples move to p:archived
@@ -3152,6 +3186,11 @@ object SparkEntry {
     // the maintained view == the fresh per-lang aggregate over snapshot v2
     "kg79_view_maintenance" ->
       """SELECT '"' || lang || '"' AS l, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1""".stripMargin,
+
+    // the maintained SUM view == the fresh per-lang char sum over v2
+    "kg81_sum_view_maintenance" ->
+      """SELECT '"' || lang || '"' AS l, CAST(SUM(n_chars) AS BIGINT) AS n
         |FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1""".stripMargin,
 
     // snapshot diff: set difference of the two builds, in closed form

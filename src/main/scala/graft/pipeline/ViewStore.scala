@@ -41,6 +41,34 @@ object ViewStore {
       keyBuckets)
       .write.mode("overwrite").partitionBy("key_hash").parquet(out)
 
+  /** The SUM sibling: per-key BIGINT sums of `valuePred`'s integer
+    * lexical forms, keyed by `keyPred`'s object per subject (the kg74
+    * GROUP-BY shape materialized). Non-integer values contribute nothing
+    * (the kg38 type-error-drops rule) — IDENTICALLY in build and fold, so
+    * maintenance stays exact.
+    */
+  def buildSumView(
+      triples: DataFrame, keyPred: String, valuePred: String, out: String,
+      keyBuckets: Int = DefaultKeyBuckets): Unit =
+    withKeyHash(
+      keyed(triples, keyPred, valuePred)
+        .groupBy(col("key")).agg(sum(col("v")).as("n")),
+      keyBuckets)
+      .write.mode("overwrite").partitionBy("key_hash").parquet(out)
+
+  /** (key, v) pairs: subjects' keyPred object × valuePred integer value —
+    * one co-partitioned self-join on subj, both scans pred-pruned.
+    */
+  private def keyed(triples: DataFrame, keyPred: String, valuePred: String): DataFrame = {
+    val keys = triples.filter(col("pred") === keyPred)
+      .select(col("subj"), col("obj").as("key"))
+    val lex = regexp_extract(col("obj"), "^\"(-?\\d+)\"", 1)
+    val vals = triples.filter(col("pred") === valuePred)
+      .select(col("subj"), when(lex =!= "", lex.cast("long")).as("v"))
+      .filter(col("v").isNotNull)
+    keys.join(vals, Seq("subj")).select(col("key"), col("v"))
+  }
+
   def readView(spark: SparkSession, out: String): DataFrame =
     spark.read.parquet(out).select(col("key"), col("n"))
 
@@ -51,13 +79,74 @@ object ViewStore {
     */
   def maintainCountView(
       spark: SparkSession, out: String, diff: DataFrame, pred: String,
-      keyBuckets: Int = DefaultKeyBuckets): Unit = {
-    val d = withKeyHash(
+      keyBuckets: Int = DefaultKeyBuckets): Unit =
+    foldInto(spark, out,
       diff.filter(col("pred") === pred)
         .groupBy(col("obj").as("key"))
         .agg(sum(when(col("op") === Materialize.OpAdd, lit(1L))
           .otherwise(lit(-1L))).as("dn")),
       keyBuckets)
+
+  /** Maintain a [[buildSumView]] view under an effective diff — the
+    * join-view IVM decomposition, exact on signed multisets:
+    *
+    *   Δ(K ⋈ V) = Knew ⋈ ΔV  +  ΔK ⋈ Vold
+    *
+    * where ΔV/ΔK are the diff's value/key rows (signed), Knew comes from
+    * the POST-diff pred-pruned reader, and Vold(subj) = Vnew(subj) −
+    * Δv(subj) reconstructs the pre-state for exactly the key-diffed
+    * subjects. Work: two pred-pruned scans joined against BROADCAST
+    * diff-subject sets + the O(diff) fold — never a full-graph pass, and
+    * never ∝ view.
+    */
+  def maintainSumView(
+      spark: SparkSession, out: String, diff: DataFrame,
+      keyPred: String, valuePred: String,
+      postTriples: String => DataFrame,
+      keyBuckets: Int = DefaultKeyBuckets): Unit = {
+    val sign = when(col("op") === Materialize.OpAdd, lit(1L)).otherwise(lit(-1L))
+    val lex = regexp_extract(col("obj"), "^\"(-?\\d+)\"", 1)
+    // Δv per subject (signed value movement; non-integer objects drop,
+    // matching buildSumView)
+    val dV = diff.filter(col("pred") === valuePred)
+      .select(col("subj"),
+        (sign * when(lex =!= "", lex.cast("long"))).as("dv"))
+      .filter(col("dv").isNotNull)
+      .groupBy(col("subj")).agg(sum(col("dv")).as("dv"))
+      .localCheckpoint() // ∝ diff, consumed by both terms below
+    // ΔK rows (signed key membership)
+    val dK = diff.filter(col("pred") === keyPred)
+      .select(col("subj"), col("obj").as("key"), sign.as("sign"))
+      .localCheckpoint()
+    // Term 1: value movement under the NEW key assignment
+    val kNew = postTriples(keyPred).select(col("subj"), col("obj").as("key"))
+    val term1 = kNew.join(broadcast(dV), Seq("subj"))
+      .select(col("key"), col("dv").as("dn"))
+    // Term 2: key movement × the PRE-state value sum of the moved subjects
+    val vNewMoved = postTriples(valuePred)
+      .join(broadcast(dK.select(col("subj")).distinct()), Seq("subj"), "left_semi")
+      .select(col("subj"),
+        when(lex =!= "", lex.cast("long")).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("subj")).agg(sum(col("v")).as("vnew"))
+    val vOld = vNewMoved.join(dV, Seq("subj"), "full_outer")
+      .select(col("subj"),
+        (coalesce(col("vnew"), lit(0L)) - coalesce(col("dv"), lit(0L))).as("vold"))
+    val term2 = dK.join(broadcast(vOld), Seq("subj"))
+      .select(col("key"), (col("sign") * col("vold")).as("dn"))
+    foldInto(spark, out,
+      term1.unionByName(term2).groupBy(col("key")).agg(sum(col("dn")).as("dn")),
+      keyBuckets)
+  }
+
+  /** The shared fold tail: apply per-key deltas to the stored view —
+    * touched-partition read, full-outer merge, dynamic overwrite, explicit
+    * delete of emptied buckets.
+    */
+  private def foldInto(
+      spark: SparkSession, out: String, deltas: DataFrame,
+      keyBuckets: Int): Unit = {
+    val d = withKeyHash(deltas.filter(col("dn") =!= 0L), keyBuckets)
       .localCheckpoint() // materialized ONCE: sized ∝ diff, read twice below
     val touched = d.select(col("key_hash")).distinct()
       .collect().map(_.getLong(0)) // bounded by keyBuckets, never by data
