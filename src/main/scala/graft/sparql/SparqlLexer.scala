@@ -151,6 +151,9 @@ object SparqlLexer {
         } else {
           out += Tok.Word(q.substring(i, j), i, j); i = j
         }
+      } else if (c == '[' || c == ']') {
+        diag("blank-node syntax [ … ] is not supported — blank nodes are " +
+          "existential variables in SPARQL; use a ?variable", i, i + 1)
       } else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         if (punct2(two)) { out += Tok.Punct(two, i, i + 2); i += 2 }

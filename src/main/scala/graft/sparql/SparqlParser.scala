@@ -90,6 +90,9 @@ object SparqlParser {
     /** IRI: bracketed or prefixed name, resolved to absolute text. */
     private def iri(): String = peek match {
       case t @ Tok.Iri(raw, _, _)          => pos += 1; resolveIri(raw, t)
+      case t @ Tok.Pname("_", local, _, _) =>
+        diag(s"blank-node labels (_:$local) are not supported — blank " +
+          "nodes are existential variables in SPARQL; use a ?variable", t)
       case t @ Tok.Pname(pfx, local, _, _) =>
         pos += 1
         prefixes.get(pfx) match {

@@ -142,6 +142,13 @@ class SparqlSpec extends AnyFunSuite {
     assert(m5.contains("SERVICE"))
     val (m7, _, _) = rej(prologue + "SELECT (SAMPLE(?n) AS ?a) WHERE { ?d p:nchars ?n }")
     assert(m7.contains("unsupported aggregate 'SAMPLE'"))
+
+    // blank-node syntax gets a deliberate subset message, not a confusing
+    // stray-char / undeclared-prefix error
+    val (m8, _, _) = rej(prologue + "SELECT ?d WHERE { ?d p:knows [] }")
+    assert(m8.contains("blank-node syntax"))
+    val (m9, _, _) = rej(prologue + "SELECT ?d WHERE { ?d p:knows _:b }")
+    assert(m9.contains("blank-node labels"))
     assert(SparqlExec.diagnose(prologue + "SELECT ?d WHERE { ?d p:lang ?l }").isEmpty)
   }
 
