@@ -678,8 +678,13 @@ object StreamingOps {
               predCounts.toMap,
               fullSource = Some(() => M.readMerged(spark, graph)
                 .select(col("subj"), col("pred"), col("obj"))))
+            // keyed by the checkpointed batch id with DYNAMIC partition
+            // overwrite: a replayed batch rewrites ITS OWN partition, so
+            // at-least-once delivery stays exactly-once at the result log
             answer.withColumn("batch_seq", lit(seq))
-              .write.mode("append").parquet(res)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_seq").parquet(res)
           }
         }
         .start()
@@ -759,8 +764,13 @@ object StreamingOps {
               predCounts.toMap,
               fullSource = Some(() => M.readMerged(spark, graph)
                 .select(col("subj"), col("pred"), col("obj"))))
+            // keyed by the checkpointed batch id with DYNAMIC partition
+            // overwrite: a replayed batch rewrites ITS OWN partition, so
+            // at-least-once delivery stays exactly-once at the result log
             answer.withColumn("batch_seq", lit(seq))
-              .write.mode("append").parquet(res)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_seq").parquet(res)
           }
         }
         .start()
