@@ -103,7 +103,17 @@ object ViewStore {
       spark: SparkSession, out: String, diff: DataFrame,
       keyPred: String, valuePred: String,
       postTriples: String => DataFrame,
-      keyBuckets: Int = DefaultKeyBuckets): Unit = {
+      keyBuckets: Int = DefaultKeyBuckets): Unit =
+    foldInto(spark, out,
+      sumViewDeltas(diff, keyPred, valuePred, postTriples), keyBuckets)
+
+  /** The decomposition's per-key deltas, exposed for plan guards: both
+    * terms join the (big) pred-pruned scans against BROADCAST diff-sized
+    * sides.
+    */
+  private[pipeline] def sumViewDeltas(
+      diff: DataFrame, keyPred: String, valuePred: String,
+      postTriples: String => DataFrame): DataFrame = {
     val sign = when(col("op") === Materialize.OpAdd, lit(1L)).otherwise(lit(-1L))
     val lex = regexp_extract(col("obj"), "^\"(-?\\d+)\"", 1)
     // Δv per subject (signed value movement; non-integer objects drop,
@@ -134,9 +144,7 @@ object ViewStore {
         (coalesce(col("vnew"), lit(0L)) - coalesce(col("dv"), lit(0L))).as("vold"))
     val term2 = dK.join(broadcast(vOld), Seq("subj"))
       .select(col("key"), (col("sign") * col("vold")).as("dn"))
-    foldInto(spark, out,
-      term1.unionByName(term2).groupBy(col("key")).agg(sum(col("dn")).as("dn")),
-      keyBuckets)
+    term1.unionByName(term2).groupBy(col("key")).agg(sum(col("dn")).as("dn"))
   }
 
   /** The shared fold tail: apply per-key deltas to the stored view —

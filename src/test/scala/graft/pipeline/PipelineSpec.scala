@@ -512,6 +512,13 @@ class PipelineSpec extends AnyFunSuite {
       val fresh = ViewStore.readView(spark, s"$out/fresh").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == fresh)
+      // plan guard: both decomposition terms join the pred-pruned scans
+      // against BROADCAST diff-sized sides; no cartesian anywhere
+      val plan = ViewStore.sumViewDeltas(diff, kp, vp,
+        (p: String) => v2.filter(col("pred") === p))
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(800))
+      assert(!plan.contains("CartesianProduct"), plan.take(800))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
