@@ -1300,6 +1300,40 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }),
 
+    // MAX-view IVM (kg82) — the NON-INVERTIBLE aggregate: deletes of a
+    // key's extremum can't be undone from the summary, so the fold
+    // recomputes exactly the affected keys from post-state pred-pruned
+    // scans (broadcast-semi-joined to the diff's key/subject sets);
+    // maintained view == fresh MAX(nchars) per lang over v2
+    "kg82_max_view_maintenance" -> ((s, d) => {
+      val P = GraphOps.PropPrefix
+      val tri = GraphOps.parseTurtle(t(s, d, "documents"))
+      def rows(df: DataFrame) = df.select(
+        col("subj"), col("pred"), col("obj"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("src_url"),
+        lit(new java.sql.Timestamp(0L)).as("warc_ts"))
+        .as(org.apache.spark.sql.Encoders.product[graft.pipeline.TripleRow])
+      val dir = java.nio.file.Files.createTempDirectory("graft_kg82_").toString
+      try {
+        val M = graft.pipeline.Materialize
+        M.write(rows(tri.filter(col("doc_id") % 3 =!= 0)), s"$dir/a")
+        M.write(rows(tri.filter(col("doc_id") % 2 =!= 0)), s"$dir/b")
+        graft.pipeline.ViewStore.buildMaxView(
+          tri.filter(col("doc_id") % 3 =!= 0)
+            .select(col("subj"), col("pred"), col("obj")),
+          s"${P}lang", s"${P}nchars", s"$dir/view")
+        val diff = M.graphDiffProv(s, s"$dir/a", s"$dir/b")
+        M.applyDiff(s, s"$dir/a", diff) // bring the store to v2 first
+        graft.pipeline.ViewStore.maintainMaxView(s, s"$dir/view",
+          diff.localCheckpoint(), s"${P}lang", s"${P}nchars",
+          (p: String) => M.readMergedPred(s, s"$dir/a", p))
+        graft.pipeline.ViewStore.readView(s, s"$dir/view")
+          .select(col("key").as("l"), col("n"))
+          .localCheckpoint() // eager — the scratch dirs are deleted below
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }),
+
     // SPARQL 1.1 UPDATE over the LSM graph: DELETE { ?d p:source ?src }
     // INSERT { ?d p:archived ?src } WHERE { ?d p:source ?src .
     // ?d p:lang "en" } — English docs' source triples move to p:archived
@@ -3191,6 +3225,11 @@ object SparkEntry {
     // the maintained SUM view == the fresh per-lang char sum over v2
     "kg81_sum_view_maintenance" ->
       """SELECT '"' || lang || '"' AS l, CAST(SUM(n_chars) AS BIGINT) AS n
+        |FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1""".stripMargin,
+
+    // the maintained MAX view == the fresh per-lang char max over v2
+    "kg82_max_view_maintenance" ->
+      """SELECT '"' || lang || '"' AS l, CAST(MAX(n_chars) AS BIGINT) AS n
         |FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1""".stripMargin,
 
     // snapshot diff: set difference of the two builds, in closed form

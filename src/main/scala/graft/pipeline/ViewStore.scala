@@ -147,6 +147,78 @@ object ViewStore {
     term1.unionByName(term2).groupBy(col("key")).agg(sum(col("dn")).as("dn"))
   }
 
+  /** The MAX sibling (kg82): per-key BIGINT maxima of `valuePred`'s
+    * integer lexical forms under `keyPred` grouping.
+    */
+  def buildMaxView(
+      triples: DataFrame, keyPred: String, valuePred: String, out: String,
+      keyBuckets: Int = DefaultKeyBuckets): Unit =
+    withKeyHash(
+      keyed(triples, keyPred, valuePred)
+        .groupBy(col("key")).agg(max(col("v")).as("n")),
+      keyBuckets)
+      .write.mode("overwrite").partitionBy("key_hash").parquet(out)
+
+  /** Maintain a [[buildMaxView]] view under an effective diff. MAX is the
+    * textbook NON-INVERTIBLE aggregate: an add folds upward in O(diff)
+    * (new max = max(old, v)), but deleting a key's current extremum
+    * cannot be undone from the summary — the true post-delete max lives
+    * only in the base rows. The standard IVM answer, implemented here:
+    * RECOMPUTE exactly the AFFECTED KEYS (every key any diff row touches,
+    * on either its key or value side) from the post-state pred-pruned
+    * scans, semi-joined to the affected-key/subject sets (broadcast,
+    * diff-sized) — work ∝ affected keys' rows + touched view partitions,
+    * never ∝ graph or view. Unaffected keys in touched partitions carry
+    * through; keys whose groups emptied leave the view.
+    */
+  def maintainMaxView(
+      spark: SparkSession, out: String, diff: DataFrame,
+      keyPred: String, valuePred: String,
+      postTriples: String => DataFrame,
+      keyBuckets: Int = DefaultKeyBuckets): Unit = {
+    // affected keys: keys named by key-side diff rows, plus the keys
+    // (old OR new — both read from key rows present in diff ∪ post-state)
+    // of subjects with value-side diff rows
+    val dKkeys = diff.filter(col("pred") === keyPred).select(col("obj").as("key"))
+    val dVsubj = diff.filter(col("pred") === valuePred).select(col("subj")).distinct()
+    val kNew = postTriples(keyPred).select(col("subj"), col("obj").as("key"))
+    val dVkeys = kNew.join(broadcast(dVsubj), Seq("subj"), "left_semi").select(col("key"))
+    val affected = dKkeys.unionByName(dVkeys).distinct()
+      .localCheckpoint() // ∝ diff; consumed by the recompute and the fold
+    // recompute ONLY the affected keys from the post-state
+    val subjAffected = kNew.join(broadcast(affected), Seq("key"), "left_semi")
+    val lex = regexp_extract(col("obj"), "^\"(-?\\d+)\"", 1)
+    val vNew = postTriples(valuePred)
+      .select(col("subj"), when(lex =!= "", lex.cast("long")).as("v"))
+      .filter(col("v").isNotNull)
+    val recomputed = subjAffected.join(vNew, Seq("subj"))
+      .groupBy(col("key")).agg(max(col("v")).as("n"))
+    // fold: affected keys REPLACE their view rows (or vanish if their
+    // group emptied); co-located unaffected keys carry through
+    val d = withKeyHash(affected, keyBuckets).localCheckpoint()
+    val touched = d.select(col("key_hash")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(out)
+      .filter(col("key_hash").cast("long").isin(touched: _*))
+      .select(col("key"), col("n"), col("key_hash").cast("long").as("key_hash"))
+    val carried = existing.join(broadcast(affected), Seq("key"), "left_anti")
+    val updated = carried
+      .unionByName(withKeyHash(recomputed, keyBuckets))
+      .localCheckpoint() // materialize before overwriting the input dir
+    updated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("key_hash")
+      .parquet(out)
+    val surviving = updated.select(col("key_hash")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(surviving).foreach { kh =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"key_hash=$kh"), true)
+    }
+  }
+
   /** The shared fold tail: apply per-key deltas to the stored view —
     * touched-partition read, full-outer merge, dynamic overwrite, explicit
     * delete of emptied buckets.

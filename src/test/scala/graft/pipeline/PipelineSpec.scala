@@ -523,6 +523,45 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("ViewStore max view: extremum deletes force the bounded per-key rescan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kp, vp) = ("p:lang", "p:nchars")
+    def nlit(n: Int) = s""""$n"^^<x:int>"""
+    // v1: en has d1=100, d2=200 (max 200); fr d3=300; zh d4=400
+    val v1 = Seq(
+      ("<d1>", kp, "\"en\""), ("<d1>", vp, nlit(100)),
+      ("<d2>", kp, "\"en\""), ("<d2>", vp, nlit(200)),
+      ("<d3>", kp, "\"fr\""), ("<d3>", vp, nlit(300)),
+      ("<d4>", kp, "\"zh\""), ("<d4>", vp, nlit(400)))
+      .toDF("subj", "pred", "obj")
+    // v2: d2 (en's MAX) removed — en must DROP to d1's value, which
+    // itself moved 100→150; d3 key fr→de; d4 removed (zh vanishes);
+    // d5(en, 50) added (below en's max — no effect)
+    val v2 = Seq(
+      ("<d1>", kp, "\"en\""), ("<d1>", vp, nlit(150)),
+      ("<d3>", kp, "\"de\""), ("<d3>", vp, nlit(300)),
+      ("<d5>", kp, "\"en\""), ("<d5>", vp, nlit(50)))
+      .toDF("subj", "pred", "obj")
+    val keys = Seq("subj", "pred", "obj")
+    val diff = v2.join(v1, keys, "left_anti").withColumn("op", lit("add"))
+      .unionByName(v1.join(v2, keys, "left_anti").withColumn("op", lit("del")))
+    val out = Files.createTempDirectory("graft_maxview_").toString
+    try {
+      ViewStore.buildMaxView(v1, kp, vp, s"$out/v")
+      ViewStore.maintainMaxView(spark, s"$out/v", diff, kp, vp,
+        (p: String) => v2.filter(col("pred") === p))
+      val got = ViewStore.readView(spark, s"$out/v").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("\"en\"" -> 150L, "\"de\"" -> 300L), got.toString)
+      ViewStore.buildMaxView(v2, kp, vp, s"$out/fresh")
+      val fresh = ViewStore.readView(spark, s"$out/fresh").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == fresh)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("graphDiff: adds/dels exact, joins keyed on pred_hash, no cartesian") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
