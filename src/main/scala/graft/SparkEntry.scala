@@ -1517,6 +1517,16 @@ object SparkEntry {
            |WHERE { ?d p:lang ?l }
            |GROUP BY ?l""".stripMargin)),
 
+    // the COMPLETED standing-query loop: ingest → view maintenance →
+    // serve — per batch the delivery folds into the materialized count
+    // view (O(batch), never a re-evaluation) and the VIEW is snapshot;
+    // same closed form as kg78 (per-lang counts per delivery prefix)
+    "kg83_stream_view_serve" -> ((s, d) =>
+      graft.streaming.StreamingOps.continuousViewMaintenance(
+        s, d, s"${GraphOps.PropPrefix}lang")
+        .select(col("batch_seq").cast("long").as("batch_seq"),
+          col("key").as("l"), col("n"))),
+
     // SPARQL Update from TEXT (kg63's rewrite driven through the parsed
     // string): DELETE/INSERT WHERE lowered by SparqlExec.update onto the
     // same tombstone delta path — the oracle is kg63's, verbatim
@@ -3392,6 +3402,16 @@ object SparkEntry {
         |    WHEN b.seq = 1 AND d.doc_id % 2 = 0 THEN 1
         |    ELSE 0 END) AS BIGINT) AS sum_nchars
         |FROM (VALUES (0), (1)) b(seq) CROSS JOIN documents d
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the maintained view's evolution == kg78's closed form (the loop is
+    // served from the view, so the answers must coincide)
+    "kg83_stream_view_serve" ->
+      """SELECT CAST(b.seq AS BIGINT) AS batch_seq,
+        |  '"' || d.lang || '"' AS l,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (VALUES (0), (1), (2)) AS b(seq)
+        |JOIN documents d ON d.doc_id % 3 <= b.seq
         |GROUP BY 1, 2""".stripMargin,
 
     // the standing query's evolution in closed form: after batch b the
