@@ -161,9 +161,12 @@ object GraphAnalytics {
         graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1 && iterations <= 16, s"iterations=$iterations out of 1..16")
     val und = canonicalUndirected(edges)
-    val adj = und.select(col("u").as("v"), col("v").as("w"))
-      .union(und.select(col("v").as("v"), col("u").as("w")))
-    adj.persist() // read once per round
+    // loop-invariant adjacency: materialize with lineage TRUNCATED (not a
+    // plain persist — a cached frame still re-plans the caller's subtree
+    // every round; the Canonical.connectedComponents measurement)
+    val adj = checkpoint.truncate(
+      und.select(col("u").as("v"), col("v").as("w"))
+        .union(und.select(col("v").as("v"), col("u").as("w"))))
     var labels = checkpoint.truncate(
       nodes.select(col("id"), col("id").as("lbl")))
     val w = org.apache.spark.sql.expressions.Window
@@ -178,7 +181,6 @@ object GraphAnalytics {
         labels.join(best, Seq("id"), "left")
           .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl")))
     }
-    adj.unpersist()
     labels
   }
 
@@ -205,7 +207,9 @@ object GraphAnalytics {
     def degreesOf(e: DataFrame): DataFrame =
       e.select(col("u").as("id")).union(e.select(col("v").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    var e = canonicalUndirected(edges)
+    // round 1 reads the input edge set twice (degree aggregate + the two
+    // semi-joins) — truncate it once like every later round's survivor set
+    var e = checkpoint.truncate(canonicalUndirected(edges))
     for (_ <- 1 to rounds) {
       val surv = degreesOf(e).filter(col("degree") >= k).select(col("id"))
       e = checkpoint.truncate(
@@ -231,11 +235,13 @@ object GraphAnalytics {
       edges: DataFrame, sources: DataFrame, maxIter: Int = 25,
       checkpoint: graft.pipeline.CheckpointPolicy =
         graft.pipeline.CheckpointPolicy.Local): DataFrame = {
-    val adj = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct()
-      .persist()
-    try {
+    // loop-invariant symmetrized adjacency: truncated, not persisted —
+    // every BFS round otherwise re-plans the caller's edge subtree
+    val adj = checkpoint.truncate(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+        .distinct())
+    locally {
       // settled rounds are each checkpointed ONCE and never re-materialized
       // (2 jobs per round: checkpoint `next`, count it — the count doubles
       // as the convergence test). Because `adj` is symmetrized, a neighbour
@@ -268,7 +274,7 @@ object GraphAnalytics {
         iter += 1
       }
       settled.reduce(_ union _)
-    } finally adj.unpersist()
+    }
   }
 
   /** Bounded DIRECTED transitive closure — the SPARQL property-path `p+`
@@ -287,9 +293,10 @@ object GraphAnalytics {
       checkpoint: graft.pipeline.CheckpointPolicy =
         graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16, s"maxHops=$maxHops out of 1..16")
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().persist()
-    try {
+    val e = checkpoint.truncate(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    locally {
       // acc stays a LAZY union of per-round checkpointed frontiers (the
       // bfsHops discipline): each round materializes only its NEW pairs,
       // never the growing accumulator
@@ -315,7 +322,7 @@ object GraphAnalytics {
         h += 1
       }
       acc
-    } finally e.unpersist()
+    }
   }
 
   /** BOUNDED strongly connected components: label(u) = min id of the set
@@ -364,15 +371,16 @@ object GraphAnalytics {
     val src = sources.select(col("id")).distinct()
     val nS = src.count()
     require(nS > 0, "personalizedPageRank needs a non-empty source set")
-    val base = nodes.select(col("id"))
-      .join(src.withColumn("_s", lit(1)), Seq("id"), "left")
-      .select(col("id"),
-        when(col("_s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("p"))
-      .persist()
+    val base = checkpoint.truncate(
+      nodes.select(col("id"))
+        .join(src.withColumn("_s", lit(1)), Seq("id"), "left")
+        .select(col("id"),
+          when(col("_s").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("p")))
     val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(outdeg, col("src") === outdeg("id"))
-      .select(col("src"), col("dst"), col("deg")).persist()
-    try {
+    val withDeg = checkpoint.truncate(
+      edges.join(outdeg, col("src") === outdeg("id"))
+        .select(col("src"), col("dst"), col("deg")))
+    locally {
       var ranks = base.select(col("id"), col("p").as("rank"))
       for (_ <- 1 to iterations) {
         val contribs = ranks
@@ -386,9 +394,6 @@ object GraphAnalytics {
       }
       checkpoint.truncate(
         ranks.select(col("id"), round(col("rank"), 6).as("rank")))
-    } finally {
-      base.unpersist()
-      withDeg.unpersist()
     }
   }
 
@@ -412,10 +417,10 @@ object GraphAnalytics {
       checkpoint: graft.pipeline.CheckpointPolicy =
         graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of 1..16")
-    val sym = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
-      .persist()
-    try {
+    val sym = checkpoint.truncate(
+      edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b"), col("w"))))
+    locally {
       var dist = checkpoint.truncate(
         sources.select(col("id"), lit(0L).as("dist")))
       for (_ <- 1 to rounds) {
@@ -426,7 +431,7 @@ object GraphAnalytics {
             .groupBy(col("id")).agg(min(col("dist")).as("dist")))
       }
       dist
-    } finally sym.unpersist()
+    }
   }
 
   /** Fixed-iteration HITS (Kleinberg 1999) hubs & authorities over the
@@ -451,9 +456,9 @@ object GraphAnalytics {
         graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1 && iterations <= 4,
       s"iterations=$iterations out of 1..4 (unnormalized scores grow geometrically)")
-    val ids = nodes.select(col("id")).persist()
-    val e = edges.select(col("src"), col("dst")).persist()
-    try {
+    val ids = checkpoint.truncate(nodes.select(col("id")))
+    val e = checkpoint.truncate(edges.select(col("src"), col("dst")))
+    locally {
       var hub = ids.select(col("id"), lit(1L).as("hub"))
       var auth = ids.select(col("id"), lit(0L).as("auth"))
       for (_ <- 1 to iterations) {
@@ -470,9 +475,6 @@ object GraphAnalytics {
       }
       checkpoint.truncate(
         hub.join(auth, Seq("id")).select(col("id"), col("hub"), col("auth")))
-    } finally {
-      ids.unpersist()
-      e.unpersist()
     }
   }
 
@@ -489,15 +491,15 @@ object GraphAnalytics {
       checkpoint: graft.pipeline.CheckpointPolicy =
         graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1 && iterations <= 10, s"iterations=$iterations out of 1..10")
-    val ids = nodes.select(col("id")).persist()
-    // degree-annotated edges computed ONCE and persisted — every iteration
-    // joins against these blocks instead of re-scanning + re-shuffling the
-    // edge table (the loop-invariant subtree is the dominant cost repeated
-    // N× otherwise)
+    val ids = checkpoint.truncate(nodes.select(col("id")))
+    // degree-annotated edges computed ONCE with lineage truncated — every
+    // iteration otherwise re-plans (and a bare persist re-optimizes) the
+    // edge subtree; blocks ride the caller's CheckpointPolicy
     val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(outdeg, col("src") === outdeg("id"))
-      .select(col("src"), col("dst"), col("deg")).persist()
-    try {
+    val withDeg = checkpoint.truncate(
+      edges.join(outdeg, col("src") === outdeg("id"))
+        .select(col("src"), col("dst"), col("deg")))
+    locally {
       val n = ids.count()
       var ranks = ids.select(col("id"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to iterations) {
@@ -510,11 +512,8 @@ object GraphAnalytics {
             .select(col("id"),
               (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank")))
       }
-      checkpoint.truncate( // eager — safe to unpersist inputs after
+      checkpoint.truncate(
         ranks.select(col("id"), round(col("rank"), 6).as("rank")))
-    } finally {
-      ids.unpersist()
-      withDeg.unpersist()
     }
   }
 
@@ -531,11 +530,12 @@ object GraphAnalytics {
       checkpoint: graft.pipeline.CheckpointPolicy =
         graft.pipeline.CheckpointPolicy.Local): DataFrame = {
     require(iterations >= 1 && iterations <= 10, s"iterations=$iterations out of 1..10")
-    val ids = nodes.select(col("id")).persist()
+    val ids = checkpoint.truncate(nodes.select(col("id")))
     val outdeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(outdeg, col("src") === outdeg("id"))
-      .select(col("src"), col("dst"), col("deg")).persist()
-    try {
+    val withDeg = checkpoint.truncate(
+      edges.join(outdeg, col("src") === outdeg("id"))
+        .select(col("src"), col("dst"), col("deg")))
+    locally {
       val n = ids.count()
       var ranks = ids.select(col("id"), lit(1.0 / n).as("rank"))
       var frames = Seq(ranks.select(lit(0L).as("iter"), col("id"), col("rank")))
@@ -551,9 +551,6 @@ object GraphAnalytics {
         frames :+= ranks.select(lit(t.toLong).as("iter"), col("id"), col("rank"))
       }
       checkpoint.truncate(frames.reduce(_.unionByName(_)))
-    } finally {
-      ids.unpersist()
-      withDeg.unpersist()
     }
   }
 
@@ -614,13 +611,17 @@ object GraphAnalytics {
     require(iterations >= 1 && iterations <= 10, s"iterations=$iterations out of 1..10")
     val spark = newEdges.sparkSession
     val diffSrcs = diff.select(col("src")).distinct()
-    val seed = diff.select(col("dst").as("id"))
-      .unionByName(newEdges.join(diffSrcs, Seq("src"), "left_semi")
-        .select(col("dst").as("id")))
-      .distinct().persist()
+    // seed (diff-sized) and degree-annotated v2 edges are read every
+    // iteration — truncate once, like every loop-invariant frame
+    val seed = checkpoint.truncate(
+      diff.select(col("dst").as("id"))
+        .unionByName(newEdges.join(diffSrcs, Seq("src"), "left_semi")
+          .select(col("dst").as("id")))
+        .distinct())
     val outdeg = newEdges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val withDeg = newEdges.join(outdeg, col("src") === outdeg("id"))
-      .select(col("src"), col("dst"), col("deg")).persist()
+    val withDeg = checkpoint.truncate(
+      newEdges.join(outdeg, col("src") === outdeg("id"))
+        .select(col("src"), col("dst"), col("deg")))
     val iterCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val n = nodes.count()
@@ -663,8 +664,6 @@ object GraphAnalytics {
         untouched.unionByName(changed)
           .select(col("id"), round(col("rank"), 6).as("rank")))
     } finally {
-      seed.unpersist()
-      withDeg.unpersist()
       iterCaches.foreach(_.unpersist())
     }
   }
