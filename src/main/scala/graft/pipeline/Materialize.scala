@@ -178,7 +178,9 @@ object Materialize {
       predBuckets: Int = DefaultPredBuckets,
       salt: Int = DefaultSalt,
       checkpoint: CheckpointPolicy = CheckpointPolicy.Local): Unit = {
-    val deltaDf = delta.toDF()
+    // the delta subtree is consumed twice (touched-set collect + the
+    // merge union) — materialize it once through the policy
+    val deltaDf = checkpoint.truncate(delta.toDF())
     val touched = withPredHash(deltaDf, predBuckets)
       .select(col("pred_hash")).distinct()
       .collect().map(_.getLong(0))
@@ -285,11 +287,18 @@ object Materialize {
       salt: Int = DefaultSalt): Unit = {
     val ops = deltaOps.select(col("subj"), col("pred"), col("obj"),
       col("src_url"), col("warc_ts"), col("op"))
-    if (ops.isEmpty) return // empty append would leave a _SUCCESS-only dir
     val seq = deltaBatchCount(spark, out) + 1L
     val df = withPredHash(ops, predBuckets)
       .withColumn("subj_salt", saltCol(Map.empty, salt))
-    // the saltedDeduped one-exchange shape with op riding the group keys
+    // count rows DURING the write (observe rides the job) instead of a
+    // separate isEmpty pre-check — the former shape evaluated the caller's
+    // delta subtree twice per append (once for the probe, once for the
+    // write). An empty append writes no data files (readers' hasDataFiles
+    // guard already ignores a _SUCCESS-only _delta dir); it must not leave
+    // a batch marker, or the compaction trigger and batch_seq would count
+    // phantom batches.
+    val obs = new org.apache.spark.sql.Observation(
+      s"lsm.append.${java.util.UUID.randomUUID()}")
     df.repartition(col("pred_hash"), col("subj_salt"))
       .groupBy(col("pred_hash"), col("subj_salt"),
         col("subj"), col("pred"), col("obj"), col("op"))
@@ -297,11 +306,20 @@ object Materialize {
       .select(col("subj"), col("pred"), col("obj"),
         col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
         col("op"), lit(seq).as("batch_seq"), col("pred_hash"))
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("append").partitionBy("pred_hash").parquet(deltaDir(out))
-    val (fs, dir) = fsOf(spark, batchMarkerDir(out))
-    fs.mkdirs(dir)
-    fs.create(new org.apache.hadoop.fs.Path(dir,
-      s"batch-${java.util.UUID.randomUUID()}"), false).close()
+    if (obs.get("n").asInstanceOf[Long] > 0L) {
+      val (fs, dir) = fsOf(spark, batchMarkerDir(out))
+      fs.mkdirs(dir)
+      fs.create(new org.apache.hadoop.fs.Path(dir,
+        s"batch-${java.util.UUID.randomUUID()}"), false).close()
+    } else {
+      // restore the exact no-op: an empty append must leave no _delta dir
+      // behind (spec-pinned) — but only when the dir holds no earlier
+      // batches' data files
+      val (fs, dd) = fsOf(spark, deltaDir(out))
+      if (fs.exists(dd) && !hasDataFiles(fs, dd)) fs.delete(dd, true)
+    }
   }
 
   /** Number of delta batches appended since the last [[compact]]. */
@@ -598,10 +616,13 @@ object Materialize {
       salt: Int = DefaultSalt): Unit = {
     val ops = deltaOps.select(col("graph"), col("subj"), col("pred"), col("obj"),
       col("src_url"), col("warc_ts"), col("op"))
-    if (ops.isEmpty) return // empty append would leave a _SUCCESS-only dir
     val seq = deltaBatchCount(spark, out) + 1L
     val df = withPredHash(ops, predBuckets)
       .withColumn("subj_salt", saltCol(Map.empty, salt))
+    // row count observed DURING the write replaces the isEmpty pre-check
+    // (which evaluated the delta subtree twice) — see appendDeltaOps
+    val obs = new org.apache.spark.sql.Observation(
+      s"lsm.appendq.${java.util.UUID.randomUUID()}")
     df.repartition(col("pred_hash"), col("subj_salt"))
       .groupBy(col("pred_hash"), col("subj_salt"),
         col("graph"), col("subj"), col("pred"), col("obj"), col("op"))
@@ -609,11 +630,17 @@ object Materialize {
       .select(col("graph"), col("subj"), col("pred"), col("obj"),
         col("prov.src_url").as("src_url"), col("prov.warc_ts").as("warc_ts"),
         col("op"), lit(seq).as("batch_seq"), col("pred_hash"))
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("append").partitionBy("pred_hash").parquet(deltaDir(out))
-    val (fs, dir) = fsOf(spark, batchMarkerDir(out))
-    fs.mkdirs(dir)
-    fs.create(new org.apache.hadoop.fs.Path(dir,
-      s"batch-${java.util.UUID.randomUUID()}"), false).close()
+    if (obs.get("n").asInstanceOf[Long] > 0L) {
+      val (fs, dir) = fsOf(spark, batchMarkerDir(out))
+      fs.mkdirs(dir)
+      fs.create(new org.apache.hadoop.fs.Path(dir,
+        s"batch-${java.util.UUID.randomUUID()}"), false).close()
+    } else {
+      val (fs, dd) = fsOf(spark, deltaDir(out))
+      if (fs.exists(dd) && !hasDataFiles(fs, dd)) fs.delete(dd, true)
+    }
   }
 
   /** [[readMerged]] for quad tables: identical bounded merge-on-read —
