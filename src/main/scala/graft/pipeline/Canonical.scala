@@ -55,39 +55,45 @@ object Canonical {
       sym.select($"src".as("id")).distinct()
         .withColumn("component", $"id"))
 
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // neighbour messages and each vertex's own label meet in ONE
-      // union + min aggregation — replaces the former join → groupBy →
-      // left-join chain (one join and one exchange fewer per round;
-      // `changed` = the neighbour min beat the old label, the same
-      // convergence rule as the two-frame formulation).
+    // one hash-to-min half-step: neighbour messages and each vertex's own
+    // label meet in ONE union + min aggregation (replaces the former
+    // join → groupBy → left-join chain: one join and one exchange fewer),
+    // then pointer jumping (adopt the label of your label — halves chain
+    // depth). `changed` = the neighbour min beat the old label.
+    def step(l: DataFrame): DataFrame = {
       val msgs = sym
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(l.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"component", lit(false).as("self"))
-        .unionByName(labels.select($"id", $"component", lit(true).as("self")))
+        .unionByName(l.select($"id", $"component", lit(true).as("self")))
       val updated = msgs.groupBy($"id")
         .agg(min($"component").as("component"),
           min(when($"self", $"component")).as("old_component"))
         .select($"id", $"component", ($"component" < $"old_component").as("changed"))
+      val parents = updated.select($"id".as("component"), $"component".as("jump"))
+      updated.join(parents, Seq("component"), "left")
+        .select($"id", least($"component", coalesce($"jump", $"component")).as("component"),
+          $"changed")
+    }
 
-      // pointer jumping (shortcutting): adopt the label of your label —
-      // halves chain depth each round, O(log diameter) total rounds.
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // TWO half-steps per materialization: the fixed per-round cost
+      // (job launch, AQE stage scheduling, lineage truncation) dominates
+      // at small frontiers, so amortizing it over two hash-to-min rounds
+      // nearly halves the loop's wall. Convergence is tested on the
+      // SECOND half-step's flags alone — sound: if the last neighbour-min
+      // pass improved nothing, labels are constant per component (for
+      // every edge (u,v): L(v) ≤ L(u) and L(u) ≤ L(v)), i.e. a fixpoint.
       // Convergence detection costs ZERO extra jobs: a native
       // CollectMetrics node (Dataset.observe) sums the changed flags
       // DURING the checkpoint materialization itself — no per-row UDF in
-      // the loop hot path (round 2 used an always-true filter UDF; round 1
-      // paid a second full join pass). Exactly-once: observed metrics
-      // ignore retried/speculative task attempts, unlike accumulators.
-      val parents = updated.select($"id".as("component"), $"component".as("jump"))
-      val jumped = updated.join(parents, Seq("component"), "left")
-        .select($"id", least($"component", coalesce($"jump", $"component")).as("component"),
-          $"changed")
-
+      // the loop hot path. Exactly-once: observed metrics ignore
+      // retried/speculative task attempts, unlike accumulators.
+      val second = step(step(labels).drop("changed"))
       val obs = new org.apache.spark.sql.Observation(s"cc.changed.$iter")
       val next = checkpoint.truncate( // eager: materializes, completes the observation
-        jumped
+        second
           .observe(obs, sum(when($"changed", 1L).otherwise(0L)).as("n_changed"))
           .drop("changed"))
       labels = next
