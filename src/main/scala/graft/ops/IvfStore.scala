@@ -109,12 +109,22 @@ object IvfStore {
     val m = centroids(spark, out)
     val rows = EmbeddingOps.gridded(vectors)
       .withColumn("cell", EmbeddingOps.assignCellExpr(m, m(0).length))
-    if (rows.isEmpty) return
+    // row count observed DURING the write — an isEmpty pre-check would
+    // evaluate the grid+assignment subtree twice (the appendDeltaOps rule)
     val seq = deltaBatchCount(spark, out) + 1L
+    val obs = new org.apache.spark.sql.Observation(
+      s"ivf.append.${java.util.UUID.randomUUID()}")
     rows.select(col("vec_id"), col("g"), col("n"), col("cell"),
       lit(OpAdd).as("op"), lit(seq).as("batch_seq"))
+      .observe(obs, count(lit(1)).as("cnt"))
       .write.mode("append").partitionBy("cell").parquet(deltaDir(out))
-    writeMarker(spark, out)
+    if (obs.get("cnt").asInstanceOf[Long] > 0L) writeMarker(spark, out)
+    else {
+      // restore the exact no-op for an empty append (no marker, and no
+      // _SUCCESS-only _delta dir unless earlier batches own it)
+      val (fs, dd) = fsOf(spark, deltaDir(out))
+      if (fs.exists(dd) && !hasDelta(spark, out)) fs.delete(dd, true)
+    }
   }
 
   /** DELETE vectors by id: the doomed ids' cells come from one broadcast
@@ -232,6 +242,17 @@ object IvfStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
       .parquet(baseDir(out))
+    // dynamic overwrite only replaces partitions PRESENT in the written
+    // data: a touched cell whose vectors were ALL tombstoned emits no
+    // resolved rows, and its stale base files would serve the deleted
+    // vectors again once the delta log is dropped below. Delete emptied
+    // cell partitions explicitly (the ViewStore.foldInto discipline).
+    val surviving = resolved.select(col("cell")).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    val (bfs2, broot) = fsOf(spark, baseDir(out))
+    touched.filterNot(surviving).foreach { c =>
+      bfs2.delete(new org.apache.hadoop.fs.Path(broot, s"cell=$c"), true)
+    }
     val (fs, dd) = fsOf(spark, deltaDir(out))
     fs.delete(dd, true)
     val (mfs, md) = fsOf(spark, markerDir(out))

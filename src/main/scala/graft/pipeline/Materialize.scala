@@ -442,9 +442,30 @@ object Materialize {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pred_hash")
       .parquet(out)
+    // a touched pred_hash partition whose triples were ALL retracted emits
+    // no resolved rows; dynamic overwrite would keep its stale base files
+    // while the delta log is dropped below, resurrecting the retractions.
+    // Delete emptied partitions explicitly (the ViewStore invariant).
+    deleteEmptiedPartitions(spark, out, touched, merged)
     fs.delete(dd, true)
     val (bfs, bd) = fsOf(spark, batchMarkerDir(out))
     bfs.delete(bd, true)
+  }
+
+  /** Explicitly delete `pred_hash=N` partition dirs that were touched by a
+    * compaction but absent from its resolved output (dynamic overwrite
+    * only replaces partitions present in the written data).
+    */
+  private def deleteEmptiedPartitions(
+      spark: org.apache.spark.sql.SparkSession, out: String,
+      touched: Array[Long], merged: DataFrame): Unit = {
+    val surviving = merged.select(col("pred_hash").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(surviving).foreach { ph =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"pred_hash=$ph"), true)
+    }
   }
 
   /** The LSM merge entry point: append the batch (cheap — bytes ∝ delta),
@@ -698,6 +719,8 @@ object Materialize {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pred_hash")
       .parquet(out)
+    // same emptied-partition gap as the triple compact(): see there
+    deleteEmptiedPartitions(spark, out, touched, merged)
     fs.delete(dd, true)
     val (bfs, bd) = fsOf(spark, batchMarkerDir(out))
     bfs.delete(bd, true)

@@ -72,6 +72,18 @@ object ViewStore {
   def readView(spark: SparkSession, out: String): DataFrame =
     spark.read.parquet(out).select(col("key"), col("n"))
 
+  /** Touched-bucket read of the stored view with the schema SPECIFIED:
+    * a maintenance run that legitimately emptied every key_hash partition
+    * leaves only _SUCCESS behind, and schema inference would fail with
+    * "unable to infer schema" — the explicit schema makes the empty view
+    * read as an empty frame instead.
+    */
+  private def readExisting(
+      spark: SparkSession, out: String, touched: Array[Long]): DataFrame =
+    spark.read.schema("key STRING, n BIGINT, key_hash INT").parquet(out)
+      .filter(col("key_hash").cast("long").isin(touched: _*))
+      .select(col("key"), col("n"), col("key_hash").cast("long").as("key_hash"))
+
   /** Fold an effective diff ([[Materialize.graphDiffProv]] rows: op/subj/
     * pred/obj) into the stored view: counts move by (adds − dels) per key,
     * new keys appear, zeroed keys vanish. Only the diff-touched key_hash
@@ -199,9 +211,7 @@ object ViewStore {
     val touched = d.select(col("key_hash")).distinct()
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
-    val existing = spark.read.parquet(out)
-      .filter(col("key_hash").cast("long").isin(touched: _*))
-      .select(col("key"), col("n"), col("key_hash").cast("long").as("key_hash"))
+    val existing = readExisting(spark, out, touched)
     val carried = existing.join(broadcast(affected), Seq("key"), "left_anti")
     val updated = carried
       .unionByName(withKeyHash(recomputed, keyBuckets))
@@ -231,9 +241,7 @@ object ViewStore {
     val touched = d.select(col("key_hash")).distinct()
       .collect().map(_.getLong(0)) // bounded by keyBuckets, never by data
     if (touched.isEmpty) return
-    val existing = spark.read.parquet(out)
-      .filter(col("key_hash").cast("long").isin(touched: _*))
-      .select(col("key"), col("n"), col("key_hash").cast("long").as("key_hash"))
+    val existing = readExisting(spark, out, touched)
     val updated = existing
       .join(d, Seq("key_hash", "key"), "full_outer")
       .select(col("key"),

@@ -2106,6 +2106,33 @@ class OpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("IvfStore compact: a fully-tombstoned cell's base partition is deleted, not resurrected") {
+    val s = spark
+    import s.implicits._
+    def emb(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+    val c0 = Array(1000L, 0L)
+    val c1 = Array(-1000L, 0L)
+    val out = java.nio.file.Files.createTempDirectory("graft_ivfempty_").toString
+    try {
+      // cell 0 holds 0 and 1; cell 1 holds 2
+      IvfStore.write(emb(
+        0L -> Seq(1.0, 0.1), 1L -> Seq(0.9, -0.1), 2L -> Seq(-1.0, 0.1)),
+        s"$out/i", Array(c0, c1), dims = 2)
+      // tombstone EVERY vector of cell 0, then compact: the resolved
+      // output has no cell=0 rows, so dynamic overwrite alone would keep
+      // the stale cell-0 base files while the delta log is dropped — and
+      // the next read would serve the deleted vectors again
+      IvfStore.deleteVectors(s, s"$out/i", Seq(0L, 1L).toDF("vec_id"))
+      IvfStore.compact(s, s"$out/i")
+      assert(!new java.io.File(s"$out/i/base/cell=0").exists(),
+        "emptied cell partition survived compaction")
+      val live = IvfStore.readMerged(s, s"$out/i")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(live == Set(2L), s"deleted vectors resurrected: $live")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("annFiltered: pre-filter restricts candidates before ranking") {
     val s = spark
     import s.implicits._

@@ -717,6 +717,53 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("compact deletes a fully-retracted pred_hash partition instead of resurrecting it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val ts = new java.sql.Timestamp(0L)
+    val out = Files.createTempDirectory("graft_lsm_empty_").toString
+    def ops(rows: (String, String, String, String, String)*) =
+      rows.toDF("subj", "pred", "obj", "src_url", "op")
+        .withColumn("warc_ts", org.apache.spark.sql.functions.lit(ts))
+    try {
+      // <p:solo> owns its pred_hash partition; <p:cold> keeps another alive
+      Materialize.write(Seq(
+        TripleRow("<s1>", "<p:solo>", "\"a\"", "u1", ts),
+        TripleRow("<c>", "<p:cold>", "\"c\"", "u", ts)).toDS(), out)
+      // retract EVERY triple of <p:solo>'s partition, then compact: the
+      // resolved output emits no rows for that pred_hash, so dynamic
+      // overwrite alone would keep the stale base files while the delta
+      // log is dropped — and the retracted triples would reappear
+      Materialize.appendDeltaOps(spark, out, ops(
+        ("<s1>", "<p:solo>", "\"a\"", "u1", "del")))
+      assert(Materialize.readMerged(spark, out)
+        .filter(c("pred") === "<p:solo>").count() == 0)
+      Materialize.compact(spark, out)
+      val base = Materialize.read(spark, out)
+        .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+      assert(base == Set(("<c>", "<p:cold>", "\"c\"")),
+        s"retracted triples resurrected after compaction: $base")
+      // the same gap on the quad path
+      val qout = Files.createTempDirectory("graft_quad_empty_").toString
+      try {
+        Materialize.writeQuads(Seq(
+          ("<g1>", "<s1>", "<p:solo>", "\"a\"", "u1", ts),
+          ("<g1>", "<c>", "<p:cold>", "\"c\"", "u", ts))
+          .toDF("graph", "subj", "pred", "obj", "src_url", "warc_ts"), qout)
+        Materialize.appendQuadDeltaOps(spark, qout, Seq(
+          ("<g1>", "<s1>", "<p:solo>", "\"a\"", "u1", ts, "del"))
+          .toDF("graph", "subj", "pred", "obj", "src_url", "warc_ts", "op"))
+        Materialize.compactQuads(spark, qout)
+        val qbase = Materialize.read(spark, qout)
+          .select("subj", "pred").as[(String, String)].collect().toSet
+        assert(qbase == Set(("<c>", "<p:cold>")),
+          s"quad compaction resurrected retractions: $qbase")
+      } finally
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(qout))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("quad LSM: tombstones scope to their named graph; untouched partitions bypass the exchange; compact folds") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => c, lit => l, when}
