@@ -212,19 +212,53 @@ object MultimodalOps {
         val h = dHashOf(bytes)
         (0 until 4).iterator.map(b => (b, (h >>> (16 * b)) & 0xFFFFL, id, h))
       })
+    // LOWEST-EMITTING-BAND dedup replaces the former `.distinct()`: a pair
+    // within distance ≤ 3 collides in up to 4 band buckets, and the old
+    // shape emitted it from every one, paying a full exchange + aggregate
+    // over the multi-band pair multiset (~4× the result rows) just to
+    // collapse duplicates. Instead each bucket emits a pair only when NO
+    // lower band would: a lower shared band emits the pair iff its bucket
+    // is not hot (clique) or its hub — the bucket's min id — is one of the
+    // two (star). Bucket hotness and hubs come from one map-side-combined
+    // aggregate (rows ∝ hot buckets, a corpus-adversarial handful) and
+    // ride a broadcast, so the decision is fully local and the emitted
+    // pair set is IDENTICAL to the old distinct's output, star cap
+    // included.
+    val hotHubs = bands.toDF("band", "v", "id", "h")
+      .groupBy(col("band"), col("v"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("hub"))
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("v"), col("hub"))
+      .collect().map(r => (r.getInt(0).toLong << 16 | r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val hotB = spark.sparkContext.broadcast(hotHubs)
     bands.groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (key, it) =>
+        val band = key._1
+        val hot = hotB.value
         val members = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
         def emit(x: (Long, Long), y: (Long, Long)) = {
           val d = java.lang.Long.bitCount(x._2 ^ y._2).toLong
-          if (d <= maxDist) Iterator.single((x._1, y._1, d)) else Iterator.empty
+          var lowerEmits = false
+          var b = 0
+          while (!lowerEmits && b < band) {
+            val vx = (x._2 >>> (16 * b)) & 0xFFFFL
+            if (vx == ((y._2 >>> (16 * b)) & 0xFFFFL)) {
+              hot.get(b.toLong << 16 | vx) match {
+                case None      => lowerEmits = true // lower clique bucket owns it
+                case Some(hub) => if (hub == x._1 || hub == y._1) lowerEmits = true
+              }
+            }
+            b += 1
+          }
+          if (d <= maxDist && !lowerEmits) Iterator.single((x._1, y._1, d))
+          else Iterator.empty
         }
         if (members.length <= maxBucket)
           members.indices.iterator.flatMap(i =>
             (i + 1 until members.length).iterator.flatMap(j => emit(members(i), members(j))))
         else members.iterator.drop(1).flatMap(m => emit(members(0), m))
       }.toDF("a_id", "b_id", "hamming")
-      .distinct() // a pair colliding in several bands has one hamming value
   }
 
   /** Fake video frame sampling: n_frames = 16 + doc_id % 16; sample 4
