@@ -34,12 +34,14 @@ object ViewStore {
     */
   def buildCountView(
       triples: DataFrame, pred: String, out: String,
-      keyBuckets: Int = DefaultKeyBuckets): Unit =
+      keyBuckets: Int = DefaultKeyBuckets): Unit = {
     withKeyHash(
       triples.filter(col("pred") === pred)
         .groupBy(col("obj").as("key")).agg(count(lit(1)).as("n")),
       keyBuckets)
       .write.mode("overwrite").partitionBy("key_hash").parquet(out)
+    clearLedger(triples.sparkSession, out) // a rebuild voids the fold history
+  }
 
   /** The SUM sibling: per-key BIGINT sums of `valuePred`'s integer
     * lexical forms, keyed by `keyPred`'s object per subject (the kg74
@@ -49,12 +51,14 @@ object ViewStore {
     */
   def buildSumView(
       triples: DataFrame, keyPred: String, valuePred: String, out: String,
-      keyBuckets: Int = DefaultKeyBuckets): Unit =
+      keyBuckets: Int = DefaultKeyBuckets): Unit = {
     withKeyHash(
       keyed(triples, keyPred, valuePred)
         .groupBy(col("key")).agg(sum(col("v")).as("n")),
       keyBuckets)
       .write.mode("overwrite").partitionBy("key_hash").parquet(out)
+    clearLedger(triples.sparkSession, out)
+  }
 
   /** (key, v) pairs: subjects' keyPred object × valuePred integer value —
     * one co-partitioned self-join on subj, both scans pred-pruned.
@@ -91,13 +95,15 @@ object ViewStore {
     */
   def maintainCountView(
       spark: SparkSession, out: String, diff: DataFrame, pred: String,
-      keyBuckets: Int = DefaultKeyBuckets): Unit =
+      keyBuckets: Int = DefaultKeyBuckets,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+      foldId: Option[String] = None): Unit =
     foldInto(spark, out,
       diff.filter(col("pred") === pred)
         .groupBy(col("obj").as("key"))
         .agg(sum(when(col("op") === Materialize.OpAdd, lit(1L))
           .otherwise(lit(-1L))).as("dn")),
-      keyBuckets)
+      keyBuckets, checkpoint, foldId)
 
   /** Maintain a [[buildSumView]] view under an effective diff — the
     * join-view IVM decomposition, exact on signed multisets:
@@ -115,9 +121,12 @@ object ViewStore {
       spark: SparkSession, out: String, diff: DataFrame,
       keyPred: String, valuePred: String,
       postTriples: String => DataFrame,
-      keyBuckets: Int = DefaultKeyBuckets): Unit =
+      keyBuckets: Int = DefaultKeyBuckets,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+      foldId: Option[String] = None): Unit =
     foldInto(spark, out,
-      sumViewDeltas(diff, keyPred, valuePred, postTriples), keyBuckets)
+      sumViewDeltas(diff, keyPred, valuePred, postTriples), keyBuckets,
+      checkpoint, foldId)
 
   /** The decomposition's per-key deltas, exposed for plan guards: both
     * terms join the (big) pred-pruned scans against BROADCAST diff-sized
@@ -164,12 +173,14 @@ object ViewStore {
     */
   def buildMaxView(
       triples: DataFrame, keyPred: String, valuePred: String, out: String,
-      keyBuckets: Int = DefaultKeyBuckets): Unit =
+      keyBuckets: Int = DefaultKeyBuckets): Unit = {
     withKeyHash(
       keyed(triples, keyPred, valuePred)
         .groupBy(col("key")).agg(max(col("v")).as("n")),
       keyBuckets)
       .write.mode("overwrite").partitionBy("key_hash").parquet(out)
+    clearLedger(triples.sparkSession, out)
+  }
 
   /** Maintain a [[buildMaxView]] view under an effective diff. MAX is the
     * textbook NON-INVERTIBLE aggregate: an add folds upward in O(diff)
@@ -187,7 +198,10 @@ object ViewStore {
       spark: SparkSession, out: String, diff: DataFrame,
       keyPred: String, valuePred: String,
       postTriples: String => DataFrame,
-      keyBuckets: Int = DefaultKeyBuckets): Unit = {
+      keyBuckets: Int = DefaultKeyBuckets,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+      foldId: Option[String] = None): Unit = {
+    if (foldId.exists(alreadyApplied(spark, out, _))) return
     // affected keys: keys named by key-side diff rows, plus the keys
     // (old OR new — both read from key rows present in diff ∪ post-state)
     // of subjects with value-side diff rows
@@ -195,8 +209,8 @@ object ViewStore {
     val dVsubj = diff.filter(col("pred") === valuePred).select(col("subj")).distinct()
     val kNew = postTriples(keyPred).select(col("subj"), col("obj").as("key"))
     val dVkeys = kNew.join(broadcast(dVsubj), Seq("subj"), "left_semi").select(col("key"))
-    val affected = dKkeys.unionByName(dVkeys).distinct()
-      .localCheckpoint() // ∝ diff; consumed by the recompute and the fold
+    val affected = checkpoint.truncate(
+      dKkeys.unionByName(dVkeys).distinct()) // ∝ diff; consumed twice
     // recompute ONLY the affected keys from the post-state
     val subjAffected = kNew.join(broadcast(affected), Seq("key"), "left_semi")
     val lex = regexp_extract(col("obj"), "^\"(-?\\d+)\"", 1)
@@ -207,15 +221,14 @@ object ViewStore {
       .groupBy(col("key")).agg(max(col("v")).as("n"))
     // fold: affected keys REPLACE their view rows (or vanish if their
     // group emptied); co-located unaffected keys carry through
-    val d = withKeyHash(affected, keyBuckets).localCheckpoint()
+    val d = checkpoint.truncate(withKeyHash(affected, keyBuckets))
     val touched = d.select(col("key_hash")).distinct()
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
     val existing = readExisting(spark, out, touched)
     val carried = existing.join(broadcast(affected), Seq("key"), "left_anti")
-    val updated = carried
-      .unionByName(withKeyHash(recomputed, keyBuckets))
-      .localCheckpoint() // materialize before overwriting the input dir
+    val updated = checkpoint.truncate( // materialize before overwriting the input dir
+      carried.unionByName(withKeyHash(recomputed, keyBuckets)))
     updated.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("key_hash")
@@ -227,6 +240,7 @@ object ViewStore {
     touched.filterNot(surviving).foreach { kh =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"key_hash=$kh"), true)
     }
+    foldId.foreach(markApplied(spark, out, _))
   }
 
   /** The shared fold tail: apply per-key deltas to the stored view —
@@ -235,12 +249,15 @@ object ViewStore {
     */
   private def foldInto(
       spark: SparkSession, out: String, deltas: DataFrame,
-      keyBuckets: Int): Unit = {
-    val d = withKeyHash(deltas.filter(col("dn") =!= 0L), keyBuckets)
-      .localCheckpoint() // materialized ONCE: sized ∝ diff, read twice below
+      keyBuckets: Int,
+      checkpoint: CheckpointPolicy = CheckpointPolicy.Local,
+      foldId: Option[String] = None): Unit = {
+    if (foldId.exists(alreadyApplied(spark, out, _))) return
+    val d = checkpoint.truncate( // materialized ONCE: sized ∝ diff, read twice below
+      withKeyHash(deltas.filter(col("dn") =!= 0L), keyBuckets))
     val touched = d.select(col("key_hash")).distinct()
       .collect().map(_.getLong(0)) // bounded by keyBuckets, never by data
-    if (touched.isEmpty) return
+    if (touched.isEmpty) { foldId.foreach(markApplied(spark, out, _)); return }
     val existing = readExisting(spark, out, touched)
     val updated = existing
       .join(d, Seq("key_hash", "key"), "full_outer")
@@ -248,9 +265,8 @@ object ViewStore {
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         col("key_hash"))
       .filter(col("n") > 0)
-      // materialize before the dynamic overwrite reads its own input dir
-      // (the mergeDelta rule)
-      .localCheckpoint()
+      .transform(checkpoint.truncate _) // materialize before the dynamic
+                                          // overwrite reads its own input dir
     updated.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("key_hash")
@@ -265,5 +281,39 @@ object ViewStore {
     touched.filterNot(surviving).foreach { kh =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"key_hash=$kh"), true)
     }
+    foldId.foreach(markApplied(spark, out, _))
+  }
+
+  // ---------------------------------------------------- applied-fold ledger
+  // Counts and sums are DELTAS: re-applying a completed fold (an
+  // at-least-once replay, or a job retried after its write committed)
+  // silently corrupts the view. Callers that can replay pass a stable
+  // foldId (e.g. the checkpointed micro-batch id) and the fold becomes
+  // idempotent: a marker per applied fold lives beside the view (the
+  // Materialize._delta_batches / snapshot-log discipline), and a fold
+  // whose marker exists is skipped. MAX-view folds are idempotent in
+  // value but skip too — cheaper and uniform.
+
+  private def ledgerDir(out: String) = s"$out/_applied"
+
+  private def fsOf(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  private def alreadyApplied(spark: SparkSession, out: String, id: String): Boolean = {
+    val (fs, dir) = fsOf(spark, ledgerDir(out))
+    fs.exists(new org.apache.hadoop.fs.Path(dir, s"fold-$id"))
+  }
+
+  private def markApplied(spark: SparkSession, out: String, id: String): Unit = {
+    val (fs, dir) = fsOf(spark, ledgerDir(out))
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"fold-$id"), false).close()
+  }
+
+  private def clearLedger(spark: SparkSession, out: String): Unit = {
+    val (fs, dir) = fsOf(spark, ledgerDir(out))
+    fs.delete(dir, true)
   }
 }

@@ -740,11 +740,35 @@ object StreamingOps {
             val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
             if (!fs.exists(success)) {
               M.write(rows, graph)
-              V.buildCountView(rows.toDF(), keyPred, view)
+              // the view is a multiplicity ledger while the LSM store is a
+              // set: a document legally stating the same triple twice must
+              // count once — dedup BEFORE the first build, mirroring
+              // M.write's own dedup
+              V.buildCountView(
+                rows.toDF().dropDuplicates("subj", "pred", "obj"),
+                keyPred, view)
             } else {
+              // EFFECTIVE diff (the ViewStore contract): within-batch
+              // dedup + anti-join against the PRE-state merged read, so
+              // duplicate statements and re-delivered triples fold as
+              // zero — computed BEFORE the merge lands the batch. The
+              // fold only consumes keyPred rows, so both sides prune to
+              // that predicate's single pred_hash partition
+              // (readMergedPred) — never a whole-graph scan per batch
+              val eff = rows.toDF()
+                .filter(col("pred") === keyPred)
+                .dropDuplicates("subj", "pred", "obj")
+                .join(M.readMergedPred(spark, graph, keyPred)
+                  .select(col("subj"), col("pred"), col("obj")),
+                  Seq("subj", "pred", "obj"), "left_anti")
+                .withColumn("op", lit(M.OpAdd))
+                .localCheckpoint() // consumed after the merge overwrites the store
               M.mergeDeltaLsm(spark, graph, rows, maxDeltaBatches = 2)
-              V.maintainCountView(spark, view,
-                rows.toDF().withColumn("op", lit(M.OpAdd)), keyPred)
+              // foldId = the checkpointed micro-batch id: an at-least-once
+              // replay re-enters this body, and the ledger makes the
+              // re-fold a no-op instead of double-counting the view
+              V.maintainCountView(spark, view, eff, keyPred,
+                foldId = Some(seq.toString))
             }
             V.readView(spark, view)
               .withColumn("batch_seq", lit(seq))

@@ -477,6 +477,65 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("ViewStore folds are retry-idempotent under a foldId; rebuild clears the ledger") {
+    import spark.implicits._
+    val pred = "p:lang"
+    val tri = Seq(("<d1>", pred, "\"en\""), ("<d2>", pred, "\"en\""),
+      ("<d3>", pred, "\"fr\"")).toDF("subj", "pred", "obj")
+    val out = Files.createTempDirectory("graft_view_idem_").toString
+    try {
+      ViewStore.buildCountView(tri, pred, s"$out/v")
+      val diff = Seq(("add", "<d4>", pred, "\"en\"")).toDF("op", "subj", "pred", "obj")
+      ViewStore.maintainCountView(spark, s"$out/v", diff, pred, foldId = Some("b1"))
+      def view() = ViewStore.readView(spark, s"$out/v").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(view() == Map("\"en\"" -> 3L, "\"fr\"" -> 1L))
+      // an at-least-once REPLAY of the same fold: the delta would
+      // double-apply without the ledger — must be a no-op
+      ViewStore.maintainCountView(spark, s"$out/v", diff, pred, foldId = Some("b1"))
+      assert(view() == Map("\"en\"" -> 3L, "\"fr\"" -> 1L),
+        "replayed fold double-applied its diff")
+      // a NEW fold id applies normally
+      val diff2 = Seq(("del", "<d3>", pred, "\"fr\"")).toDF("op", "subj", "pred", "obj")
+      ViewStore.maintainCountView(spark, s"$out/v", diff2, pred, foldId = Some("b2"))
+      assert(view() == Map("\"en\"" -> 3L))
+      // a REBUILD voids the ledger: the same fold ids apply again
+      ViewStore.buildCountView(tri, pred, s"$out/v")
+      ViewStore.maintainCountView(spark, s"$out/v", diff, pred, foldId = Some("b1"))
+      assert(view() == Map("\"en\"" -> 3L, "\"fr\"" -> 1L))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("continuousViewMaintenance: a duplicate-statement document folds once (effective diff)") {
+    import spark.implicits._
+    // doc 4's row appears TWICE in the corpus: its parse asserts every
+    // triple twice — legal Turtle, common in crawled data. The LSM store
+    // is a set, so the graph dedups; the count view must not double-count.
+    val base = (0L until 9L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "fr", s"src$i", 10L + i))
+    val docs = (base :+ base(4).copy()).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_kg83_dup_").toString
+    try {
+      docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val P = graft.ops.GraphOps.PropPrefix
+      val served = graft.streaming.StreamingOps
+        .continuousViewMaintenance(spark, dir, s"${P}lang")
+      // the LAST batch's served view == a fresh aggregate over the full
+      // (deduped) graph: per-lang doc counts, doc 4 counted once
+      val lastSeq = served
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("batch_seq").cast("long")))
+        .collect()(0).getLong(0)
+      val got = served.filter(org.apache.spark.sql.functions.col("batch_seq") === lastSeq)
+        .select("key", "n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = base.groupBy(_._3).map { case (l, rows) =>
+        "\"" + l + "\"" -> rows.length.toLong }
+      assert(got == expected, s"got $got expected $expected")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("ViewStore sum view: all four movement classes fold exactly (value, key, add, remove)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
