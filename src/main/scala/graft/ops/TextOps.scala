@@ -16,12 +16,36 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Thread-local MD5 instance: `MessageDigest.getInstance` is a JCA
+    * provider lookup + allocation per call — measurable in kernels that
+    * hash millions of shingles per task. `digest()` resets the instance,
+    * so reuse is exact.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 15 hex chars of md5 → non-negative 60-bit Long.
     * Cross-engine: DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT`.
     */
-  def md5Hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def md5Hash60(s: String): Long =
+    md5Digest60(md5Local.get().digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** [[md5Hash60]] over `prefix ++ body` without building the
+    * concatenated string — the hot-kernel form (byte-identical: MD5 of
+    * the same byte stream).
+    */
+  private def md5Hash60Bytes(
+      md: java.security.MessageDigest,
+      prefix: Array[Byte], body: Array[Byte]): Long = {
+    md.update(prefix)
+    md.update(body)
+    md5Digest60(md.digest())
+  }
+
+  private def md5Digest60(d: Array[Byte]): Long = {
     // first 15 hex chars = first 7 bytes + high nibble of the 8th
     var h = 0L
     var i = 0
@@ -1102,6 +1126,14 @@ object TextOps {
     * 2^20 entries (~70 MB) to keep executor memory flat on adversarial
     * corpora.
     */
+  // "<seed>:" byte prefixes, precomputed — the hot kernel below hashes
+  // md5(seed + ":" + shingle) per seed; streaming the two byte chunks
+  // into one reused digest avoids a string concat + UTF-8 re-encode per
+  // (seed, shingle)
+  private val seedPrefixBytes: Array[Array[Byte]] =
+    Array.tabulate(64)(s => (s.toString + ":")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private def shingleHashes(
       g: String, nSeeds: Int, memo: java.util.HashMap[String, Array[Long]]): Array[Long] = {
     val cached = memo.get(g)
@@ -1109,8 +1141,10 @@ object TextOps {
     else {
       if (memo.size >= (1 << 20)) memo.clear()
       val a = new Array[Long](nSeeds)
+      val md = md5Local.get()
+      val gb = g.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var s = 0
-      while (s < nSeeds) { a(s) = md5Hash60(s.toString + ":" + g); s += 1 }
+      while (s < nSeeds) { a(s) = md5Hash60Bytes(md, seedPrefixBytes(s), gb); s += 1 }
       memo.put(g, a)
       a
     }
@@ -1159,7 +1193,7 @@ object TextOps {
 
   /** Full md5 hex digest (lowercase) — matches DuckDB/Spark `md5()`. */
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sb = new java.lang.StringBuilder(32)
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
@@ -1292,12 +1326,15 @@ object TextOps {
     require(minBands >= 1 && minBands <= Bands, s"minBands=$minBands out of 1..$Bands")
     val spark = documents.sparkSession
     import spark.implicits._
+    // NO pair-level distinct: the pairs feed ONLY connectedComponents,
+    // whose own symmetrize step ends in a distinct — the multi-band pair
+    // multiset (≤ C(4, minBands)× the pair set) collapses inside that one
+    // exchange instead of paying a second one here
     val pairs = minHashCompositeBandRows(documents, minBands)
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
         bucketPairs(it.map(_._1).toArray.sorted, maxBucket)
       }.toDF("src", "dst")
-      .distinct()
     val cc = graft.pipeline.Canonical.connectedComponents(pairs, checkpoint = checkpoint)
       .withColumnRenamed("id", "doc_id")
     documents.select(col("doc_id"))
