@@ -123,6 +123,8 @@ object GraphAnalytics {
     val deg = degrees(edges).withColumnRenamed("degree", "d")
     // (degree, id) total order as a sortable struct key per endpoint
     def key(dC: Column, idC: Column): Column = struct(dC.as("d"), idC.as("id"))
+    // consumed THREE times below (both wedge sides + the closing edge) —
+    // materialize once, lazily (no extra job: the first action fills it)
     val oriented = und
       .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
@@ -131,6 +133,7 @@ object GraphAnalytics {
         when(key(col("du"), col("u")) < key(col("dv"), col("v")), col("v")).otherwise(col("u")).as("dst"),
         when(key(col("du"), col("u")) < key(col("dv"), col("v")), key(col("dv"), col("v")))
           .otherwise(key(col("du"), col("u"))).as("dstKey"))
+      .localCheckpoint(eager = false)
     val e1 = oriented.select(col("src"), col("dst").as("b1"), col("dstKey").as("k1"))
     val e2 = oriented.select(col("src"), col("dst").as("b2"), col("dstKey").as("k2"))
     val wedges = e1.join(e2, Seq("src")).filter(col("k1") < col("k2"))
