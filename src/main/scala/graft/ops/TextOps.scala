@@ -1326,14 +1326,23 @@ object TextOps {
     require(minBands >= 1 && minBands <= Bands, s"minBands=$minBands out of 1..$Bands")
     val spark = documents.sparkSession
     import spark.implicits._
-    // NO pair-level distinct: the pairs feed ONLY connectedComponents,
-    // whose own symmetrize step ends in a distinct — the multi-band pair
-    // multiset (≤ C(4, minBands)× the pair set) collapses inside that one
-    // exchange instead of paying a second one here
+    // STAR edges only, for EVERY bucket: the pairs feed ONLY the
+    // connected-components reduction, and a bucket's min-id star has
+    // exactly the bucket clique's connectivity (the same argument that
+    // makes the hot-bucket cap exact here) — so emitting |bucket|−1 star
+    // edges instead of C(|bucket|,2) clique edges yields IDENTICAL
+    // components while the CC input drops from O(Σ bucket²) to O(rows):
+    // measured 1,105,213 → ~30k edges at sf0.1. No pair-level distinct
+    // either — CC's own symmetrize step ends in one. (`maxBucket` is
+    // moot on this path now: a star is the capped emission already;
+    // [[minHashBandPairs]] keeps cliques because its n_bands surface
+    // counts per-pair band agreements.)
     val pairs = minHashCompositeBandRows(documents, minBands)
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
-        bucketPairs(it.map(_._1).toArray.sorted, maxBucket)
+        val ids = it.map(_._1).toArray.sorted
+        if (ids.length < 2) Iterator.empty
+        else ids.iterator.drop(1).map(m => (ids(0), m))
       }.toDF("src", "dst")
     val cc = graft.pipeline.Canonical.connectedComponents(pairs, checkpoint = checkpoint)
       .withColumnRenamed("id", "doc_id")
