@@ -607,10 +607,10 @@ object SparkEntry {
           emb.filter(col("vec_id") % 3 === 0))
         graft.ops.IvfStore.deleteVectors(s, s"$dir/ivf",
           emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
-        Seq(0L, 1L, 2L).map(a =>
-          graft.ops.IvfStore.readAsOf(s, s"$dir/ivf", a)
-            .select(lit(a).as("as_of"), col("vec_id"), col("cell")))
-          .reduce(_.unionByName(_))
+        // one fused resolution pass for all three cuts (row-identical to
+        // unioning readAsOf(0|1|2) — IvfStore.readEvolution)
+        graft.ops.IvfStore.readEvolution(s, s"$dir/ivf", upTo = 2L)
+          .select(col("as_of"), col("vec_id"), col("cell"))
           .localCheckpoint() // eager — the scratch index dir is deleted below
       } finally
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

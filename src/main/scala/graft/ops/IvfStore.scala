@@ -174,6 +174,53 @@ object IvfStore {
       .filter(col("batch_seq") <= asOf))
   }
 
+  /** The full AS-OF EVOLUTION (as_of, vec_id, cell) for as_of ∈ 0..upTo in
+    * ONE resolution pass — row-identical to unioning [[readAsOf]] per cut
+    * (emb20's shape), but the base and delta scan once, every cut shares
+    * one exchange, and the latest-batch-wins window runs per
+    * (as_of, cell, vec_id) instead of once per cut. A delta row with
+    * batch_seq = b participates in every cut ≥ b (one bounded replicate
+    * join against the literal cut list); untouched base rows replicate
+    * cut-count times outside the exchange.
+    */
+  def readEvolution(spark: SparkSession, out: String, upTo: Long): DataFrame = {
+    require(upTo >= 0L, s"upTo=$upTo must be ≥ 0")
+    val base = readBase(spark, out)
+    val cuts = (0L to upTo).toSeq
+    val cutsCol = array(cuts.map(lit(_)): _*)
+    def withCuts(df: DataFrame, from: org.apache.spark.sql.Column) = df
+      .withColumn("as_of", explode(filter(cutsCol, c => c >= from)))
+    if (!hasDelta(spark, out))
+      return withCuts(base, lit(0L))
+        .select(col("as_of"), col("vec_id"), col("cell"))
+    val deltas = spark.read.parquet(deltaDir(out))
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("batch_seq") <= upTo)
+    val touched = deltas.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)) // bounded by the cell count, never data
+    if (touched.isEmpty)
+      return withCuts(base, lit(0L))
+        .select(col("as_of"), col("vec_id"), col("cell"))
+    val untouched = withCuts(base.filter(!col("cell").isin(touched: _*)), lit(0L))
+    val rows = withCuts(
+      base.filter(col("cell").isin(touched: _*))
+        .withColumn("op", lit(OpAdd)).withColumn("batch_seq", lit(0L))
+        .unionByName(deltas.select(col("vec_id"), col("g"), col("n"),
+          col("cell"), col("op"), col("batch_seq"))),
+      col("batch_seq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("as_of"), col("cell"), col("vec_id"))
+    val resolved = rows
+      .withColumn("_dseq", coalesce(
+        max(when(col("op") === OpDel, col("batch_seq"))).over(w), lit(-1L)))
+      .filter(col("op") === OpAdd && col("batch_seq") > col("_dseq"))
+      .groupBy(col("as_of"), col("cell"), col("vec_id"))
+      .agg(max(struct(col("batch_seq"), col("g"), col("n"))).as("v"))
+      .select(col("as_of"), col("vec_id"), col("cell"))
+    untouched.select(col("as_of"), col("vec_id"), col("cell"))
+      .unionByName(resolved)
+  }
+
   // partition discovery types the cell column as INT on read — pin the
   // long contract at the boundary
   private def readBase(spark: SparkSession, out: String): DataFrame =
