@@ -285,7 +285,10 @@ object IvfStore {
       .groupBy(col("cell"), col("vec_id"))
       .agg(max(struct(col("batch_seq"), col("g"), col("n"))).as("v"))
       .select(col("vec_id"), col("v.g").as("g"), col("v.n").as("n"), col("cell")))
-    resolved.write.mode("overwrite")
+    val obs2 = new org.apache.spark.sql.Observation(
+      s"ivf.compact.${java.util.UUID.randomUUID()}")
+    resolved.observe(obs2, collect_set(col("cell")).as("c"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
       .parquet(baseDir(out))
@@ -293,9 +296,9 @@ object IvfStore {
     // data: a touched cell whose vectors were ALL tombstoned emits no
     // resolved rows, and its stale base files would serve the deleted
     // vectors again once the delta log is dropped below. Delete emptied
-    // cell partitions explicitly (the ViewStore.foldInto discipline).
-    val surviving = resolved.select(col("cell")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
+    // cell partitions explicitly (the ViewStore.foldInto discipline); the
+    // surviving set rides the write job as an observed metric.
+    val surviving = obs2.get("c").asInstanceOf[Seq[Long]].map(_.toInt).toSet
     val (bfs2, broot) = fsOf(spark, baseDir(out))
     touched.filterNot(surviving).foreach { c =>
       bfs2.delete(new org.apache.hadoop.fs.Path(broot, s"cell=$c"), true)

@@ -438,15 +438,20 @@ object Materialize {
       .repartition(col("pred_hash"), col("subj_salt"))
     val merged = checkpoint.truncate(
       resolveOps(salted, Seq("pred_hash", "subj_salt", "subj", "pred", "obj")))
-    merged.write.mode("overwrite")
+    val obs = new org.apache.spark.sql.Observation(
+      s"lsm.compact.${java.util.UUID.randomUUID()}")
+    merged.observe(obs, collect_set(col("pred_hash").cast("long")).as("ph"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pred_hash")
       .parquet(out)
     // a touched pred_hash partition whose triples were ALL retracted emits
     // no resolved rows; dynamic overwrite would keep its stale base files
     // while the delta log is dropped below, resurrecting the retractions.
-    // Delete emptied partitions explicitly (the ViewStore invariant).
-    deleteEmptiedPartitions(spark, out, touched, merged)
+    // Delete emptied partitions explicitly (the ViewStore invariant); the
+    // surviving set rides the write job as an observed metric.
+    deleteEmptiedPartitions(spark, out, touched,
+      obs.get("ph").asInstanceOf[Seq[Long]].toSet)
     fs.delete(dd, true)
     val (bfs, bd) = fsOf(spark, batchMarkerDir(out))
     bfs.delete(bd, true)
@@ -458,9 +463,7 @@ object Materialize {
     */
   private def deleteEmptiedPartitions(
       spark: org.apache.spark.sql.SparkSession, out: String,
-      touched: Array[Long], merged: DataFrame): Unit = {
-    val surviving = merged.select(col("pred_hash").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
+      touched: Array[Long], surviving: Set[Long]): Unit = {
     val root = new org.apache.hadoop.fs.Path(out)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(surviving).foreach { ph =>
@@ -715,12 +718,16 @@ object Materialize {
     val merged = checkpoint.truncate(
       resolveOps(salted,
         Seq("pred_hash", "subj_salt", "graph", "subj", "pred", "obj"), QuadCarry))
-    merged.write.mode("overwrite")
+    val obsQ = new org.apache.spark.sql.Observation(
+      s"lsm.compactq.${java.util.UUID.randomUUID()}")
+    merged.observe(obsQ, collect_set(col("pred_hash").cast("long")).as("ph"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pred_hash")
       .parquet(out)
     // same emptied-partition gap as the triple compact(): see there
-    deleteEmptiedPartitions(spark, out, touched, merged)
+    deleteEmptiedPartitions(spark, out, touched,
+      obsQ.get("ph").asInstanceOf[Seq[Long]].toSet)
     fs.delete(dd, true)
     val (bfs, bd) = fsOf(spark, batchMarkerDir(out))
     bfs.delete(bd, true)

@@ -229,12 +229,16 @@ object ViewStore {
     val carried = existing.join(broadcast(affected), Seq("key"), "left_anti")
     val updated = checkpoint.truncate( // materialize before overwriting the input dir
       carried.unionByName(withKeyHash(recomputed, keyBuckets)))
-    updated.write.mode("overwrite")
+    // surviving-bucket set observed DURING the write (≤ keyBuckets
+    // values) instead of a separate post-write job
+    val obsM = new org.apache.spark.sql.Observation(
+      s"view.max.${java.util.UUID.randomUUID()}")
+    updated.observe(obsM, collect_set(col("key_hash")).as("kh"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("key_hash")
       .parquet(out)
-    val surviving = updated.select(col("key_hash")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val surviving = obsM.get("kh").asInstanceOf[Seq[Long]].toSet
     val root = new org.apache.hadoop.fs.Path(out)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(surviving).foreach { kh =>
@@ -267,15 +271,18 @@ object ViewStore {
       .filter(col("n") > 0)
       .transform(checkpoint.truncate _) // materialize before the dynamic
                                           // overwrite reads its own input dir
-    updated.write.mode("overwrite")
+    // surviving-bucket set observed DURING the write (≤ keyBuckets values)
+    val obsF = new org.apache.spark.sql.Observation(
+      s"view.fold.${java.util.UUID.randomUUID()}")
+    updated.observe(obsF, collect_set(col("key_hash")).as("kh"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("key_hash")
       .parquet(out)
     // dynamic overwrite only replaces partitions PRESENT in the written
     // data — a touched bucket whose keys all folded to zero emits no rows
     // and would keep its stale files; delete those partitions explicitly
-    val surviving = updated.select(col("key_hash")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val surviving = obsF.get("kh").asInstanceOf[Seq[Long]].toSet
     val root = new org.apache.hadoop.fs.Path(out)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(surviving).foreach { kh =>
